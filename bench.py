@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline query suite (TPC-H q1-q22 plus
+the LLM-pipeline headliners) at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line with per-query wall seconds.
+
+Results land in BENCH_r{N}.json and are graded against BASELINE.md
+(reference publishes no absolute numbers; the driver target is within
+2x of baseline at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries that constitute the headline metric.  TPC-H is the reference's
+# own bench corpus (reference: benches/tpch.rs); the pipeline ops are the
+# north-star additions.
+HEADLINE_PREFIXES = ("tpch_",)
+HEADLINE_EXTRA = (
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "events_sessionize",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from risinglight_spark.registry import collect
+    from risinglight_spark.session import get_spark
+
+    spark = get_spark(app_name="risinglight_spark_bench")
+    entries = collect()
+    names = [n for n in sorted(entries) if n.startswith(HEADLINE_PREFIXES)]
+    names += [n for n in HEADLINE_EXTRA if n in entries]
+
+    # JVM/codegen warm-up on a small query so q1 doesn't pay session
+    # startup cost.
+    entries["tpch_q6"].fn(spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = entries[name].fn(spark, sf_dir)
+        df.collect()
+        dt = round(time.perf_counter() - t0, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else None,
+                "n_queries": len(per_query),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

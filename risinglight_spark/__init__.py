@@ -1,0 +1,25 @@
+"""risinglight_spark — a PySpark-native analytics engine with the query
+surface and semantics of risinglightdb/risinglight.
+
+The reference (/root/reference, Rust) is a single-node columnar OLAP
+database: SQL -> binder -> egg plan -> vectorized Volcano executors.
+This package re-expresses that *query surface* Spark-first: the
+DataFrame/SQL API declares logical plans and Catalyst/Tungsten pick the
+physical strategy (see SURVEY.md §4: every reference optimizer rewrite
+except the vector-index rule is already built into Catalyst).
+
+Layout
+------
+session.py     SparkSession factory tuned for OLAP parity + scale
+tables.py      parquet table sources (the driver testdata star schema)
+registry.py    query registry: name -> (spark_fn, oracle_sql)
+functions/     scalar / vector / text expression builders (JVM-side)
+operators/     relational, join, agg, window, tpch, dedup, similarity
+sql/           SQL front door shim (PRAGMA, \\dt, DISTINCT ON, SQL UDFs)
+streaming/     Structured Streaming pipelines over the events table
+"""
+
+from risinglight_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.2.0"

@@ -1,0 +1,164 @@
+"""Text-analysis expression builders for LLM training-data pipelines.
+
+All pure Column expressions (JVM-side); each has a matching SQL
+rendering used by the DuckDB oracle so the driver can hash-verify the
+exact same formula.  These operate on the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+
+Scale note: every function here is a stateless per-row projection —
+embarrassingly parallel, no shuffle, survives any scale-up as a single
+codegen'd stage over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic
+# language ID.  Deliberately small + deterministic (no model deps).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "de", "es"),
+}
+
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "was", "as", "with", "be", "at", "by",
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def tokens_sql(text: str) -> str:
+    return f"list_filter(regexp_split_to_array({text}, '\\s+'), t -> t <> '')"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def token_count_sql(text: str) -> str:
+    return f"len({tokens_sql(text)})::BIGINT"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token counting with a BPE-ish regex: words, numbers, and
+    punctuation runs each count as a token (a cheap deterministic proxy
+    for tokenizer cost estimates at corpus scale)."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("bigint")
+
+
+def bpe_ish_token_count_sql(text: str) -> str:
+    return (
+        f"len(regexp_extract_all({text}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT"
+    )
+
+
+def word_markers_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens of ``text`` are in ``markers`` (case-folded)."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def word_markers_hits_sql(text: str, markers: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    toks = f"list_transform({tokens_sql(text)}, t -> lower(t))"
+    return f"len(list_filter({toks}, t -> list_contains({lst}, t)))::BIGINT"
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose marker words hit most (ties break by
+    language code order; 'und' = undetermined when no marker hits)."""
+    pairs = [
+        F.struct(
+            word_markers_hits(text, LANG_MARKERS[code]).alias("hits"),
+            # invert code ordering inside the struct comparison so that
+            # greatest() prefers the *lexically smaller* code on ties
+            F.lit(code).alias("code"),
+        )
+        for code in sorted(LANG_MARKERS, reverse=True)
+    ]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def lang_id_sql(text: str) -> str:
+    # greatest() over structs compares fields in order, same as Spark.
+    structs = ", ".join(
+        "{'hits': %s, 'code': '%s'}" % (word_markers_hits_sql(text, LANG_MARKERS[c]), c)
+        for c in sorted(LANG_MARKERS, reverse=True)
+    )
+    best = f"greatest({structs})"
+    return f"(CASE WHEN ({best}).hits > 0 THEN ({best}).code ELSE 'und' END)"
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return (n_punct.cast("double") / F.greatest(F.length(text), F.lit(1))).alias(
+        "punct_ratio"
+    )
+
+
+def punct_ratio_sql(text: str) -> str:
+    return (
+        f"(length(regexp_replace({text}, '[^.,;:!?]', '', 'g'))::DOUBLE"
+        f" / greatest(length({text}), 1))"
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    return word_markers_hits(text, EN_STOPWORDS).cast("double") / F.greatest(
+        token_count(text), F.lit(1)
+    )
+
+
+def stopword_ratio_sql(text: str) -> str:
+    return (
+        f"({word_markers_hits_sql(text, EN_STOPWORDS)}::DOUBLE"
+        f" / greatest({token_count_sql(text)}, 1))"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punct-soup,
+    healthy stopword density.  Deterministic + closed form so the oracle
+    can replay it."""
+    len_score = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(text) * 5.0, F.lit(0.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return (len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3).alias("quality")
+
+
+def quality_score_sql(text: str) -> str:
+    len_score = f"least(length({text})::DOUBLE / 500.0, 1.0)"
+    punct_pen = f"greatest(1.0 - {punct_ratio_sql(text)} * 5.0, 0.0)"
+    stop_score = f"least({stopword_ratio_sql(text)} * 4.0, 1.0)"
+    return f"({len_score} * 0.4 + {punct_pen} * 0.3 + {stop_score} * 0.3)"
+
+
+def normalized_text(text: Column) -> Column:
+    """lowercase + whitespace-collapse + trim — canonical form for exact
+    dedup fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def normalized_text_sql(text: str) -> str:
+    return f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (md5 matches
+    between Spark and DuckDB, so it is oracle-verifiable)."""
+    return F.md5(normalized_text(text))
+
+
+def fingerprint_sql(text: str) -> str:
+    return f"md5({normalized_text_sql(text)})"

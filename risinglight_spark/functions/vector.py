@@ -1,0 +1,64 @@
+"""Vector distance expressions over ``array<float|double>`` columns.
+
+Reference parity: risinglight's VECTOR(n) type with the pgvector
+operators ``<->`` (L2), ``<#>`` (negative inner product) and ``<=>``
+(cosine distance) — src/types/vector.rs:79-99, src/array/ops.rs:655-719,
+planner/mod.rs:74-76.
+
+Implemented as ``F.zip_with`` / ``F.aggregate`` higher-order functions:
+these execute JVM-side inside whole-stage codegen (no Python round
+trip), so a brute-force scan over billions of embeddings stays a single
+codegen'd stage that parallelizes linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dsum(pairs: Column) -> Column:
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _dsum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """``a <-> b`` — Euclidean distance (reference vector.rs:81-87)."""
+    return F.sqrt(
+        _dsum(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+            )
+        )
+    )
+
+
+def neg_inner_product(a: Column, b: Column) -> Column:
+    """``a <#> b`` — negative dot product (reference vector.rs:96-98)."""
+    return -dot(a, b)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_dsum(F.transform(a, lambda x: x.cast("double") ** 2)))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """``a <=> b`` — 1 - cosine similarity (reference vector.rs:89-94)."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def lit_vector(values: list[float]) -> Column:
+    """A constant query vector as an array<double> literal."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def sql_list_literal(values: list[float]) -> str:
+    """The same constant vector as a DuckDB list literal."""
+    return "[" + ", ".join(repr(float(v)) for v in values) + "]"

@@ -1,0 +1,45 @@
+"""Operator implementations, each registering queries into the registry.
+
+Shared conventions for oracle parity (the driver hash-compares Spark
+output against DuckDB running ``oracle_sql`` on the same parquet):
+
+- **Deterministic double aggregation**: floating sums are not
+  associative, and Spark's partial aggregation order differs from
+  DuckDB's sequential scan.  Summing raw doubles at 60k+ rows gives
+  last-ulp drift that a value-hash rejects.  We therefore cast summands
+  to DECIMAL(18,6) (exact, associative) and cast the final sum back to
+  DOUBLE — bit-identical on both engines at any parallelism, i.e. the
+  result no longer depends on partitioning.  This is also the right
+  call at 100 TB: it makes re-runs reproducible across cluster sizes.
+- **Dates**: parquet stores timestamps; outputs cast to DATE so the
+  arrow schema matches DuckDB's.
+- **Counts**: Spark count() is bigint; DuckDB count() is BIGINT — match.
+  ``count(x)`` parity with the reference's Int32 return
+  (src/executor/evaluator.rs:238) casts to INT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from risinglight_spark.tables import Tables, load, register_views  # noqa: F401
+
+
+def dsum(c: Column) -> Column:
+    """Order-independent double sum (see module docstring)."""
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def davg(c: Column) -> Column:
+    """avg via the reference's sum/count rewrite (binder/expr.rs:443-447),
+    made order-independent the same way as :func:`dsum`."""
+    return dsum(c) / F.count(c)
+
+
+def davg_sql(expr: str) -> str:
+    return f"({dsum_sql(expr)} / count({expr}))"

@@ -1,0 +1,203 @@
+"""Aggregation operators: simple (no-group), hash-grouped, sorted-input,
+and the reference's aggregate-function surface (count/sum/min/max/avg,
+count distinct, first/last).
+
+Reference: src/executor/{simple_agg,hash_agg,sort_agg}.rs; aggregate
+state machine src/executor/evaluator.rs:171-291; complete function list
+src/binder/expr.rs:436-453.
+
+Scale: every groupBy below gets map-side partial aggregation from
+Catalyst (the `partial_...` / `finalmerge_...` pair in the plan), so the
+shuffle carries one row per (partition, group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risinglight_spark.operators import Tables, davg, davg_sql, dsum, dsum_sql
+from risinglight_spark.registry import register
+
+
+@register(
+    "agg_simple",
+    oracle=f"""
+    SELECT count(*) AS cnt,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+    doc="No-group aggregation -> single row (ref: simple_agg.rs:15-28).",
+)
+def agg_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    return t.lineitem.agg(
+        F.count("*").alias("cnt"),
+        dsum(q).alias("sum_qty"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+    )
+
+
+@register(
+    "agg_hash_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Hash aggregation keyed by group values (ref: hash_agg.rs:21-55).",
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_sorted_key",
+    oracle=f"""
+    SELECT l_orderkey, {dsum_sql('l_quantity')} AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="Grouping by the clustering key — the reference picks a streaming "
+    "SortAgg (sort_agg.rs:12-50); Catalyst picks hash-agg or sort-agg by "
+    "cost, identical semantics.",
+)
+def agg_sorted_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_orderkey").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "count_star_and_col",
+    oracle="""
+    SELECT count(*) AS cnt_all,
+           CAST(count(o_totalprice) AS INT) AS cnt_price,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS INT) AS cnt_open
+    FROM orders
+    """,
+    doc="count(*) vs count(x): the reference returns Int32 for count(x) "
+    "(evaluator.rs:238) — cast to INT on both sides for type parity.",
+)
+def count_star_and_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.agg(
+        F.count("*").alias("cnt_all"),
+        F.count("o_totalprice").cast("int").alias("cnt_price"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("int").alias("cnt_open"),
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio
+    FROM orders
+    """,
+    doc="Exact distinct count via HashSet state (ref: evaluator.rs:246-255). "
+    "Spark expands to a two-phase exact distinct aggregate (NOT "
+    "approx_count_distinct, which would not be parity).",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@register(
+    "avg_rewrite",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {davg_sql('o_totalprice')} AS avg_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="avg -> sum/count rewrite (ref: binder/expr.rs:443-447, "
+    "rules/expr.rs:99), with the decimal-sum determinism trick.",
+)
+def avg_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        davg(F.col("o_totalprice")).alias("avg_price"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "first_last_pinned",
+    oracle="""
+    SELECT c_nationkey,
+           arg_min(c_name, c_custkey) AS first_name,
+           arg_max(c_name, c_custkey) AS last_name
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="first()/last() in the reference take the first/last non-null in "
+    "stream order (evaluator.rs:242-243) — only deterministic because the "
+    "reference is single-threaded.  The distributed-safe pin is "
+    "min_by/max_by over an explicit order key, which is what a correct "
+    "migration of such queries needs at scale.",
+)
+def first_last_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.groupBy("c_nationkey").agg(
+        F.min_by("c_name", "c_custkey").alias("first_name"),
+        F.max_by("c_name", "c_custkey").alias("last_name"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, count(*) AS n_orders, {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 15
+    """,
+    doc="GROUP BY + HAVING (ref test: tests/sql/having.slt); HAVING is a "
+    "post-aggregation filter on both engines.",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("total"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+@register(
+    "agg_min_max_types",
+    oracle="""
+    SELECT min(CAST(o_orderdate AS DATE)) AS min_date,
+           max(CAST(o_orderdate AS DATE)) AS max_date,
+           min(o_orderpriority) AS min_s, max(o_orderpriority) AS max_s,
+           min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+    FROM orders
+    """,
+    doc="min/max across date, string, and integer types "
+    "(ref: evaluator.rs:240-241 over all array kinds).",
+)
+def agg_min_max_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+        F.min("o_orderpriority").alias("min_s"),
+        F.max("o_orderpriority").alias("max_s"),
+        F.min("o_orderkey").alias("min_k"),
+        F.max("o_orderkey").alias("max_k"),
+    )

@@ -1,0 +1,192 @@
+"""Join operators: hash (inner/left/right/full), semi/anti (+ residual
+condition), nested-loop theta, sort-merge.
+
+Reference executors: src/executor/hash_join.rs:13-209,
+nested_loop_join.rs:14-162, merge_join.rs:10-108; plan nodes
+src/planner/mod.rs:110-112.
+
+Scale notes:
+- Dimension sides (nation/region, and customer at moderate SF) fit the
+  broadcast threshold, so star joins become BroadcastHashJoin: zero
+  shuffle of the fact table.  Verified in tests/test_plans.py.
+- Big-big joins (orders x lineitem) shuffle both sides on the key; AQE
+  converts to broadcast at runtime when one side turns out small and
+  splits skewed partitions.  ``hint('merge')`` pins SortMergeJoin where
+  we explicitly want the merge-join surface.
+- Semi/anti joins never materialize the probe payload — Spark's
+  LeftSemi/LeftAnti are the exact analogue of the reference's
+  HashSemiJoinExecutor (hash_join.rs:107-209).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risinglight_spark.operators import Tables
+from risinglight_spark.registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+    doc="Equi hash join, inner (ref: hash_join.rs:13-105).",
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 450000
+    """,
+    doc="Left outer hash join with an extra join-side predicate "
+    "(stays in the ON clause, not a post-filter).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_totalprice") > 450000
+    )
+    return t.customer.join(t.orders, cond, "left").select("c_custkey", "o_orderkey")
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM orders RIGHT JOIN customer
+      ON c_custkey = o_custkey AND o_totalprice > 450000
+    """,
+    doc="Right outer join (ref: hash_join.rs const-generic JoinType).",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_totalprice") > 450000
+    )
+    return t.orders.join(t.customer, cond, "right").select("c_custkey", "o_orderkey")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey
+    FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+    """,
+    doc="Full outer join; some nations have no supplier at small SF so "
+    "both null sides are exercised.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.nation.join(
+        t.supplier, F.col("n_nationkey") == F.col("s_nationkey"), "full"
+    ).select("n_nationkey", "n_name", "s_suppkey")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="Left semi hash join (ref: hash_join.rs:107 HashSemiJoinExecutor); "
+    "residual condition inside the join (variant 2, hash_join.rs:142).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_totalprice") > 400000
+    )
+    return t.customer.join(t.orders, cond, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="Left anti hash join (ref: nested_loop_join.rs:103-162 Anti arm).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_totalprice") > 400000
+    )
+    return t.customer.join(t.orders, cond, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_nl_theta",
+    oracle="""
+    SELECT r_regionkey, n_nationkey
+    FROM region JOIN nation ON r_regionkey < n_regionkey
+    """,
+    doc="Pure theta join -> BroadcastNestedLoopJoin (ref: "
+    "nested_loop_join.rs:14-101; executor supports inner+left only — "
+    "same subset exercised here).",
+)
+def join_nl_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.region.join(
+        t.nation, F.col("r_regionkey") < F.col("n_regionkey"), "inner"
+    ).select("r_regionkey", "n_nationkey")
+
+
+@register(
+    "join_hash_residual",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_totalprice
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.3
+    """,
+    doc="Equi keys + non-equi residual: Catalyst splits the conjunction "
+    "into hash keys and a post-probe filter, exactly like the reference "
+    "rule (planner/rules/plan.rs:145-202).",
+)
+def join_hash_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_extendedprice") > F.col("o_totalprice") * 0.3
+    )
+    return t.lineitem.join(t.orders, cond).select(
+        "l_orderkey", "l_linenumber", "o_totalprice"
+    )
+
+
+@register(
+    "merge_join",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderkey
+    """,
+    doc="Sort-merge join pinned via hint('merge') (ref: merge_join.rs:10-108). "
+    "Both sides shuffle+sort on the key; the downstream per-key count "
+    "reuses that clustering (no second shuffle).",
+)
+def merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderstatus") == "F")
+        .hint("merge")
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )

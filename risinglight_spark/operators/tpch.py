@@ -1,0 +1,523 @@
+"""TPC-H q1-q22, adapted to the driver's simplified star schema.
+
+The reference runs the full TPC-H suite as its flagship correctness +
+bench corpus (reference: tests/sql/tpch/tpch.slt:1-25, benches/tpch.rs).
+The driver testdata lacks ``partsupp`` and several columns
+(l_commitdate/l_receiptdate/l_shipmode, o_shippriority/o_clerk,
+c_phone/c_address, p_mfgr/p_container); each query below keeps the
+original's *plan shape* (same joins, subqueries, aggregation pattern)
+and substitutes the nearest available column — substitutions are noted
+per query.  ``lineitem(l_partkey, l_suppkey)`` stands in for partsupp
+as the part<->supplier link.
+
+Plan-shape expectations at scale (audited in tests/test_plans.py):
+- q1: single scan + partial/final hash agg — no join, one shuffle of
+  6-group partials.
+- q3/q5/q7/q8/q9/q10: star joins; nation/region (and customer/supplier
+  at bench SF) broadcast — the lineitem side never shuffles for them.
+- q18: big-big join orders x lineitem; the groupBy(l_orderkey) partial
+  agg happens *before* the join (semi-join pushdown via the HAVING
+  subquery), so the shuffle carries order-level sums, not line items.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risinglight_spark.operators import (
+    Tables,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    register_views,
+)
+from risinglight_spark.registry import register
+
+# revenue expression used throughout
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _sql_query(name: str, sql: str, doc: str, oracle: str | None = None) -> None:
+    """Register a query whose Spark implementation is spark.sql(sql) over
+    the registered table views.  When the dialect subset is common,
+    ``oracle`` defaults to the same text DuckDB runs."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    register(name, oracle=oracle or sql, doc=doc)(fn)
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql("l_quantity")} AS sum_qty,
+           {dsum_sql("l_extendedprice")} AS sum_base_price,
+           {dsum_sql(_REV)} AS sum_disc_price,
+           {dsum_sql(_REV + " * (1 + l_tax)")} AS sum_charge,
+           {davg_sql("l_quantity")} AS avg_qty,
+           {davg_sql("l_extendedprice")} AS avg_price,
+           {davg_sql("l_discount")} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-08-25'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H q1 pricing summary (ref: tests/sql/tpch/_q1.slt). "
+    "avg is the sum/count rewrite (binder/expr.rs:443-447). Full fidelity "
+    "— all columns exist.  Cutoff adjusted to the testdata date range "
+    "(max shipdate 2001-11-04 minus ~71 days).",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(F.col("l_shipdate") <= F.lit("2001-08-25").cast("date"))
+    ep, disc, tax, qty = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+        F.col("l_quantity"),
+    )
+    rev = ep * (1 - disc)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(qty).alias("sum_qty"),
+            dsum(ep).alias("sum_base_price"),
+            dsum(rev).alias("sum_disc_price"),
+            dsum(rev * (1 + tax)).alias("sum_charge"),
+            davg(qty).alias("avg_qty"),
+            davg(ep).alias("avg_price"),
+            davg(disc).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_sql_query(
+    "tpch_q2",
+    f"""
+    SELECT s_name, n_name, p_partkey, p_name, s_acctbal
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 15 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT max(s_acctbal)
+        FROM supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE')
+    GROUP BY s_name, n_name, p_partkey, p_name, s_acctbal
+    """,
+    doc="q2 minimum-cost supplier, adapted: lineitem is the part<->supplier "
+    "link (no partsupp); s_acctbal stands in for ps_supplycost (maximized). "
+    "Correlated scalar subquery -> Catalyst decorrelates to an aggregated "
+    "self-join, the same rewrite the reference does via apply-rules "
+    "(planner/rules/plan.rs:205-280).",
+)
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey, {dsum_sql(_REV)} AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="q3 shipping priority (o_shippriority column absent — dropped). "
+    "customer filter broadcast into the orders join; top-10 via "
+    "TakeOrderedAndProject.",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("date")
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = t.orders.filter(F.col("o_orderdate") < cutoff)
+    li = t.lineitem.filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(dsum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_sql_query(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="q4 order-priority check; EXISTS predicate adapted to "
+    "l_shipdate > o_orderdate (no commit/receipt dates).  Plans as a "
+    "left-semi join before aggregation on both engines.",
+)
+
+_sql_query(
+    "tpch_q5",
+    f"""
+    SELECT n_name, {dsum_sql(_REV)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    doc="q5 local supplier volume — full fidelity. Six-way star join; "
+    "nation/region broadcast, c_nationkey = s_nationkey is the local-"
+    "supplier co-location condition.",
+)
+
+_sql_query(
+    "tpch_q6",
+    f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="q6 forecasting revenue — full fidelity. Pure scan+filter+agg; all "
+    "four predicates reach the parquet scan (PushedFilters).",
+)
+
+_sql_query(
+    "tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {dsum_sql("volume")} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             {_REV} AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="q7 volume shipping — full fidelity (nation names are synthetic "
+    "NATION_k). Self-joined nation dimension, both broadcast.",
+)
+
+_sql_query(
+    "tpch_q8",
+    f"""
+    SELECT o_year,
+           CAST({dsum_sql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+                / {dsum_sql("volume")} AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             {_REV} AS volume, n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="q8 national market share (p_type simplified to the synthetic "
+    "vocabulary). Eight-way join, dimension sides broadcast.",
+)
+
+_sql_query(
+    "tpch_q9",
+    f"""
+    SELECT nation, o_year, {dsum_sql("amount")} AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             {_REV} AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="q9 product-type profit, adapted: amount drops the ps_supplycost "
+    "term (no partsupp).  LIKE-filtered part dimension broadcast into the "
+    "lineitem join.",
+)
+
+_sql_query(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, {dsum_sql(_REV)} AS revenue, c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="q10 returned-item reporting (c_address/c_phone/c_comment columns "
+    "absent — dropped from the projection).",
+)
+
+_sql_query(
+    "tpch_q11",
+    f"""
+    SELECT n_name, {dsum_sql("s_acctbal")} AS value
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING {dsum_sql("s_acctbal")} > (
+      SELECT {dsum_sql("s_acctbal")} * 0.05 FROM supplier)
+    ORDER BY value DESC, n_name
+    """,
+    doc="q11 important stock, adapted: supplier account balance per nation "
+    "in place of partsupp value.  Keeps the scalar-subquery-in-HAVING "
+    "shape (uncorrelated -> computed once and broadcast).",
+)
+
+_sql_query(
+    "tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="q12 shipping modes, adapted: group by l_returnflag (no l_shipmode "
+    "column); the priority CASE-count structure is intact.",
+)
+
+_sql_query(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="q13 customer distribution — full fidelity (the comment-LIKE "
+    "filter becomes a priority filter).  Two-level aggregation over a "
+    "left outer join.",
+)
+
+_sql_query(
+    "tpch_q14",
+    f"""
+    SELECT CAST(100.00 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN " + _REV + " ELSE 0 END")}
+                / {dsum_sql(_REV)} AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+    GROUP BY ALL
+    """,
+    doc="q14 promotion effect (p_type = 'PROMO' in the synthetic "
+    "vocabulary).  Part dimension broadcast.",
+    oracle=f"""
+    SELECT CAST(100.00 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN " + _REV + " ELSE 0 END")}
+                / {dsum_sql(_REV)} AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+    """,
+)
+
+_sql_query(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {dsum_sql(_REV)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="q15 top supplier — CTE in place of the view (the reference "
+    "evaluates views by re-executing the stored plan, "
+    "executor/mod.rs:129-139; a CTE is the same semantics here). "
+    "Exact-decimal revenue makes the max() equality robust.",
+)
+
+_sql_query(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="q16 parts/supplier relationship, adapted: lineitem as the "
+    "part<->supplier link; the supplier-complaints NOT IN subquery is "
+    "dropped (no comment column).",
+)
+
+_sql_query(
+    "tpch_q17",
+    f"""
+    SELECT CAST({dsum_sql("l_extendedprice")} / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * {davg_sql("l_quantity")}
+        FROM lineitem
+        WHERE l_partkey = p_partkey)
+    """,
+    doc="q17 small-quantity-order revenue — full fidelity minus "
+    "p_container (dropped).  Correlated scalar avg subquery; Catalyst "
+    "decorrelates to an aggregate + join, same as the reference's "
+    "apply-pushdown rules (planner/rules/plan.rs:205-280).",
+)
+
+_sql_query(
+    "tpch_q18",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+           {dsum_sql("l_quantity")} AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    doc="q18 large-volume customer — full fidelity. The IN-subquery "
+    "aggregates lineitem *before* joining (shuffle carries order-level "
+    "sums); threshold 300 fits the synthetic qty distribution "
+    "(max ~458).",
+)
+
+_sql_query(
+    "tpch_q19",
+    f"""
+    SELECT {dsum_sql(_REV)} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+            AND p_size BETWEEN 1 AND 5)
+        OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+            AND p_size BETWEEN 1 AND 10)
+        OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+            AND p_size BETWEEN 1 AND 15))
+    """,
+    doc="q19 discounted revenue, adapted: container/shipmode predicates "
+    "dropped; the disjunction-of-conjunctions shape that exercises "
+    "common-predicate extraction (ref rule: rules/expr.rs:101-115, "
+    "Catalyst equivalent built-in) is intact.",
+)
+
+_sql_query(
+    "tpch_q20",
+    """
+    SELECT s_name, n_name
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100)
+      AND s_nationkey = n_nationkey AND n_regionkey = 2
+    ORDER BY s_name
+    """,
+    doc="q20 potential part promotion, adapted: availability check via "
+    "shipped quantity per supplier (no partsupp.availqty); nested "
+    "IN-subquery with its own aggregation kept.",
+)
+
+_sql_query(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_nationkey = 5
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="q21 suppliers who kept orders waiting, adapted: 'late' = shipped "
+    ">60 days after order date (no commit/receipt dates).  Keeps the "
+    "EXISTS + NOT EXISTS double correlated-subquery shape -> one "
+    "left-semi and one left-anti join.",
+)
+
+_sql_query(
+    "tpch_q22",
+    f"""
+    SELECT cntrycode, count(*) AS numcust, {dsum_sql("c_acctbal")} AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE CAST(c_nationkey % 10 AS INT) IN (1, 3, 5, 7, 9)
+        AND c_acctbal > (
+          SELECT {davg_sql("c_acctbal")} FROM customer
+          WHERE c_acctbal > 0.00 AND CAST(c_nationkey % 10 AS INT) IN (1, 3, 5, 7, 9))
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    doc="q22 global sales opportunity, adapted: country code = "
+    "c_nationkey % 10 (no c_phone).  Uncorrelated scalar avg + NOT EXISTS "
+    "anti join preserved.",
+)

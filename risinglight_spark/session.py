@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Config choices and why (scale notes for a 1000-executor / 100 TB cluster):
+
+- ``spark.sql.ansi.enabled=false``: reference semantics are non-ANSI —
+  division by zero yields NULL (reference: src/array/ops.rs:159-168
+  "safen" of the divisor validity bitmap), casts are permissive, and
+  integer overflow wraps.  Spark 4 defaults ANSI *on*, so this must be
+  pinned explicitly.
+- AQE on (+skew join): at 100 TB, static shuffle-partition counts are
+  always wrong for some stage; AQE coalesces small partitions and splits
+  skewed ones at runtime.
+- ``spark.sql.shuffle.partitions``: defaults to 2x local cores here; on a
+  real cluster set it near 2-3x total executor cores (AQE then adjusts).
+- broadcast threshold 64 MB: the dimension tables of this schema
+  (region/nation/supplier/part/customer) stay broadcastable far beyond
+  SF100; broadcasting them removes the shuffle on the fact-table side of
+  every star join.
+- Arrow enabled for the few pandas-UDF paths (multimodal decode).
+- session timezone UTC so timestamp parity with the DuckDB oracle holds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "risinglight_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    spark = builder.getOrCreate()
+    # Pin non-ANSI semantics even when attaching to a pre-existing session.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

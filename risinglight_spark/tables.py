@@ -1,0 +1,87 @@
+"""Table sources: the driver's TPC-H-ish star schema as parquet scans.
+
+Reference parity: risinglight's ``scan`` operator reads a base table with
+projected columns and an optional pushed PK range filter
+(reference: src/executor/table_scan.rs:13-55, src/planner/mod.rs:101).
+In Spark a parquet scan with ``.select``/``.filter`` gives the same plus
+rowgroup min/max pruning for free — verify with
+``df.explain('formatted')`` that ``PushedFilters`` / ``ReadSchema`` show
+the pruned set.
+
+Scale note: at 100 TB the fact tables (lineitem/orders/events/documents)
+are thousands of parquet files; nothing here collects to the driver, and
+all metadata operations are O(#files) on the driver only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are small at any realistic SF and should be
+# broadcast in star joins (region: 5 rows, nation: 25 rows always).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def pin_semantics(spark: SparkSession) -> None:
+    """Pin reference semantics on any session (the driver may hand us a
+    vanilla Spark 4 session where ANSI mode is on by default):
+    div-by-zero -> NULL (reference src/array/ops.rs:159-168), permissive
+    casts, UTC timestamps."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_semantics(spark)
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects (PARQUET_TYPE_ILLEGAL).  Read it as raw int64
+        # nanos and convert to microseconds — same truncation DuckDB
+        # applies when it narrows ns -> us.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() can use them."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Tables:
+    """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` -> DataFrame."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return load(self._spark, self._sf_dir, name)
