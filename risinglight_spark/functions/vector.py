@@ -26,14 +26,15 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def l2_distance(a: Column, b: Column) -> Column:
-    """``a <-> b`` — Euclidean distance (reference vector.rs:81-87)."""
-    return F.sqrt(
-        _dsum(
-            F.zip_with(
-                a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
-            )
-        )
-    )
+    """``a <-> b`` — Euclidean distance (reference vector.rs:81-87).
+    (x-y)*(x-y) rather than pow(x-y, 2) so the oracle's expanded SQL is
+    bit-identical."""
+
+    def sq(x: Column, y: Column) -> Column:
+        d = x.cast("double") - y.cast("double")
+        return d * d
+
+    return F.sqrt(_dsum(F.zip_with(a, b, sq)))
 
 
 def neg_inner_product(a: Column, b: Column) -> Column:
@@ -42,7 +43,9 @@ def neg_inner_product(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(_dsum(F.transform(a, lambda x: x.cast("double") ** 2)))
+    return F.sqrt(
+        _dsum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    )
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

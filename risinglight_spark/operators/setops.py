@@ -1,1 +1,65 @@
-"""(stub — filled in this round)"""
+"""Set operations: UNION [ALL], INTERSECT, EXCEPT.
+
+The reference does NOT implement these — ``SetExpr`` other than SELECT
+and VALUES errors out ("unknown set expr", src/binder/select.rs:30);
+SURVEY §2.3.  Spark provides them natively, so our engine ships them as
+a documented **superset** of the reference surface (a user migrating a
+reference workload loses nothing; new workloads gain set ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from risinglight_spark.operators import register_views
+from risinglight_spark.registry import register
+
+
+def _sql(name: str, sql: str, doc: str) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    fn.__name__ = name
+    register(name, oracle=sql, doc=doc)(fn)
+
+
+_sql(
+    "setop_union_all",
+    """
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer WHERE c_acctbal > 9900
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier WHERE s_acctbal > 9000
+    """,
+    doc="UNION ALL — bag union, no dedup shuffle (cheap at any scale).",
+)
+
+_sql(
+    "setop_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    doc="UNION (distinct) — dedup via hash aggregation on the union.",
+)
+
+_sql(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    doc="INTERSECT — left-semi join of distinct sides.",
+)
+
+_sql(
+    "setop_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    doc="EXCEPT — left-anti join of distinct sides.",
+)

@@ -1,1 +1,253 @@
-"""(stub — filled in this round)"""
+"""Vector distance operators and similarity search (exact + ANN).
+
+Reference parity: pgvector-style operators ``<->`` / ``<#>`` / ``<=>``
+(src/array/ops.rs:655-719, types/vector.rs:79-99), the brute-force
+``ORDER BY dist LIMIT k`` plan, and the vector index scan rule
+(planner/rules/plan.rs:405-475, IVF index over VECTOR columns —
+tests/sql/vector_index.slt).
+
+Architecture at 100 TB:
+- **Exact top-k** is a single codegen'd scan: zip_with/aggregate
+  expressions (JVM, no Python) + TakeOrderedAndProject.  Scales
+  linearly with partitions; no shuffle (each task keeps k candidates,
+  driver merges).  This is the semantic baseline the reference's
+  ``index_scan`` falls back to.
+- **LSH-bucketed ANN** (``ann_lsh_bucketed``) mirrors the reference's
+  IVF idea with random-hyperplane signatures: vectors hash into
+  2^n_planes buckets at write time (a one-off linear pass); a query
+  probes only its own bucket — candidate set shrinks by ~2^n_planes,
+  the classic recall/throughput trade.  At scale the bucketed table
+  would be written partitioned by bucket id so a probe is partition
+  pruning, not a scan.
+
+The oracle for exact queries replays the arithmetic with a fully
+expanded, left-associated SQL expression so doubles match bitwise.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risinglight_spark.functions.vector import (
+    cosine_distance,
+    l2_distance,
+    lit_vector,
+    neg_inner_product,
+)
+from risinglight_spark.operators import Tables
+from risinglight_spark.registry import register
+
+DIM = 64
+
+# Deterministic query vector (values round-trip exactly through repr ->
+# SQL literal -> double on both engines).
+QUERY_VEC = [round(math.sin(i * 1.7) * 0.5, 6) for i in range(DIM)]
+
+# Deterministic hyperplanes for LSH bucketing (fixed "seed": cos ramp).
+N_PLANES = 6
+PLANES = [
+    [round(math.cos(0.31 * (p * DIM + i) + 0.17 * p) , 6) for i in range(DIM)]
+    for p in range(N_PLANES)
+]
+
+
+def _sql_vec(values: list[float]) -> list[str]:
+    return [repr(float(v)) for v in values]
+
+
+def _l2_sql(col: str, q: list[float]) -> str:
+    terms = [
+        f"(CAST({col}[{i+1}] AS DOUBLE) - {v})*(CAST({col}[{i+1}] AS DOUBLE) - {v})"
+        for i, v in enumerate(_sql_vec(q))
+    ]
+    return "sqrt(0.0 + " + " + ".join(terms) + ")"
+
+
+def _dot_sql(col: str, q: list[float]) -> str:
+    terms = [
+        f"CAST({col}[{i+1}] AS DOUBLE) * {v}" for i, v in enumerate(_sql_vec(q))
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def _norm_sql(col: str) -> str:
+    terms = [
+        f"CAST({col}[{i+1}] AS DOUBLE) * CAST({col}[{i+1}] AS DOUBLE)"
+        for i in range(DIM)
+    ]
+    return "sqrt(0.0 + " + " + ".join(terms) + ")"
+
+
+def _qnorm() -> float:
+    return math.sqrt(math.fsum(v * v for v in QUERY_VEC))
+
+
+def _cosine_sql(col: str, q: list[float]) -> str:
+    # mirror functions.vector.cosine_distance: 1 - dot/(norm(a)*norm(b))
+    qn = repr(_qnorm_exact())
+    return f"(1.0 - {_dot_sql(col, q)} / ({_norm_sql(col)} * {qn}))"
+
+
+def _qnorm_exact() -> float:
+    # left-associated sum, matching F.aggregate's fold order
+    s = 0.0
+    for v in QUERY_VEC:
+        s += v * v
+    return math.sqrt(s)
+
+
+@register(
+    "vector_distance_ops",
+    oracle=f"""
+    SELECT vec_id,
+           {_l2_sql('embedding', QUERY_VEC)} AS l2_dist,
+           -{_dot_sql('embedding', QUERY_VEC)} AS neg_ip,
+           {_cosine_sql('embedding', QUERY_VEC)} AS cos_dist
+    FROM embeddings WHERE vec_id < 100
+    """,
+    doc="The three pgvector operators over array<float> columns: <-> L2, "
+    "<#> negative inner product, <=> cosine distance "
+    "(ref: src/array/ops.rs:655-719).  zip_with/aggregate expressions — "
+    "JVM-side, codegen'd, no Python.",
+)
+def vector_distance_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = lit_vector(QUERY_VEC)
+    e = F.col("embedding")
+    return t.embeddings.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        l2_distance(e, q).alias("l2_dist"),
+        neg_inner_product(e, q).alias("neg_ip"),
+        cosine_distance(e, q).alias("cos_dist"),
+    )
+
+
+@register(
+    "vector_l2_topk",
+    oracle=f"""
+    SELECT vec_id, label, {_l2_sql('embedding', QUERY_VEC)} AS l2_dist
+    FROM embeddings
+    ORDER BY l2_dist, vec_id
+    LIMIT 10
+    """,
+    doc="Exact k-NN by L2 distance: ORDER BY dist LIMIT k — the semantic "
+    "equivalent of the reference's vector index scan fallback "
+    "(planner/rules/plan.rs:405-475).  Plans as TakeOrderedAndProject: "
+    "per-partition heap, no shuffle.",
+)
+def vector_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.embeddings.select(
+            "vec_id",
+            "label",
+            l2_distance(F.col("embedding"), lit_vector(QUERY_VEC)).alias("l2_dist"),
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    SELECT vec_id, label, {_cosine_sql('embedding', QUERY_VEC)} AS cos_dist
+    FROM embeddings
+    ORDER BY cos_dist, vec_id
+    LIMIT 10
+    """,
+    doc="Exact top-k by cosine distance — the brute-force baseline every "
+    "ANN variant is measured against (recall@k in tests/test_vector.py).",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.embeddings.select(
+            "vec_id",
+            "label",
+            cosine_distance(F.col("embedding"), lit_vector(QUERY_VEC)).alias(
+                "cos_dist"
+            ),
+        )
+        .orderBy("cos_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Random-hyperplane signature: bit p = (vec . plane_p) >= 0.
+    2^N_PLANES buckets; deterministic literal hyperplanes."""
+    from risinglight_spark.functions.vector import dot
+
+    bucket = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        bit = (dot(vec, lit_vector(plane)) >= 0).cast("int")
+        bucket = bucket + bit * (2**p)
+    return bucket
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # engine-specific bucketing; verified by recall test
+    doc="LSH-bucketed ANN: vectors signed into 2^6 hyperplane buckets, "
+    "query probes only its own bucket, exact cosine re-rank inside.  "
+    "Candidate set ~1/64 of the corpus — the scale path the reference's "
+    "IVF index models (nlists/nprobe, binder/create_index.rs:33-50).  "
+    "Recall vs exact top-k asserted in tests/test_vector.py.",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    qbucket = 0
+    for p, plane in enumerate(PLANES):
+        s = 0.0
+        for a, b in zip(QUERY_VEC, plane):
+            s += a * b
+        qbucket += (1 if s >= 0 else 0) * (2**p)
+    cand = t.embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"))).filter(
+        F.col("bucket") == qbucket
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            cosine_distance(F.col("embedding"), lit_vector(QUERY_VEC)).alias(
+                "cos_dist"
+            ),
+        )
+        .orderBy("cos_dist", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "vector_group_centroid",
+    oracle=(
+        "SELECT label, count(*) AS n, "
+        + ", ".join(
+            f"(CAST(sum(CAST(round(CAST(embedding[{i+1}] AS DOUBLE) * 1e14, 0)"
+            f" AS BIGINT)) AS DOUBLE) / 1e14 / count(*)) AS c{i}"
+            for i in range(0, 8)
+        )
+        + " FROM embeddings GROUP BY label"
+    ),
+    doc="Per-label centroid (first 8 dims) — the building block of IVF "
+    "training (k-means assign step).  Element-wise aggregate over array "
+    "columns without exploding rows.",
+)
+def vector_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    aggs = [
+        (
+            F.sum(
+                F.round(F.col("embedding").getItem(i).cast("double") * 1e14, 0)
+                .cast("long")
+            ).cast("double")
+            / F.lit(1e14)
+            / F.count("*")
+        ).alias(f"c{i}")
+        for i in range(0, 8)
+    ]
+    return t.embeddings.groupBy("label").agg(F.count("*").alias("n"), *aggs)

@@ -1,1 +1,155 @@
-"""(stub — filled in this round)"""
+"""Window functions, including the reference's running-aggregate
+OVER() semantics.
+
+Reference: src/executor/window.rs:16-34; binder/expr.rs:452-481.
+Key semantic quirk: the reference evaluates *any aggregate* used as a
+window function as a **running aggregate in input order** — ``sum(a)
+OVER ()`` over rows 1,2,3 yields 1,3,6, not the SQL-standard 6,6,6
+(reference test: tests/sql/window_function.slt:22-27).  That order is
+only well-defined because the reference is single-threaded; the
+distributed-safe translation pins an explicit ORDER BY with
+``rowsBetween(unboundedPreceding, currentRow)``.
+
+Scale: window over PARTITION BY shuffles once on the partition key and
+sorts within partitions — at 100 TB the partition key must have enough
+cardinality (user_id, orderkey — yes; a constant — no).  The
+whole-table running sum (OVER () in the reference) is inherently
+sequential and is only offered pinned-by-key here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from risinglight_spark.operators import Tables
+from risinglight_spark.registry import register
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           count(*) OVER (ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS running_cnt
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+    doc="Aggregate-as-window with running semantics "
+    "(ref: window_function.slt:22-27 — 1,3,6 not 6,6,6), order pinned by "
+    "the unique key; exact-decimal accumulation so every prefix matches.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.filter(F.col("o_custkey") < 50).select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.count("*").over(w).alias("running_cnt"),
+    )
+
+
+@register(
+    "window_row_number",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+    """,
+    doc="row_number() (ref: planner/mod.rs:88 RowNumber; "
+    "executor/window.rs) with partitioning — shuffles once by nation.",
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return t.customer.select(
+        "c_nationkey", "c_custkey", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    doc="rank/dense_rank — beyond the reference surface (it only has "
+    "row_number + aggregates, binder/expr.rs:462-468); included because "
+    "Spark provides them natively (documented superset).",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return t.orders.filter(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_partition_agg",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_orderkey)
+                AS DOUBLE) AS order_qty,
+           max(l_quantity) OVER (PARTITION BY l_orderkey) AS max_qty
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+    doc="Whole-partition aggregate window (SQL-standard frame) — the "
+    "semantics Spark/DuckDB give OVER(PARTITION BY) without ORDER BY; "
+    "contrast with window_running_sum which reproduces the reference's "
+    "running frame.",
+)
+def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey")
+    return t.lineitem.filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("order_qty"),
+        F.max("l_quantity").over(w).alias("max_qty"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    WHERE user_id < 100
+    """,
+    doc="lag/lead over event streams (superset of the reference window "
+    "surface; core of sessionization pipelines).",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.filter(F.col("user_id") < 100).select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
