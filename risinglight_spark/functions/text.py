@@ -75,29 +75,26 @@ def word_markers_hits_sql(text: str, markers: tuple[str, ...]) -> str:
 
 
 def lang_id(text: Column) -> Column:
-    """Pick the language whose marker words hit most (ties break by
-    language code order; 'und' = undetermined when no marker hits)."""
-    pairs = [
-        F.struct(
-            word_markers_hits(text, LANG_MARKERS[code]).alias("hits"),
-            # invert code ordering inside the struct comparison so that
-            # greatest() prefers the *lexically smaller* code on ties
-            F.lit(code).alias("code"),
-        )
-        for code in sorted(LANG_MARKERS, reverse=True)
-    ]
-    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
-    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+    """Pick the language whose marker words hit most; ties break to the
+    lexically smallest code; 'und' = undetermined when no marker hits.
+    Rendered as scalar greatest() + ordered CASE so the oracle SQL is
+    formula-identical (DuckDB greatest() rejects struct args)."""
+    hits = {c: word_markers_hits(text, LANG_MARKERS[c]) for c in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    for code in sorted(LANG_MARKERS, reverse=True):
+        out = F.when((best > 0) & (hits[code] == best), F.lit(code)).otherwise(out)
+    return out
 
 
 def lang_id_sql(text: str) -> str:
-    # greatest() over structs compares fields in order, same as Spark.
-    structs = ", ".join(
-        "{'hits': %s, 'code': '%s'}" % (word_markers_hits_sql(text, LANG_MARKERS[c]), c)
-        for c in sorted(LANG_MARKERS, reverse=True)
+    hits = {c: word_markers_hits_sql(text, LANG_MARKERS[c]) for c in LANG_MARKERS}
+    best = f"greatest({', '.join(hits.values())})"
+    whens = " ".join(
+        f"WHEN {best} > 0 AND {hits[c]} = {best} THEN '{c}'"
+        for c in sorted(LANG_MARKERS)
     )
-    best = f"greatest({structs})"
-    return f"(CASE WHEN ({best}).hits > 0 THEN ({best}).code ELSE 'und' END)"
+    return f"(CASE {whens} ELSE 'und' END)"
 
 
 def punct_ratio(text: Column) -> Column:
@@ -162,3 +159,99 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_sql(text: str) -> str:
     return f"md5({normalized_text_sql(text)})"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer hashing for dedup (minhash / simhash / shingles).
+#
+# Engine-portable by construction: a polynomial rolling hash over
+# character code points with exact int64 arithmetic — both Spark and
+# DuckDB evaluate it bit-identically, so the oracle can replay every
+# signature.  (Spark's murmur `hash()` / DuckDB's `hash()` are
+# engine-specific and would break the oracle.)
+# ---------------------------------------------------------------------------
+
+HASH_P = 1_000_000_007  # modulus; keeps acc*MULT within int64
+CHAR_MULT = 31
+TOK_MULT = 1_315_423_911  # combines token hashes into shingle hashes
+
+
+def char_hash(t: Column) -> Column:
+    """Polynomial rolling hash of a string's code points, mod HASH_P."""
+    return F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * CHAR_MULT + F.ascii(c)) % HASH_P,
+    )
+
+
+def char_hash_sql(t: str) -> str:
+    chars = f"list_transform(generate_series(1, length({t})), i -> ascii(substr({t}, i, 1))::BIGINT)"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {chars}),"
+        f" (acc, c) -> (acc * {CHAR_MULT} + c) % {HASH_P})"
+    )
+
+
+def token_hashes(text: Column) -> Column:
+    """int64 hash per token of the normalized text."""
+    return F.transform(tokens(normalized_text(text)), char_hash)
+
+
+def token_hashes_sql(text: str) -> str:
+    toks = tokens_sql(normalized_text_sql(text))
+    return f"list_transform({toks}, t -> {char_hash_sql('t')})"
+
+
+def shingle_hashes(th: Column, n: int = 3) -> Column:
+    """Hashes of word n-grams, combined from consecutive token hashes.
+    Empty when the document has fewer than n tokens.
+
+    Built as slice+zip_with (not element_at inside a transform lambda):
+    higher-order lambdas are interpreted, and an element_at on the full
+    ``th`` expression tree re-evaluates that tree per element — slices
+    evaluate it a constant number of times per row instead."""
+    m = F.size(th) - (n - 1)
+    out = F.slice(th, 1, m)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(th, k + 1, m), lambda a, b: (a * TOK_MULT + b) % HASH_P
+        )
+    return F.when(F.size(th) >= n, out).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def shingle_hashes_sql(th: str, n: int = 3) -> str:
+    h = f"{th}[i]"
+    for k in range(1, n):
+        h = f"(({h}) * {TOK_MULT} + {th}[i+{k}]) % {HASH_P}"
+    return (
+        f"(CASE WHEN len({th}) >= {n} THEN"
+        f" list_transform(generate_series(1, len({th}) - {n - 1}), i -> {h})"
+        f" ELSE [] END)"
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """String word n-grams of the normalized text (for exact Jaccard)."""
+    toks = tokens(normalized_text(text))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles_sql(text: str, n: int = 3) -> str:
+    toks = tokens_sql(normalized_text_sql(text))
+    parts = " || ' ' || ".join(f"{toks}[i+{k}]" if k else f"{toks}[i]" for k in range(n))
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN"
+        f" list_transform(generate_series(1, len({toks}) - {n - 1}), i -> {parts})"
+        f" ELSE [] END)"
+    )

@@ -35,6 +35,24 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
+def fpsum(c: Column, scale: float = 1e8) -> Column:
+    """Order-independent double sum via fixed-point bigint arithmetic:
+    round(x*scale) summed exactly as long, divided back.  Unlike dsum's
+    decimal cast, the scaling product is a plain IEEE op, bit-identical
+    across engines even when the decimal-rounding path differs."""
+    return (
+        F.sum(F.round(c.cast("double") * scale, 0).cast("long")).cast("double")
+        / F.lit(scale)
+    )
+
+
+def fpsum_sql(expr: str, scale: float = 1e8) -> str:
+    return (
+        f"(CAST(sum(CAST(round(CAST({expr} AS DOUBLE) * {scale:.0f}.0, 0)"
+        f" AS BIGINT)) AS DOUBLE) / {scale:.0f}.0)"
+    )
+
+
 def davg(c: Column) -> Column:
     """avg via the reference's sum/count rewrite (binder/expr.rs:443-447),
     made order-independent the same way as :func:`dsum`."""

@@ -1,1 +1,456 @@
-"""(stub — filled in this round)"""
+"""Deduplication for LLM training-data pipelines over ``documents``
+(and ``embeddings`` for the vector-space variant).
+
+Five strategies, each a `queries()` entry with a formula-identical
+DuckDB oracle (all hashing is an engine-portable polynomial rolling
+hash — see functions/text.py — so every signature replays exactly):
+
+- exact          md5-fingerprint groupBy
+- minhash-lsh    shingle -> 16-perm minhash -> 4x4 banding -> bucket join
+- simhash        32-bit sign-of-weighted-bits signature, byte-banded
+- ngram-jaccard  exact word-3-gram Jaccard via inverted-index join
+- embedding      hyperplane-LSH bucketed cosine near-dup
+
+Scale design (the part that matters at 100 TB):
+- Nothing here is O(n^2).  Candidate generation is always
+  explode -> groupBy/join on a *bucket key* (band hash, simhash nibble,
+  LSH bucket, shared shingle), so cost is O(n * bands) map work plus a
+  shuffle keyed on buckets whose fan-in is bounded by collision rate.
+- Signature computation is stateless per-row JVM codegen (higher-order
+  array functions, no Python UDFs) — linear scan, no shuffle.
+- At cluster scale the bucketed tables would be written out partitioned
+  by band/bucket id so the pair-join is co-partitioned (no re-shuffle
+  on re-runs); skewed mega-buckets (boilerplate docs) are handled by
+  AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risinglight_spark.functions import text as T
+from risinglight_spark.functions.vector import dot, lit_vector, norm
+from risinglight_spark.operators import Tables
+from risinglight_spark.operators.vector_search import PLANES
+from risinglight_spark.registry import register
+
+# MinHash: 16 permutations (a*h+b) % P, banded 4 bands x 4 rows.
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+PERM_A = [2 * j + 1 for j in range(N_PERM)]
+PERM_B = [7919 * j + 13 for j in range(N_PERM)]
+
+# SimHash: 32-bit signatures, candidates via 8-bit byte bands
+# (hamming <= 3 over 4 bytes pigeonholes >= 1 equal byte).  16 bits is
+# too coarse: same-register docs collide at ~30% and the candidate set
+# explodes — the classic LSH failure mode at scale.
+SIM_BITS = 32
+HAMMING_MAX = 3
+
+# Embedding near-dup: 4 hyperplanes -> 16 buckets; cosine threshold.
+N_DEDUP_PLANES = 4
+COS_THRESHOLD = 0.4
+DIM = 64
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {T.fingerprint_sql("text")} AS fp,
+           min(doc_id) AS keeper,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY fp
+    """,
+    doc="Exact dedup: md5 over normalized text, keep min doc_id per "
+    "group.  One hash-partitioned groupBy — the cheapest dedup pass "
+    "and the first stage of any pipeline.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def _jaccard_oracle() -> str:
+    sh = T.word_shingles_sql("text")
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({sh})) AS s
+      FROM documents WHERE len({sh}) > 0
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           (n_shared::DOUBLE / (x.n + y.n - n_shared)) AS jaccard
+    FROM shared
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE n_shared::DOUBLE / (x.n + y.n - n_shared) >= 0.5
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_oracle(),
+    doc="Exact word-3-gram Jaccard near-dup pairs (>= 0.5) via an "
+    "inverted-index join: explode distinct shingles, join postings, "
+    "count shared / union.  O(n * postings), never all-pairs; the "
+    "shingle shuffle is the only wide stage.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    has_shingles = F.size(T.tokens(T.normalized_text(F.col("text")))) >= 3
+    docs = t.documents.filter(has_shingles).select(
+        "doc_id", T.word_shingles(F.col("text")).alias("shingles")
+    )
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    x = sz.alias("x")
+    y = sz.alias("y")
+    jac = F.col("n_shared").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("n_shared"))
+    return (
+        shared.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+def _minhash_oracle() -> str:
+    hs = T.shingle_hashes_sql(f"({T.token_hashes_sql('text')})")
+    sig = "[" + ", ".join(
+        f"list_min(list_transform(hs, h -> ({PERM_A[j]} * h + {PERM_B[j]}) % {T.HASH_P}))"
+        for j in range(N_PERM)
+    ) + "]"
+    band_rows = "\n      UNION ALL\n".join(
+        "SELECT doc_id, sig, {b} AS band_id, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '-' || ".join(
+                f"sig[{b * ROWS_PER_BAND + r + 1}]::VARCHAR"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.sig[{j+1}] = b.sig[{j+1}] THEN 1 ELSE 0 END)"
+        for j in range(N_PERM)
+    )
+    # MATERIALIZED: sig is referenced by every band arm and both join
+    # sides — without it DuckDB inlines (re-hashes the corpus 8x).
+    # Signatures ride along through the band join so no join-back.
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT doc_id, {hs} AS hs FROM documents
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, {sig} AS sig FROM hashed WHERE len(hs) > 0
+    ),
+    bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (({matches}) / {float(N_PERM)}) AS est_sim
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash-LSH near-dup: word-3-gram hashes -> 16-perm minhash "
+    "signature -> 4 bands of 4 -> candidate pairs where any band "
+    "matches, scored by signature agreement.  O(n * bands) explode + "
+    "one bucket-keyed shuffle; the reference has no equivalent (this "
+    "is the 100-TB dedup workhorse).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # Filter on the cheap token-count proxy BEFORE projecting hashes:
+    # filtering on size(hs) pushes the whole interpreted hash pipeline
+    # into the Filter node (evaluated twice per row).
+    has_shingles = F.size(T.tokens(T.normalized_text(F.col("text")))) >= 3
+    hashed = t.documents.filter(has_shingles).select(
+        "doc_id",
+        T.shingle_hashes(T.token_hashes(F.col("text"))).alias("hs"),
+    )
+    # Single-traversal signature: one fold over hs with a 16-slot array
+    # accumulator (16 separate array_min(transform(...)) calls would
+    # re-evaluate the whole interpreted hash expression 16x per row).
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(PERM_A[j]).cast("long").alias("a"),
+                F.lit(PERM_B[j]).cast("long").alias("b"),
+            )
+            for j in range(N_PERM)
+        ]
+    )
+    sig_arr = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(T.HASH_P).cast("long"), N_PERM),
+        lambda acc, h: F.zip_with(
+            acc, perms, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % T.HASH_P)
+        ),
+    )
+    # Signatures ride along through the band explode/join: no join-back
+    # to sig, so the corpus is hashed once per join side instead of 4x.
+    sig = hashed.select("doc_id", sig_arr.alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at(
+                                    F.col("sig"), b * ROWS_PER_BAND + r + 1
+                                ).cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band_id", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    matches = sum(
+        F.when(
+            F.element_at(F.col("a.sig"), j + 1)
+            == F.element_at(F.col("b.sig"), j + 1),
+            1,
+        ).otherwise(0)
+        for j in range(N_PERM)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (matches / F.lit(float(N_PERM))).alias("est_sim"),
+        )
+        .distinct()
+    )
+
+
+def _simhash_oracle() -> str:
+    # features = word-3-gram hashes, not raw tokens: the synthetic corpus
+    # has a ~31-word vocabulary, so token distributions are near-identical
+    # across docs and token-level simhash degenerates into one cluster.
+    th = T.shingle_hashes_sql(f"({T.token_hashes_sql('text')})")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {b}) & 1) * 2 - 1)) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(SIM_BITS)
+    )
+    nibbles = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, sh, {k} AS nk, (sh >> {8 * k}) & 255 AS nib FROM sig"
+        for k in range(4)
+    )
+    # MATERIALIZED sig + signature carried through the band join (see
+    # _minhash_oracle for why).
+    return f"""
+    WITH th AS MATERIALIZED (SELECT doc_id, {th} AS th FROM documents),
+    sig AS MATERIALIZED (
+      SELECT doc_id, ({bits})::BIGINT AS sh FROM th WHERE len(th) > 0
+    ),
+    nib AS (
+      {nibbles}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh))::INT AS hamming
+    FROM nib a JOIN nib b
+      ON a.nk = b.nk AND a.nib = b.nib AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc=f"SimHash near-dup: {SIM_BITS}-bit sign-of-weighted-bits "
+    "signature per doc; candidates via 8-bit byte bands (pigeonhole: "
+    f"hamming <= {HAMMING_MAX} implies an equal byte), verified by "
+    "bit_count(xor).  Same O(n * bands) shape as MinHash-LSH.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # cheap-filter-then-project: see dedup_minhash_lsh.
+    has_shingles = F.size(T.tokens(T.normalized_text(F.col("text")))) >= 3
+    th = t.documents.filter(has_shingles).select(
+        "doc_id",
+        T.shingle_hashes(T.token_hashes(F.col("text"))).alias("th"),
+    )
+    # Single-traversal: one fold with a 32-slot +/-1 counter array (32
+    # separate aggregates would re-evaluate the interpreted hash
+    # expression 32x per row).  Bit b of h extracted arithmetically
+    # (floor(h / 2^b) % 2) because shiftright needs a literal count;
+    # exact for h < 2^53.
+    powers = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(SIM_BITS)]
+    )
+    bitsums = F.aggregate(
+        F.col("th"),
+        F.array_repeat(F.lit(0).cast("long"), SIM_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a + (F.floor(h / p).cast("long") % 2) * 2 - 1,
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            bitsums,
+            powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # Signature rides through the nibble explode — no join-back to sig.
+    sig = th.select("doc_id", simhash.alias("sh"))
+    nib = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("nk"),
+                        F.shiftright(F.col("sh"), 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("nib"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "sh", "p.nk", "p.nib")
+    a, b = nib.alias("a"), nib.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.nk") == F.col("b.nk"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _emb_bucket_sql(col: str) -> str:
+    terms = []
+    for p in range(N_DEDUP_PLANES):
+        d = "0.0 + " + " + ".join(
+            f"CAST({col}[{i+1}] AS DOUBLE) * {v!r}"
+            for i, v in enumerate(float(x) for x in PLANES[p])
+        )
+        terms.append(f"(CASE WHEN ({d}) >= 0.0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _emb_norm_sql(col: str) -> str:
+    return "sqrt(0.0 + " + " + ".join(
+        f"CAST({col}[{i+1}] AS DOUBLE) * CAST({col}[{i+1}] AS DOUBLE)"
+        for i in range(DIM)
+    ) + ")"
+
+
+def _emb_pair_dot_sql(a: str, b: str) -> str:
+    return "(0.0 + " + " + ".join(
+        f"CAST({a}[{i+1}] AS DOUBLE) * CAST({b}[{i+1}] AS DOUBLE)"
+        for i in range(DIM)
+    ) + ")"
+
+
+def _emb_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_emb_bucket_sql('embedding')} AS bucket,
+             {_emb_norm_sql('embedding')} AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ({_emb_pair_dot_sql('a.embedding', 'b.embedding')}
+            / (a.nrm * b.nrm)) AS cos_sim
+    FROM e a JOIN e b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ({_emb_pair_dot_sql('a.embedding', 'b.embedding')}
+           / (a.nrm * b.nrm)) >= {COS_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_emb_oracle(),
+    doc=f"Embedding-cosine near-dup: {N_DEDUP_PLANES} random-hyperplane "
+    "signs bucket vectors into 16 LSH cells; cosine is computed only "
+    "within a bucket (never all-pairs at scale — buckets partition the "
+    "self-join).  Threshold tuned to the synthetic corpus "
+    f"(max pairwise cos ~0.51 -> {COS_THRESHOLD}).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+    bucket = sum(
+        F.when(dot(e, lit_vector(PLANES[p])) >= 0.0, 1 << p).otherwise(0)
+        for p in range(N_DEDUP_PLANES)
+    )
+    base = t.embeddings.select(
+        "vec_id", "embedding", bucket.alias("bucket"), norm(e).alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )

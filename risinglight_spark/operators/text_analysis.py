@@ -1,1 +1,123 @@
-"""(stub — filled in this round)"""
+"""Text-analysis queries for LLM training-data pipelines over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+Language ID (marker-word heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + BPE-ish
+regex), and document fingerprinting — each as a pure-Column projection
+(whole-stage codegen, no UDFs) with a formula-identical DuckDB oracle.
+
+Scale notes (100 TB): every per-document query here is a stateless
+map over the parquet scan — one codegen stage, zero shuffles, linear
+scale-out.  The corpus-stats rollup shuffles only the tiny
+(lang, source) aggregate, with map-side partial aggregation doing the
+heavy lifting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risinglight_spark.functions import text as T
+from risinglight_spark.operators import Tables, fpsum, fpsum_sql
+from risinglight_spark.registry import register
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           {T.token_count_sql("text")} AS ws_tokens,
+           {T.bpe_ish_token_count_sql("text")} AS bpe_tokens,
+           length(text)::BIGINT AS n_chars_actual
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish regex token counting — the unit of "
+    "measure for corpus token budgets.",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_declared,
+           {T.lang_id_sql("text")} AS lang_detected
+    FROM documents
+    """,
+    doc="n-gram/marker-word language ID vs the declared lang column.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        T.lang_id(F.col("text")).alias("lang_detected"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           {T.punct_ratio_sql("text")} AS punct_ratio,
+           {T.stopword_ratio_sql("text")} AS stopword_ratio,
+           {T.quality_score_sql("text")} AS quality
+    FROM documents
+    """,
+    doc="Composite quality heuristic (length / punctuation / stopword "
+    "density) used to filter low-quality training documents.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {T.fingerprint_sql("text")} AS fp
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 over normalized text (lowercase, "
+    "whitespace-collapsed) — the exact-dedup key.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@register(
+    "text_corpus_stats",
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS docs,
+           sum({T.token_count_sql("text")})::BIGINT AS total_ws_tokens,
+           {fpsum_sql(T.quality_score_sql("text"))} AS sum_quality
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Corpus rollup per (lang, source): doc counts, token totals, "
+    "quality mass — map-side partial agg, tiny shuffle.",
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.groupBy("lang", "source").agg(
+        F.count("*").alias("docs"),
+        F.sum(T.token_count(F.col("text"))).alias("total_ws_tokens"),
+        fpsum(T.quality_score(F.col("text"))).alias("sum_quality"),
+    )
