@@ -1,1 +1,245 @@
-"""(stub — filled in this round)"""
+"""DDL / DML / catalog surface: CREATE TABLE + INSERT + DELETE + DROP,
+CREATE VIEW, SQL UDFs (CREATE FUNCTION), COPY round-trips, pg_catalog
+system tables, EXPLAIN-as-data, SET/PRAGMA session vars.
+
+Reference parity:
+- CREATE TABLE with cast+reorder INSERT: src/executor/insert.rs (the
+  reference reorders and casts the VALUES rows into the declared
+  schema); DELETE: src/executor/delete.rs — Spark parquet tables are
+  immutable, so delete is expressed as the copy-on-write
+  INSERT OVERWRITE ... WHERE NOT(cond) (same observable semantics the
+  reference's tombstones give).
+- CREATE VIEW: src/catalog/table.rs:41-43 (views re-execute a stored
+  plan — temp views are exactly that).
+- CREATE FUNCTION: src/binder/expr.rs:379-434 expands the SQL UDF body
+  inline at bind time; Spark 4 SQL-body UDFs do the same, and the
+  oracle replays the *expanded* expression, which is the semantics
+  being claimed.
+- pg_catalog.pg_tables / pg_attribute: src/executor/system_table_scan.rs:27-34.
+- EXPLAIN / PRAGMA / SET: src/executor/explain.rs, src/db.rs.
+
+DDL state lives in per-call temp views / temp scratch dirs — nothing
+leaks between queries and nothing is written into the repo.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from risinglight_spark.operators import Tables, register_views
+from risinglight_spark.registry import register
+from risinglight_spark.tables import TABLES
+
+
+@register(
+    "ddl_create_insert_delete",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alpha', 1.5),
+      (3, 'gamma', NULL)
+    ) AS t(id, name, val)
+    """,
+    doc="CREATE TABLE (declared schema) -> INSERT with column "
+    "reordering + casts (insert.rs semantics) -> copy-on-write DELETE "
+    "-> final scan.  Runs against a scratch parquet location.",
+)
+def ddl_create_insert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loc = tempfile.mkdtemp(prefix="rl_ddl_")
+    spark.sql("DROP TABLE IF EXISTS rl_ddl_t")
+    spark.sql(
+        "CREATE TABLE rl_ddl_t (id INT, name STRING, val DOUBLE) "
+        f"USING parquet LOCATION '{os.path.join(loc, 't')}'"
+    )
+    # INSERT with reordered column list + int->double cast, like the
+    # reference's insert executor (cast+reorder to the declared schema).
+    spark.sql(
+        "INSERT INTO rl_ddl_t (val, id, name) VALUES "
+        "(CAST(3 AS DOUBLE) / 2, 1, 'alpha'), (2.5, 2, 'beta'), "
+        "(NULL, 3, 'gamma')"
+    )
+    # DELETE FROM rl_ddl_t WHERE id = 2 — parquet tables are immutable,
+    # so express it copy-on-write: stage the keep-set, then overwrite
+    # (Spark refuses to overwrite a table it is also reading).
+    staging = os.path.join(loc, "staging")
+    spark.sql("SELECT * FROM rl_ddl_t WHERE NOT (id = 2)").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    spark.read.parquet(staging).write.insertInto("rl_ddl_t", overwrite=True)
+    out = spark.sql("SELECT id, name, val FROM rl_ddl_t")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.sql("DROP TABLE IF EXISTS rl_ddl_t")
+    return result
+
+
+@register(
+    "ddl_create_view",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="CREATE VIEW stores a plan; scans re-execute it "
+    "(catalog/table.rs:41-43).  Temp view + re-select.",
+)
+def ddl_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW rl_cust_by_nation AS "
+        "SELECT n_name, count(*) AS n_cust "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    )
+    return spark.sql("SELECT * FROM rl_cust_by_nation")
+
+
+@register(
+    "ddl_sql_udf",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * (1.0 + 0.08) AS taxed,
+           (o_totalprice * (1.0 + 0.08)) * (1.0 + 0.08) AS taxed_twice
+    FROM orders WHERE o_orderkey < 100
+    """,
+    doc="SQL UDF (CREATE FUNCTION ... RETURN expr) — the reference "
+    "expands the body inline at bind time (binder/expr.rs:379-434); "
+    "the oracle replays the expanded expression, including nested "
+    "invocation.",
+)
+def ddl_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rl_tax(p DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 + 0.08)"
+    )
+    return spark.sql(
+        "SELECT o_orderkey, rl_tax(o_totalprice) AS taxed, "
+        "rl_tax(rl_tax(o_totalprice)) AS taxed_twice "
+        "FROM orders WHERE o_orderkey < 100"
+    )
+
+
+@register(
+    "copy_roundtrip_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="COPY TO csv (header, custom delimiter) then COPY FROM with a "
+    "declared schema (copy_from_file.rs csv options); the round trip "
+    "must be the identity.",
+)
+def copy_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    loc = os.path.join(tempfile.mkdtemp(prefix="rl_copy_"), "nation_csv")
+    t.nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).options(header=True, delimiter="|").csv(loc)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .options(header=True, delimiter="|")
+        .csv(loc)
+    )
+
+
+@register(
+    "catalog_pg_tables",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('postgres', '{t}')" for t in sorted(TABLES))
+    + ") AS t(schemaname, tablename)",
+    doc="pg_catalog.pg_tables emulation over the session catalog "
+    "(system_table_scan.rs:27-34; reference default schema is "
+    "'postgres').",
+)
+def catalog_pg_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    rows = [
+        Row(schemaname="postgres", tablename=v.name)
+        for v in spark.catalog.listTables()
+        if v.name in TABLES
+    ]
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: r.tablename),
+        "schemaname STRING, tablename STRING",
+    )
+
+
+@register(
+    "catalog_pg_attribute",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('nation', 'n_nationkey', 1), ('nation', 'n_name', 2),
+      ('nation', 'n_regionkey', 3),
+      ('region', 'r_regionkey', 1), ('region', 'r_name', 2)
+    ) AS t(tablename, attname, attnum)
+    """,
+    doc="pg_catalog.pg_attribute emulation: ordered column metadata "
+    "from the catalog (system_table_scan.rs).",
+)
+def catalog_pg_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    rows = []
+    for tbl in ("nation", "region"):
+        for i, col in enumerate(spark.catalog.listColumns(tbl)):
+            rows.append(Row(tablename=tbl, attname=col.name, attnum=i + 1))
+    return spark.createDataFrame(
+        rows, "tablename STRING, attname STRING, attnum INT"
+    )
+
+
+@register(
+    "explain_plan_props",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('filter_pushed_to_scan', true),
+      ('projection_pruned', true)
+    ) AS t(plan_property, holds)
+    """,
+    doc="EXPLAIN as data (explain.rs / PRAGMA-style introspection): "
+    "assert the physical plan pushes the filter into the parquet scan "
+    "and prunes the read schema to the projected columns.",
+)
+def explain_plan_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = t.orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey" in plan
+    pruned = (
+        "o_custkey" not in plan.split("ReadSchema")[-1]
+        if "ReadSchema" in plan
+        else False
+    )
+    return spark.createDataFrame(
+        [
+            Row(plan_property="filter_pushed_to_scan", holds=bool(pushed)),
+            Row(plan_property="projection_pruned", holds=bool(pruned)),
+        ],
+        "plan_property STRING, holds BOOLEAN",
+    )
+
+
+@register(
+    "pragma_session_vars",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('spark.sql.ansi.enabled', 'false'),
+      ('spark.sql.session.timeZone', 'UTC'),
+      ('rl.custom.flag', 'on')
+    ) AS t(var, value)
+    """,
+    doc="SET / PRAGMA session variables (db.rs PRAGMA, SET handling): "
+    "set a custom var, read back the semantic pins + the custom var.",
+)
+def pragma_session_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("rl.custom.flag", "on")
+    rows = [
+        Row(var=k, value=spark.conf.get(k))
+        for k in (
+            "spark.sql.ansi.enabled",
+            "spark.sql.session.timeZone",
+            "rl.custom.flag",
+        )
+    ]
+    return spark.createDataFrame(rows, "var STRING, value STRING")

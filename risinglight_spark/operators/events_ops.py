@@ -1,1 +1,282 @@
-"""(stub — filled in this round)"""
+"""Time-series / event-log operators over ``events``
+(event_id, ts, user_id, event_type, value, props-json).
+
+The reference is a batch OLAP engine with no time-series surface
+(SURVEY §1.1) — these queries cover what a log/metrics pipeline needs
+on top of it: windowed aggregation (tumbling + sliding), gap
+sessionization, as-of joins, JSON property extraction, and funnel
+analysis.
+
+Scale notes (100 TB):
+- Window bucketing is a pure projection (date_trunc) followed by a
+  partial-aggregated groupBy — the shuffle carries only
+  (bucket, type) aggregates, not events.
+- Sessionization and the as-of join are one sort per user partition
+  (window functions over user_id) — Spark externalizes the sort and
+  AQE coalesces partitions; no per-row subqueries, no driver loops.
+- The funnel join is banded by user and bounded by the time window,
+  so the join fan-out is per-user-bounded, not cross-corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from risinglight_spark.operators import Tables, fpsum, fpsum_sql
+from risinglight_spark.registry import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, {fpsum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY win_start, event_type
+    """,
+    doc="Tumbling 1-hour window aggregation per event type — the "
+    "Structured-Streaming-window shape run as a batch groupBy.",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("win_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), fpsum(F.col("value")).alias("sum_value"))
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest([
+               date_trunc('hour', ts)
+                 + (CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 0 MINUTE END),
+               date_trunc('hour', ts)
+                 + (CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 0 MINUTE END) - INTERVAL 30 MINUTE
+             ]) AS win_start,
+             value
+      FROM events
+    )
+    SELECT win_start, count(*) AS n, {fpsum_sql("value")} AS sum_value
+    FROM w GROUP BY win_start
+    """,
+    doc="Sliding window (1 h length, 30 min slide) via F.window — each "
+    "event lands in 2 buckets; the oracle replays the window-start "
+    "assignment rule explicitly.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), )
+        .agg(F.count("*").alias("n"), fpsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, (CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END) AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc=f"Gap sessionization ({SESSION_GAP_MIN}-minute inactivity): "
+    "lag + cumulative-sum session ids, then per-session rollup.  One "
+    "sort per user partition — no per-row subqueries.",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = SESSION_GAP_MIN * 60
+    marked = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > gap_sec
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH unioned AS (
+      SELECT user_id, ts, event_id, 0 AS kind, value FROM events
+      WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS kind, NULL AS value FROM events
+      WHERE event_type = 'click'
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, kind,
+             last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view_value,
+             last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view_ts
+      FROM unioned
+    )
+    SELECT user_id, event_id AS click_id, ts AS click_ts,
+           last_view_ts, last_view_value
+    FROM filled WHERE kind = 1
+    """,
+    doc="As-of join (clicks to most recent view at-or-before, per "
+    "user) — an operator Spark lacks natively, expressed as "
+    "union + last_value(ignorenulls) over one ordered pass.  Total "
+    "order (ts, kind, event_id) pins tie-breaks deterministically; "
+    "one window sort replaces a per-row range subquery.",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    views = t.events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"), "value"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = views.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(F.when(F.col("kind") == 0, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("last_view_value"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_view_ts"),
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "last_view_ts",
+        "last_view_value",
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_id, event_type,
+           json_extract(props, '$.k')::INT AS k
+    FROM events WHERE event_id < 500
+    """,
+    doc="JSON property extraction from the props column "
+    "(get_json_object — JVM-side, no Python).",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.filter(F.col("event_id") < 500).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "events_user_daily",
+    oracle=f"""
+    SELECT user_id, date_trunc('day', ts)::DATE AS day,
+           count(*) AS n,
+           count(DISTINCT event_type) AS n_types,
+           {fpsum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY user_id, day
+    """,
+    doc="Per-user daily rollup: counts, distinct types, value mass — "
+    "partial aggregation does the heavy lifting map-side.",
+)
+def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+        fpsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    SELECT count(DISTINCT v.user_id) AS converted_users
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="Funnel: users who clicked within 1 h of a view.  The join is "
+    "user-keyed and time-bounded, so fan-out stays per-user-bounded.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = t.events.filter(F.col("event_type") == "view").alias("v")
+    c = t.events.filter(F.col("event_type") == "click").alias("c")
+    return (
+        v.join(
+            c,
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") > F.col("v.ts"))
+            & (
+                F.col("c.ts")
+                <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .agg(F.countDistinct("v.user_id").alias("converted_users"))
+    )
