@@ -24,9 +24,14 @@ HEADLINE_PREFIXES = ("tpch_",)
 HEADLINE_EXTRA = (
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
-    "text_quality",
-    "events_sessionize",
+    "vector_l2_topk",
+    "text_quality_scores",
+    "text_corpus_stats",
+    "events_sessionization",
+    "events_tumbling_window",
+    "events_asof_join",
 )
 
 

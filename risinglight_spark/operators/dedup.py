@@ -16,8 +16,11 @@ Scale design (the part that matters at 100 TB):
   explode -> groupBy/join on a *bucket key* (band hash, simhash nibble,
   LSH bucket, shared shingle), so cost is O(n * bands) map work plus a
   shuffle keyed on buckets whose fan-in is bounded by collision rate.
-- Signature computation is stateless per-row JVM codegen (higher-order
-  array functions, no Python UDFs) — linear scan, no shuffle.
+- Shingle hashing is an Arrow-batched pandas UDF (the one place Python
+  wins: Catalyst evaluates higher-order lambdas interpreted, measured
+  ~10x slower — see functions/text.py:shingle_hashes_pandas); signature
+  reduction is codegen'd hash aggregates with map-side partials.
+  Stateless per-row either way — linear scan, no shuffle.
 - At cluster scale the bucketed tables would be written out partitioned
   by band/bucket id so the pair-join is co-partitioned (no re-shuffle
   on re-runs); skewed mega-buckets (boilerplate docs) are handled by
@@ -185,36 +188,32 @@ def _minhash_oracle() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # Filter on the cheap token-count proxy BEFORE projecting hashes:
-    # filtering on size(hs) pushes the whole interpreted hash pipeline
-    # into the Filter node (evaluated twice per row).
-    has_shingles = F.size(T.tokens(T.normalized_text(F.col("text")))) >= 3
-    hashed = t.documents.filter(has_shingles).select(
-        "doc_id",
-        T.shingle_hashes(T.token_hashes(F.col("text"))).alias("hs"),
-    )
-    # Single-traversal signature: one fold over hs with a 16-slot array
-    # accumulator (16 separate array_min(transform(...)) calls would
-    # re-evaluate the whole interpreted hash expression 16x per row).
-    perms = F.array(
+    # Arrow-batched hash pipeline (see shingle_hashes_pandas for why a
+    # UDF beats the interpreted lambda chain ~10x here), then drop
+    # shingle-less docs on the cheap size of the computed column.
+    hashed = t.documents.select(
+        "doc_id", T.shingle_hashes_pandas()(F.col("text")).alias("hs")
+    ).filter(F.size("hs") > 0)
+    # Explode shingle hashes to rows and build the 16 permutation
+    # minima as codegen'd hash aggregates: higher-order array folds are
+    # interpreted (no whole-stage codegen), but sum/min aggregates run
+    # in the fast path with map-side partial aggregation — the right
+    # shape at 100 TB too.
+    exploded = hashed.select("doc_id", F.explode("hs").alias("h"))
+    mins = exploded.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(PERM_A[j]).cast("long").alias("a"),
-                F.lit(PERM_B[j]).cast("long").alias("b"),
+            F.min((PERM_A[j] * F.col("h") + PERM_B[j]) % T.HASH_P).alias(
+                f"m{j}"
             )
             for j in range(N_PERM)
         ]
     )
-    sig_arr = F.aggregate(
-        F.col("hs"),
-        F.array_repeat(F.lit(T.HASH_P).cast("long"), N_PERM),
-        lambda acc, h: F.zip_with(
-            acc, perms, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % T.HASH_P)
-        ),
-    )
     # Signatures ride along through the band explode/join: no join-back
     # to sig, so the corpus is hashed once per join side instead of 4x.
-    sig = hashed.select("doc_id", sig_arr.alias("sig"))
+    sig = mins.select(
+        "doc_id",
+        F.array(*[F.col(f"m{j}") for j in range(N_PERM)]).alias("sig"),
+    )
     bands = sig.select(
         "doc_id",
         "sig",
@@ -305,40 +304,28 @@ def _simhash_oracle() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # cheap-filter-then-project: see dedup_minhash_lsh.
-    has_shingles = F.size(T.tokens(T.normalized_text(F.col("text")))) >= 3
-    th = t.documents.filter(has_shingles).select(
-        "doc_id",
-        T.shingle_hashes(T.token_hashes(F.col("text"))).alias("th"),
+    th = t.documents.select(
+        "doc_id", T.shingle_hashes_pandas()(F.col("text")).alias("th")
+    ).filter(F.size("th") > 0)
+    # Explode shingle hashes to rows and build the 32 bit-sums as
+    # codegen'd sum aggregates (interpreted array folds allocate a
+    # 32-slot array per element; hash aggregates with map-side partial
+    # aggregation are the fast path and scale out cleanly).
+    exploded = th.select("doc_id", F.explode("th").alias("h"))
+    bitsums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{b}")
+            for b in range(SIM_BITS)
+        ]
     )
-    # Single-traversal: one fold with a 32-slot +/-1 counter array (32
-    # separate aggregates would re-evaluate the interpreted hash
-    # expression 32x per row).  Bit b of h extracted arithmetically
-    # (floor(h / 2^b) % 2) because shiftright needs a literal count;
-    # exact for h < 2^53.
-    powers = F.array(
-        *[F.lit(1 << b).cast("long") for b in range(SIM_BITS)]
-    )
-    bitsums = F.aggregate(
-        F.col("th"),
-        F.array_repeat(F.lit(0).cast("long"), SIM_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            powers,
-            lambda a, p: a + (F.floor(h / p).cast("long") % 2) * 2 - 1,
-        ),
-    )
-    simhash = F.aggregate(
-        F.zip_with(
-            bitsums,
-            powers,
-            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    simhash = sum(
+        F.when(F.col(f"b{b}") > 0, 1 << b).otherwise(0)
+        for b in range(SIM_BITS)
+    ).cast("long")
     # Signature rides through the nibble explode — no join-back to sig.
-    sig = th.select("doc_id", simhash.alias("sh"))
+    sig = bitsums.select("doc_id", simhash.alias("sh"))
     nib = sig.select(
         "doc_id",
         "sh",
