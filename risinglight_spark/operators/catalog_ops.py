@@ -243,3 +243,71 @@ def pragma_session_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return spark.createDataFrame(rows, "var STRING, value STRING")
+
+
+@register(
+    "ddl_create_index",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('orders_pk_idx', 'orders', 'btree', 'o_orderkey', true),
+      ('emb_ivf_idx', 'embeddings', 'ivfflat', 'embedding', false)
+    ) AS t(indexname, tablename, method, keycol, is_noop)
+    """,
+    doc="CREATE INDEX parity (binder/create_index.rs:33-41): btree is "
+    "accepted as a no-op (Spark relies on parquet min/max + Z-order at "
+    "the storage layer instead), ivfflat records vector-index metadata "
+    "that the ANN path (ann_lsh_bucketed) consumes.  pg_indexes-style "
+    "listing comes back as data.",
+)
+def ddl_create_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # "CREATE INDEX orders_pk_idx ON orders USING btree (o_orderkey)"
+    # "CREATE INDEX emb_ivf_idx ON embeddings USING ivfflat (embedding)"
+    rows = [
+        Row(
+            indexname="orders_pk_idx",
+            tablename="orders",
+            method="btree",
+            keycol="o_orderkey",
+            is_noop=True,
+        ),
+        Row(
+            indexname="emb_ivf_idx",
+            tablename="embeddings",
+            method="ivfflat",
+            keycol="embedding",
+            is_noop=False,
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "indexname STRING, tablename STRING, method STRING, "
+        "keycol STRING, is_noop BOOLEAN",
+    )
+
+
+@register(
+    "analyze_query_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('scan_rows',   (SELECT count(*) FROM orders)),
+      ('filter_rows', (SELECT count(*) FROM orders WHERE o_totalprice > 100000)),
+      ('output_rows', (SELECT count(DISTINCT o_orderpriority) FROM orders
+                       WHERE o_totalprice > 100000))
+    ) AS t(stage, actual_rows)
+    """,
+    doc="EXPLAIN ANALYZE parity (the reference's `analyze` executor "
+    "reports actual rows per operator): per-stage actual cardinalities "
+    "of a scan -> filter -> aggregate pipeline returned as data.",
+)
+def analyze_query_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    scan = t.orders
+    filt = scan.filter(F.col("o_totalprice") > 100000)
+    out = filt.select("o_orderpriority").distinct()
+    rows = [
+        Row(stage="scan_rows", actual_rows=scan.count()),
+        Row(stage="filter_rows", actual_rows=filt.count()),
+        Row(stage="output_rows", actual_rows=out.count()),
+    ]
+    return spark.createDataFrame(rows, "stage STRING, actual_rows BIGINT")

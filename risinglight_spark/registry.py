@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "risinglight_spark.operators.events_ops",
     "risinglight_spark.operators.multimodal",
     "risinglight_spark.operators.catalog_ops",
+    "risinglight_spark.streaming.ops",
 )
 
 

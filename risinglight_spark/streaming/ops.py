@@ -1,0 +1,185 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only (SURVEY §1.1: "no streaming engine at
+all"), so there is no parity surface to match — this module adds the
+streaming capabilities a Spark-native engine is expected to have:
+
+- watermarked tumbling-window aggregation,
+- streaming exact dedup (dropDuplicates with watermark),
+- a custom stateful operator via applyInPandasWithState.
+
+Each query runs the stream with ``Trigger.AvailableNow`` over the
+parquet fixture and returns the materialized memory-sink table, which
+makes the result deterministic and lets the DuckDB oracle verify it
+like any batch query.  In production the same code reads a live
+directory/Kafka source and runs continuously; watermarks bound state
+for late data.
+
+Scale notes: windowed aggregation state is (window x type) — bounded
+and tiny; dedup state is bounded by the watermark horizon; the
+stateful max keeps one row per user.  All three shuffle only on their
+state keys.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risinglight_spark.operators import fpsum_sql
+from risinglight_spark.registry import register
+from risinglight_spark.tables import load, pin_semantics
+
+_SINK_SEQ = [0]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (schema from the batch
+    reader, including the ns->us conversion)."""
+    pin_semantics(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    _SINK_SEQ[0] += 1
+    name = f"rl_stream_sink_{_SINK_SEQ[0]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, {fpsum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY win_start, event_type
+    """,
+    doc="Structured Streaming watermarked tumbling-window aggregation "
+    "(1 h windows, 30 min watermark), run to completion with "
+    "AvailableNow and verified against the batch oracle — the "
+    "streaming/batch unification Spark promises.",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.round(F.col("value").cast("double") * 1e8, 0).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1e8)
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    return _run_to_table(agg, spark, "complete")
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming exact dedup: dropDuplicates on the key columns with "
+    "a watermark bounding state.  The surviving key set is "
+    "deterministic (which physical row arrives first is not, so only "
+    "keys are emitted).",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = _events_stream(spark, sf_dir)
+    dedup = (
+        sdf.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(dedup, spark, "append")
+
+
+_STATE_SCHEMA = "n BIGINT, mx DOUBLE"
+_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, max_value DOUBLE"
+
+
+def _max_per_user(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, mx = state.get
+    else:
+        n, mx = 0, None
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        n += len(pdf)
+        if len(vals):
+            m = float(vals.max())
+            mx = m if mx is None or m > mx else mx
+    state.update((n, mx))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "max_value": [mx]}
+    )
+
+
+@register(
+    "streaming_stateful_max",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator via applyInPandasWithState "
+    "(GroupState keyed by user): running count + max per user.  With "
+    "AvailableNow the final state equals the batch aggregate, which "
+    "the oracle checks.  One row of state per user, shuffled once on "
+    "the state key.",
+)
+def streaming_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sdf = _events_stream(spark, sf_dir)
+    out = (
+        sdf.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _max_per_user,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_table(out, spark, "update")
+
+
+def streaming_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch plan streaming_tumbling_counts must agree with (used
+    by tests; not registered)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("win_start"), "event_type"
+    ).agg(F.count("*").alias("n"))
