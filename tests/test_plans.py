@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the properties that make these queries
+survive a 100x scale-up.  Correctness is covered by the oracle gate;
+this file guards the *shape* of the plans:
+
+- dimension joins broadcast (no shuffle of the fact side on small dims),
+- filters reach the parquet scan (PushedFilters),
+- projection pruning reaches the scan (ReadSchema),
+- no cartesian products anywhere in the headline suite,
+- top-k compiles to TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from risinglight_spark.registry import collect
+
+ENTRIES = collect()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = ENTRIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    # q5-style region->nation->customer star: the 5/25-row dims must be
+    # on the build side of a broadcast join, never shuffled.
+    plan = _plan(spark, sf_dir, "tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_pushdown")
+    assert "PushedFilters: [" in plan
+    # at least one non-empty pushed filter set
+    assert any(
+        seg.strip() and not seg.strip().startswith("]")
+        for seg in plan.split("PushedFilters: [")[1:]
+    )
+
+
+def test_projection_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_projected")
+    assert "ReadSchema" in plan
+    # the scan reads only the projected columns, not the full table
+    read = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "o_comment" not in read and "o_clerk" not in read
+
+
+def test_topn_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(ENTRIES) if n.startswith("tpch_")],
+)
+def test_no_cartesian_products_in_tpch(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_candidate_joins_are_keyed(spark, sf_dir):
+    # LSH candidate generation must join on bucket keys (hash or
+    # broadcast join with equi-keys) — an unkeyed join would be the
+    # O(n^2) failure mode.
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
