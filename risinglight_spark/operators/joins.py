@@ -190,3 +190,51 @@ def merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_lines"))
     )
+
+
+@register(
+    "join_nl_semi",
+    oracle="""
+    -- semi rendered as DISTINCT join: DuckDB 1.0 mis-evaluates
+    -- correlated EXISTS with two correlated inequality conjuncts.
+    SELECT DISTINCT n.n_nationkey, n.n_name
+    FROM nation n JOIN region r
+      ON r.r_regionkey > n.n_nationkey / 2.0
+         AND r.r_name <> n.n_name
+    """,
+    doc="Nested-loop SEMI join with a pure non-equi condition "
+    "(reference: nested_loop_join.rs supports arbitrary predicates for "
+    "semi/anti).  No equi key -> Spark picks BroadcastNestedLoopJoin "
+    "LeftSemi; correct only because one side is a broadcastable dim.",
+)
+def join_nl_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cond = (F.col("r_regionkey") > F.col("n_nationkey") / 2.0) & (
+        F.col("r_name") != F.col("n_name")
+    )
+    return t.nation.join(t.region, cond, "left_semi").select(
+        "n_nationkey", "n_name"
+    )
+
+
+@register(
+    "join_nl_anti",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey NOT IN (
+      SELECT n.n_nationkey
+      FROM nation n JOIN region r
+        ON r.r_regionkey > n.n_nationkey / 2.0
+           AND r.r_name <> n.n_name)
+    """,
+    doc="Nested-loop ANTI join, the complement of join_nl_semi "
+    "(nested_loop_join.rs:14-162; tests/sql/join_semi_anti.slt).",
+)
+def join_nl_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cond = (F.col("r_regionkey") > F.col("n_nationkey") / 2.0) & (
+        F.col("r_name") != F.col("n_name")
+    )
+    return t.nation.join(t.region, cond, "left_anti").select(
+        "n_nationkey", "n_name"
+    )

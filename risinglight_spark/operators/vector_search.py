@@ -251,3 +251,77 @@ def vector_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(0, 8)
     ]
     return t.embeddings.groupBy("label").agg(F.count("*").alias("n"), *aggs)
+
+
+def _centroid_cols_sql() -> str:
+    return ", ".join(
+        f"(CAST(sum(CAST(round(CAST(embedding[{i+1}] AS DOUBLE) * 1e14, 0)"
+        f" AS BIGINT)) AS DOUBLE) / 1e14 / count(*)) AS c{i}"
+        for i in range(DIM)
+    )
+
+
+def _centroid_dist_sql(q: list[float]) -> str:
+    terms = [
+        f"(c{i} - {v})*(c{i} - {v})" for i, v in enumerate(_sql_vec(q))
+    ]
+    return "sqrt(0.0 + " + " + ".join(terms) + ")"
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT label, {_centroid_cols_sql()}
+      FROM embeddings GROUP BY label
+    ),
+    best AS (
+      SELECT label FROM centroids
+      ORDER BY {_centroid_dist_sql(QUERY_VEC)}, label LIMIT 1
+    )
+    SELECT vec_id, label, {_l2_sql('embedding', QUERY_VEC)} AS l2_dist
+    FROM embeddings
+    WHERE label = (SELECT label FROM best)
+    ORDER BY l2_dist, vec_id
+    LIMIT 10
+    """,
+    doc="IVF index probe (reference ivfflat index_scan, "
+    "planner/rules/plan.rs:405-475, nprobe=1): per-label centroids "
+    "(exact fixed-point means, so the 'index build' is deterministic), "
+    "assign the query to its nearest cell, then brute-force only that "
+    "cell.  At scale the table is partitioned by cell id, so the probe "
+    "is partition pruning + a small scan instead of a full pass.",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = lit_vector(QUERY_VEC)
+    # "index build": exact fixed-point per-label centroids
+    cents = t.embeddings.groupBy("label").agg(
+        *[
+            (
+                F.sum(
+                    F.round(
+                        F.col("embedding").getItem(i).cast("double") * 1e14, 0
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e14)
+                / F.count("*")
+            ).alias(f"c{i}")
+            for i in range(DIM)
+        ]
+    )
+    carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
+    best = (
+        cents.select("label", l2_distance(carr, q).alias("cdist"))
+        .orderBy("cdist", "label")
+        .limit(1)
+        .select("label")
+    )
+    probed = t.embeddings.join(F.broadcast(best), "label")
+    return (
+        probed.select(
+            "vec_id", "label", l2_distance(F.col("embedding"), q).alias("l2_dist")
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )

@@ -153,3 +153,70 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@register(
+    "window_rows_sliding_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS moving_sum,
+           count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_n
+    FROM events WHERE user_id < 40
+    """,
+    doc="Explicit ROWS sliding frame (3-row moving sum/count) — frame "
+    "semantics beyond the reference's implicit running frame "
+    "(window_function.slt); decimal-cast sum keeps doubles "
+    "order-independent.",
+)
+def window_rows_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return t.events.filter(F.col("user_id") < 40).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_sum"),
+        F.count("value").over(w).alias("moving_n"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+             AS near_price_orders
+    FROM orders WHERE o_custkey < 200
+    """,
+    doc="RANGE frame (value-based window: orders within +-1000 of the "
+    "current price per customer) — the value-range frame class the "
+    "reference lacks entirely.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python rangeBetween only takes ints/unbounded; the double-valued
+    # RANGE frame goes through the SQL window syntax.
+    from risinglight_spark.operators import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING
+                                        AND 1000.0 FOLLOWING)
+                 AS near_price_orders
+        FROM orders WHERE o_custkey < 200
+        """
+    )
