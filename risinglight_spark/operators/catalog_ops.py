@@ -311,3 +311,41 @@ def analyze_query_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         Row(stage="output_rows", actual_rows=out.count()),
     ]
     return spark.createDataFrame(rows, "stage STRING, actual_rows BIGINT")
+
+
+@register(
+    "copy_roundtrip_json",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+    doc="COPY round trip through JSON lines (a second source format "
+    "beyond CSV; schema declared on read).",
+)
+def copy_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    loc = os.path.join(tempfile.mkdtemp(prefix="rl_copyj_"), "region_json")
+    t.region.select("r_regionkey", "r_name").write.mode("overwrite").json(loc)
+    return (
+        spark.read.schema("r_regionkey INT, r_name STRING").json(loc)
+    )
+
+
+@register(
+    "copy_partitioned_parquet",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="Hive-partitioned parquet write (partitionBy) + partition-"
+    "pruned read-back: the storage layout that turns per-key probes "
+    "into directory pruning at 100 TB.  The rollup read back from the "
+    "partitioned copy must equal the source aggregate.",
+)
+def copy_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    loc = os.path.join(tempfile.mkdtemp(prefix="rl_part_"), "nation_parted")
+    t.nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(loc)
+    back = spark.read.parquet(loc)
+    return back.groupBy("n_regionkey").agg(F.count("*").alias("n")).select(
+        F.col("n_regionkey").cast("int").alias("n_regionkey"), "n"
+    )

@@ -280,3 +280,60 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("v.user_id").alias("converted_users"))
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY event_type
+    ),
+    hours AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY event_type, hour
+    )
+    SELECT h.event_type, h.hour, coalesce(c.n, 0) AS n
+    FROM hours h LEFT JOIN counts c
+      ON h.event_type = c.event_type AND h.hour = c.hour
+    """,
+    doc="Dense hourly series with zero-filled gaps per event type "
+    "(sequence + explode + left join) — the gap-fill shape behind "
+    "monitoring rollups; the generated spine is bounded by "
+    "(types x hours), not event volume.",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bounds = t.events.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    counts = t.events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    return (
+        hours.alias("h")
+        .join(
+            counts.alias("c"),
+            (F.col("h.event_type") == F.col("c.event_type"))
+            & (F.col("h.hour") == F.col("c.hour")),
+            "left",
+        )
+        .select(
+            F.col("h.event_type").alias("event_type"),
+            F.col("h.hour").alias("hour"),
+            F.coalesce(F.col("c.n"), F.lit(0)).alias("n"),
+        )
+    )

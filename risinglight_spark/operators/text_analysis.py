@@ -121,3 +121,64 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(T.token_count(F.col("text"))).alias("total_ws_tokens"),
         fpsum(T.quality_score(F.col("text"))).alias("sum_quality"),
     )
+
+
+@register(
+    "text_doc_frequency",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform({T.tokens_sql(T.normalized_text_sql("text"))},
+                       t -> t))) AS tok
+      FROM documents
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks)
+    SELECT tok, count(*) AS df,
+           round(ln((SELECT n FROM n_docs)::DOUBLE / count(*)), 12) AS idf
+    FROM toks GROUP BY tok
+    """,
+    doc="Document frequency + IDF per token — the corpus statistics "
+    "behind TF-IDF retrieval and stopword discovery.  One explode + "
+    "one tiny groupBy(token) shuffle.",
+)
+def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.tokens(T.normalized_text(F.col("text"))))
+        ).alias("tok"),
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        # rounded: JVM Math.log and libm ln differ in the last ulp
+        F.round(F.log(F.lit(float(n_docs)) / F.count("*")), 12).alias("idf"),
+    )
+
+
+@register(
+    "text_top_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({T.tokens_sql(T.normalized_text_sql("text"))}) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS n FROM toks
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    doc="Corpus-wide top-k frequent tokens (explode -> count -> topn); "
+    "partial aggregation means the shuffle carries one row per "
+    "distinct token per partition.",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )

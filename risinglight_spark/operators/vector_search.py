@@ -325,3 +325,100 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "vector_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           {_norm_sql('embedding')} AS nrm,
+           CAST(embedding[1] AS DOUBLE) / {_norm_sql('embedding')} AS u0,
+           CAST(embedding[2] AS DOUBLE) / {_norm_sql('embedding')} AS u1,
+           CAST(embedding[3] AS DOUBLE) / {_norm_sql('embedding')} AS u2,
+           CAST(embedding[4] AS DOUBLE) / {_norm_sql('embedding')} AS u3
+    FROM embeddings WHERE vec_id < 200
+    """,
+    doc="Unit-norm projection (first 4 components + the norm) — the "
+    "preprocessing step before cosine ANN; stateless map, no shuffle.",
+)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.functions.vector import norm
+
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+    nrm = norm(e)
+    return t.embeddings.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        nrm.alias("nrm"),
+        *[
+            (e.getItem(i).cast("double") / nrm).alias(f"u{i}")
+            for i in range(4)
+        ],
+    )
+
+
+@register(
+    "vector_kmeans_step",
+    oracle=f"""
+    WITH centroids AS MATERIALIZED (
+      SELECT label AS clabel, {_centroid_cols_sql()}
+      FROM embeddings GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             sqrt(0.0 + {" + ".join(
+                 f"(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+                 f"*(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+                 for i in range(DIM))}) AS d
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    assign AS (
+      SELECT vec_id, label,
+             (array_agg(clabel ORDER BY d, clabel))[1] AS new_label
+      FROM dists GROUP BY vec_id, label
+    )
+    SELECT label AS old_label, new_label, count(*) AS n
+    FROM assign GROUP BY old_label, new_label
+    """,
+    doc="One k-means assignment step (the iterative core of IVF index "
+    "building): per-label centroids as the model, every vector "
+    "re-assigned to its nearest centroid, confusion counts out.  "
+    "Centroids broadcast (10 rows x 64 dims); the cross join is "
+    "n x k with k tiny — map-side, no replication of the corpus.",
+)
+def vector_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    cents = t.embeddings.groupBy(F.col("label").alias("clabel")).agg(
+        *[
+            (
+                F.sum(
+                    F.round(
+                        F.col("embedding").getItem(i).cast("double") * 1e14, 0
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e14)
+                / F.count("*")
+            ).alias(f"c{i}")
+            for i in range(DIM)
+        ]
+    )
+    carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
+    cents = cents.select("clabel", carr.alias("cvec"))
+    e = t.embeddings.select("vec_id", "label", "embedding")
+    dists = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id", "label").orderBy("d", "clabel")
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("new_label"))
+    )
+    return assign.groupBy(
+        F.col("label").alias("old_label"), "new_label"
+    ).agg(F.count("*").alias("n"))
