@@ -201,3 +201,127 @@ def agg_min_max_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_k"),
         F.max("o_orderkey").alias("max_k"),
     )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUP BY ROLLUP (subtotals + grand total) — a grouping-sets "
+    "class the reference lacks; one pass, grouping-id expansion "
+    "map-side.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUP BY CUBE — all grouping-set combinations in one pass.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click_n,
+           count(*) FILTER (event_type = 'view') AS view_n,
+           count(*) FILTER (event_type = 'error') AS error_n
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    doc="PIVOT (wide per-key counts by category) — rendered as "
+    "conditional aggregation, which is also exactly how Spark executes "
+    "a pivot with explicit values (no extra pass).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("click_n"),
+            F.coalesce("view", F.lit(0)).alias("view_n"),
+            F.coalesce("error", F.lit(0)).alias("error_n"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 10) AS p50,
+           round(quantile_cont(value, 0.95), 10) AS p95
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Exact linear-interpolated percentiles per group (Spark "
+    "percentile == DuckDB quantile_cont; rounded to 10 decimals for "
+    "last-ulp interpolation differences).",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile(F.col("value"), F.lit(0.5)), 10).alias("p50"),
+            F.round(F.percentile(F.col("value"), F.lit(0.95)), 10).alias(
+                "p95"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           (CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100000000.0, 0)
+                AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation for skewed keys: phase 1 groups "
+    "on (key, salt16) spreading each hot key over 16 reducers, phase 2 "
+    "merges the partials.  Fixed-point sums make the result identical "
+    "to the direct groupBy (the oracle) regardless of salt routing — "
+    "the skew-mitigation pattern when one key dominates at 100 TB.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    salted = t.events.withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(
+            F.round(F.col("value").cast("double") * 1e8, 0).cast("long")
+        ).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("psum").cast("double") / F.lit(1e8)).alias("sum_value"),
+    )

@@ -238,3 +238,50 @@ def join_nl_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.nation.join(t.region, cond, "left_anti").select(
         "n_nationkey", "n_name"
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_spent
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="Co-located join via bucketed tables: both sides written "
+    "bucketBy(8, join key) + sortBy, so the join needs NO exchange — "
+    "each bucket pair joins in place (plan-asserted in "
+    "tests/test_plans.py).  At 100 TB this is how a fact-fact join "
+    "avoids re-shuffling terabytes on every run: pay the bucketed "
+    "write once, join shuffle-free forever after.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    t = Tables(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="rl_bucketed_")
+    for name, df, key in (
+        ("rl_b_customer", t.customer.select("c_custkey", "c_name"), "c_custkey"),
+        ("rl_b_orders", t.orders.select("o_custkey", "o_totalprice"), "o_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{loc}/{name}")
+            .saveAsTable(name)
+        )
+    c = spark.table("rl_b_customer")
+    o = spark.table("rl_b_orders")
+    return (
+        c.hint("merge")
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )

@@ -63,6 +63,17 @@ def test_no_cartesian_products_in_tpch(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # both sides bucketed on the join key -> the join must be
+    # exchange-free (the whole point of paying for the bucketed write).
+    import re
+
+    plan = _plan(spark, sf_dir, "join_bucketed_colocated")
+    join_part = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "SortMergeJoin" in plan
+    assert not re.search(r"\bExchange hashpartitioning\b.*c_custkey", join_part)
+
+
 def test_dedup_candidate_joins_are_keyed(spark, sf_dir):
     # LSH candidate generation must join on bucket keys (hash or
     # broadcast join with equi-keys) — an unkeyed join would be the
