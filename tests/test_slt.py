@@ -1,0 +1,108 @@
+"""Run the reference's own sqllogictest corpus (the overlapping,
+dialect-compatible subset) against Spark SQL via tools/slt_runner.
+
+This mirrors the reference's test strategy directly (SURVEY §5;
+reference tests/sqllogictest.rs runs every .slt against both engines):
+the reference's checked-in expectations become our expectations.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+SLT_DIR = "/root/reference/tests/sql"
+
+# Files whose syntax/semantics are Spark-compatible after the runner's
+# minimal DDL rewrites.  Excluded and why:
+#   delete.slt            DELETE on parquet tables (v1) unsupported
+#   blob.slt              b'...' literal syntax differs
+#   pragma.slt/internal   engine-specific introspection
+#   catalog.slt           \d-style metacommands
+#   statistics.slt        reference-internal stats
+#   sql_udf.slt           CREATE FUNCTION dialect differs (covered by
+#                         ddl_sql_udf in the oracle suite)
+#   substring.slt         reference diverges from Spark for negative
+#                         start (covered by the substring_rl shim tests)
+# Statements that Spark's stricter analyzer rejects but the reference
+# accepts — skipped with the reason inline.
+DIALECT_SKIPS: dict[str, tuple[str, ...]] = {
+    # Spark: ORDER BY over SELECT DISTINCT <agg> cannot re-resolve the
+    # aggregate expression (reference/DuckDB allow it)
+    "distinct.slt": ("DISTINCT sum(x) FROM test ORDER BY",),
+    # Spark rejects nested aggregates outright; the TimestampTest block
+    # inserts string literals into timestamp columns (Spark INSERT is
+    # strictly typed) and expects a reference-specific "+0000" format
+    # ...plus: reference sum() over an empty set returns 0 where
+    # SQL/Spark/DuckDB return NULL, and reference `/` on ints is
+    # Rust-style integer division (deliberate divergences)
+    "select.slt": (
+        "count(sum(v3",
+        "create table t(v1 timestamp",
+        "sum(v1) from t where v1 > 4",
+        "select 12345 / 321",
+    ),
+    # Spark rejects duplicate CTE names (reference allows shadowing)
+    "cte.slt": ("cte as (select * from cte)",),
+    # BC-era timestamp literals don't exist in Spark's parser
+    "basic_test.slt": (" BC'",),
+    # Deliberate divergence: reference does Rust-style integer division
+    # (1/2 = 0); this engine follows SQL/DuckDB double division (0.5)
+    "nullable_operator.slt": ("select x / y from t",),
+}
+
+SLT_FILES = [
+    "basic_test.slt",
+    "operator.slt",
+    "nullable_operator.slt",
+    "nullable_and_or_eval.slt",
+    "filter.slt",
+    "filter_null.slt",
+    "limit.slt",
+    "order_by.slt",
+    "group_by.slt",
+    "having.slt",
+    "aggregation.slt",
+    "count.slt",
+    "distinct.slt",
+    "sort_agg.slt",
+    "stringconcat.slt",
+    "repeat.slt",
+    "replace.slt",
+    "select.slt",
+    "subquery.slt",
+    "join_left_inner.slt",
+    "join_semi_anti.slt",
+    "merge_join.slt",
+    "cte.slt",
+    "bigint.slt",
+    "insert_select_from.slt",
+]
+
+
+@pytest.fixture(scope="module")
+def slt(spark):
+    from slt_runner import SltRunner
+
+    r = SltRunner(spark)
+    yield r
+    r.cleanup()
+
+
+@pytest.mark.parametrize("fname", SLT_FILES)
+def test_reference_slt(slt, fname):
+    path = os.path.join(SLT_DIR, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"{fname} not in reference corpus")
+    checked, skipped, failures = slt.run_file(
+        path, DIALECT_SKIPS.get(fname, ())
+    )
+    assert not failures, (
+        f"{fname}: {len(failures)} mismatches of {checked} checks\n"
+        + "\n".join(failures[:5])
+    )
+    assert checked > 0
