@@ -26,15 +26,23 @@ def substring_rl(s: Column, start: Column | int, length: Column | int) -> Column
     """
     start = F.lit(start) if isinstance(start, int) else start
     length = F.lit(length) if isinstance(length, int) else length
-    chars = F.length(s)
+    # LONG arithmetic: the reference saturating_adds i32 (ops.rs:324);
+    # INT here would wrap on huge offsets and invert the window.
+    start = start.cast("long")
+    length = length.cast("long")
+    chars = F.length(s).cast("long")
     st = F.when(start >= 0, start - 1).otherwise(chars + start)
     en = st + length
     lo = F.least(st, en)
     hi = F.greatest(st, en)
-    skip = F.greatest(lo, F.lit(0))
-    take = F.greatest(hi - skip, F.lit(0))
-    # Spark substring is 1-based on the already-computed window.
-    return F.substring(s, skip + 1, take)
+    skip = F.greatest(lo, F.lit(0).cast("long"))
+    take = F.greatest(hi - skip, F.lit(0).cast("long"))
+    # Spark substring is 1-based on the already-computed window; clamp
+    # back into INT range (the window is at most `chars` long anyway).
+    imax = F.lit(2147483647).cast("long")
+    return F.substring(
+        s, F.least(skip + 1, imax).cast("int"), F.least(take, imax).cast("int")
+    )
 
 
 def substring_rl_sql(s: str, start: str, length: str) -> str:
