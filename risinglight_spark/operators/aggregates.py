@@ -325,3 +325,19 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         (F.sum("psum").cast("double") / F.lit(1e8)).alias("sum_value"),
     )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; bounds asserted below
+    doc="approx_count_distinct (HyperLogLog++) per event type — the "
+    "constant-memory cardinality sketch that replaces exact "
+    "count(distinct) at 100 TB.  Sketch values differ across engines, "
+    "so this is rows-only for the driver; tests/test_plans.py asserts "
+    "the estimate lands within 5% of the exact count.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )

@@ -82,3 +82,24 @@ def test_dedup_candidate_joins_are_keyed(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in ENTRIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    from risinglight_spark.tables import load
+
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
