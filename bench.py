@@ -45,8 +45,21 @@ def main() -> None:
     names = [n for n in sorted(entries) if n.startswith(HEADLINE_PREFIXES)]
     names += [n for n in HEADLINE_EXTRA if n in entries]
 
-    # JVM/codegen warm-up on a small query so q1 doesn't pay session
-    # startup cost.
+    # Warm-up: run the whole suite once at sf0.001 first.  The tiny SF
+    # has identical schemas, so every generated whole-stage-codegen
+    # class, Python UDF worker, and shuffle path is compiled/spawned
+    # before timing starts — the measured numbers are steady-state
+    # query latency, matching the reference's own criterion
+    # methodology (benches/tpch.rs: warm-up + sample_size=10), not
+    # one-off JIT compile cost that is irrelevant at scale.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        try:
+            entries[name].fn(spark, warm_dir).collect()
+        except Exception as exc:  # never let warm-up kill the bench
+            print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
     entries["tpch_q6"].fn(spark, sf_dir).collect()
 
     per_query: dict[str, float] = {}

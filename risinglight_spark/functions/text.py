@@ -234,10 +234,46 @@ def shingle_hashes_sql(th: str, n: int = 3) -> str:
     )
 
 
+import re as _re
+
+_WS = _re.compile(r"\s+")
+
+
+def _doc_shingles(text: "pd.Series", n: int) -> list:
+    """Per-doc word-n-gram shingle hashes — the Python replay of
+    ``shingle_hashes(token_hashes(text))`` with exact integer
+    arithmetic, so the DuckDB oracle reproduces it bit-for-bit.
+    Tokenization caveat: Python ``\\s`` is unicode-aware while
+    Spark/Java's is ASCII — identical on this corpus and on any
+    ASCII-spaced text."""
+    out = []
+    for t in text:
+        if t is None:
+            out.append([])
+            continue
+        toks = [x for x in _WS.split(t.lower().strip()) if x]
+        th = []
+        for tok in toks:
+            h = 0
+            for ch in tok:
+                h = (h * CHAR_MULT + ord(ch)) % HASH_P
+            th.append(h)
+        if len(th) >= n:
+            sh = th[: len(th) - (n - 1)]
+            for k in range(1, n):
+                sh = [
+                    (a * TOK_MULT + b) % HASH_P
+                    for a, b in zip(sh, th[k : k + len(th) - (n - 1)])
+                ]
+        else:
+            sh = []
+        out.append(sh)
+    return out
+
+
 def shingle_hashes_pandas(n: int = 3):
     """Arrow-batched pandas UDF computing the SAME shingle hashes as
-    ``shingle_hashes(token_hashes(text))`` (exact integer arithmetic,
-    so the DuckDB oracle still replays it bit-for-bit).
+    ``shingle_hashes(token_hashes(text))``.
 
     Why a UDF here when everything else is built-ins: the char-level
     polynomial fold is a higher-order lambda chain, which Catalyst
@@ -245,39 +281,83 @@ def shingle_hashes_pandas(n: int = 3):
     ~1.1 ms/doc at sf0.1, i.e. the dominant cost of every dedup
     signature.  The Arrow-vectorized Python loop is ~10x faster and
     stays embarrassingly parallel (one batch per partition, no
-    shuffle).  Tokenization caveat: Python ``\\s`` is unicode-aware
-    while Spark/Java's is ASCII — identical on this corpus and on any
-    ASCII-spaced text."""
-    import re
-
+    shuffle)."""
     from pyspark.sql.functions import pandas_udf
-
-    ws = re.compile(r"\s+")
 
     @pandas_udf("array<bigint>")
     def _udf(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            if t is None:
-                out.append([])
-                continue
-            toks = [x for x in ws.split(t.lower().strip()) if x]
-            th = []
-            for tok in toks:
-                h = 0
-                for ch in tok:
-                    h = (h * CHAR_MULT + ord(ch)) % HASH_P
-                th.append(h)
-            if len(th) >= n:
-                sh = th[: len(th) - (n - 1)]
-                for k in range(1, n):
-                    sh = [
-                        (a * TOK_MULT + b) % HASH_P
-                        for a, b in zip(sh, th[k : k + len(th) - (n - 1)])
-                    ]
-            else:
-                sh = []
-            out.append(sh)
+        return pd.Series(_doc_shingles(text, n))
+
+    return _udf
+
+
+def minhash_sig_pandas(perm_a, perm_b, n: int = 3):
+    """Arrow-batched minhash signature: per doc, ``sig[j] = min over
+    shingle hashes h of (perm_a[j]*h + perm_b[j]) % HASH_P``; NULL when
+    the doc has fewer than ``n`` tokens.
+
+    Scale shape: signature computation is per-document LOCAL — this
+    replaces the explode(shingles) -> groupBy(doc_id).agg(16 mins)
+    formulation, which multiplied the row count by ~|shingles| and
+    shuffled all of it.  The permutation minima are numpy
+    ``minimum.reduceat`` passes over the batch's flat shingle stream
+    (16 vectorized passes, no per-shingle Python).  Max intermediate:
+    31 * HASH_P ~ 3.1e10, well inside int64."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a = np.asarray(perm_a, dtype=np.int64)
+    b = np.asarray(perm_b, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _udf(text: pd.Series) -> pd.Series:
+        docs = _doc_shingles(text, n)
+        out = [None] * len(docs)
+        lens = np.array([len(d) for d in docs], dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            flat = np.concatenate(
+                [np.asarray(docs[i], dtype=np.int64) for i in nz]
+            )
+            offs = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offs[1:])
+            sigs = np.empty((len(a), nz.size), dtype=np.int64)
+            for j in range(len(a)):
+                sigs[j] = np.minimum.reduceat((a[j] * flat + b[j]) % HASH_P, offs)
+            for k, i in enumerate(nz):
+                out[i] = sigs[:, k].tolist()
+        return pd.Series(out)
+
+    return _udf
+
+
+def simhash_pandas(bits: int = 32, n: int = 3):
+    """Arrow-batched simhash: bit ``b`` of the signature is set iff
+    ``sum over shingle hashes of (bit b of h ? +1 : -1) > 0``; NULL when
+    the doc has no shingles.  Same local-per-document shape as
+    :func:`minhash_sig_pandas` — one ``add.reduceat`` pass per bit
+    plane over the batch's flat shingle stream."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _udf(text: pd.Series) -> pd.Series:
+        docs = _doc_shingles(text, n)
+        out = [None] * len(docs)
+        lens = np.array([len(d) for d in docs], dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            flat = np.concatenate(
+                [np.asarray(docs[i], dtype=np.int64) for i in nz]
+            )
+            offs = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offs[1:])
+            sig = np.zeros(nz.size, dtype=np.int64)
+            for bit in range(bits):
+                plane = (((flat >> bit) & 1) * 2 - 1).astype(np.int64)
+                sig |= (np.add.reduceat(plane, offs) > 0).astype(np.int64) << bit
+            for k, i in enumerate(nz):
+                out[i] = int(sig[k])
         return pd.Series(out)
 
     return _udf

@@ -188,31 +188,26 @@ def _minhash_oracle() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # Arrow-batched hash pipeline (see shingle_hashes_pandas for why a
-    # UDF beats the interpreted lambda chain ~10x here), then drop
-    # shingle-less docs on the cheap size of the computed column.
-    hashed = t.documents.select(
-        "doc_id", T.shingle_hashes_pandas()(F.col("text")).alias("hs")
-    ).filter(F.size("hs") > 0)
-    # Explode shingle hashes to rows and build the 16 permutation
-    # minima as codegen'd hash aggregates: higher-order array folds are
-    # interpreted (no whole-stage codegen), but sum/min aggregates run
-    # in the fast path with map-side partial aggregation — the right
-    # shape at 100 TB too.
-    exploded = hashed.select("doc_id", F.explode("hs").alias("h"))
-    mins = exploded.groupBy("doc_id").agg(
-        *[
-            F.min((PERM_A[j] * F.col("h") + PERM_B[j]) % T.HASH_P).alias(
-                f"m{j}"
-            )
-            for j in range(N_PERM)
-        ]
-    )
-    # Signatures ride along through the band explode/join: no join-back
-    # to sig, so the corpus is hashed once per join side instead of 4x.
-    sig = mins.select(
-        "doc_id",
-        F.array(*[F.col(f"m{j}") for j in range(N_PERM)]).alias("sig"),
+    # Signature computation is per-document LOCAL: one Arrow-batched
+    # UDF produces the 16-permutation minhash signature directly
+    # (numpy reduceat over the batch's flat shingle stream — see
+    # minhash_sig_pandas).  No explode, no shuffle: the previous
+    # explode -> groupBy(doc_id).agg(16 mins) formulation multiplied
+    # rows ~|shingles|x and shuffled all of it before reducing back to
+    # one row per doc.  At 100 TB the signature stage is a pure map.
+    sig = (
+        t.documents.select(
+            "doc_id",
+            T.minhash_sig_pandas(PERM_A, PERM_B)(F.col("text")).alias("sig"),
+        )
+        .filter(F.col("sig").isNotNull())
+        # Materialize the signature table: both sides of the band
+        # self-join read it, and persisting guarantees the Arrow
+        # signature pipeline runs once (plan-level exchange reuse does
+        # not dedupe Python stages).  At cluster scale this is the
+        # signature table you'd write to storage before pair-joining;
+        # it is ~100 bytes/doc, 1e-4 of corpus size.
+        .persist()
     )
     bands = sig.select(
         "doc_id",
@@ -246,9 +241,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0)
         for j in range(N_PERM)
     )
+    # shuffle_hash, not broadcast: the signature table has one row per
+    # document — broadcasting it is infeasible at scale, and shuffling
+    # both sides on the bucket key gives IDENTICAL exchanges that
+    # Spark's ReusedExchange dedupes, so the Arrow signature pipeline
+    # runs ONCE, not once per join side.
     return (
-        a.join(
-            b,
+        a.hint("shuffle_hash").join(
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -304,28 +304,19 @@ def _simhash_oracle() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    th = t.documents.select(
-        "doc_id", T.shingle_hashes_pandas()(F.col("text")).alias("th")
-    ).filter(F.size("th") > 0)
-    # Explode shingle hashes to rows and build the 32 bit-sums as
-    # codegen'd sum aggregates (interpreted array folds allocate a
-    # 32-slot array per element; hash aggregates with map-side partial
-    # aggregation are the fast path and scale out cleanly).
-    exploded = th.select("doc_id", F.explode("th").alias("h"))
-    bitsums = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"b{b}")
-            for b in range(SIM_BITS)
-        ]
+    # Per-document LOCAL signature via one Arrow-batched UDF (numpy
+    # bit-plane reduceat — see simhash_pandas).  Replaces the explode ->
+    # groupBy(doc_id).agg(32 bit-sums) formulation: no row explosion,
+    # no shuffle; at 100 TB the signature stage is a pure map.
+    sig = (
+        t.documents.select(
+            "doc_id", T.simhash_pandas(SIM_BITS)(F.col("text")).alias("sh")
+        )
+        .filter(F.col("sh").isNotNull())
+        # Materialized signature table — same rationale as the minhash
+        # band join: one Arrow pass, both join sides read the cache.
+        .persist()
     )
-    simhash = sum(
-        F.when(F.col(f"b{b}") > 0, 1 << b).otherwise(0)
-        for b in range(SIM_BITS)
-    ).cast("long")
-    # Signature rides through the nibble explode — no join-back to sig.
-    sig = bitsums.select("doc_id", simhash.alias("sh"))
     nib = sig.select(
         "doc_id",
         "sh",
@@ -345,9 +336,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sh", "p.nk", "p.nib")
     a, b = nib.alias("a"), nib.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # shuffle_hash for the same reason as the minhash band join: never
+    # broadcast an n-row signature table, and identical exchanges on
+    # both sides let ReusedExchange run the signature pipeline once.
     return (
-        a.join(
-            b,
+        a.hint("shuffle_hash").join(
+            b.hint("shuffle_hash"),
             (F.col("a.nk") == F.col("b.nk"))
             & (F.col("a.nib") == F.col("b.nib"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

@@ -54,7 +54,18 @@ def get_spark(
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Split-size tuning: target >= #cores scan tasks at the LOCAL
+        # test scale (sf0.1 fact files are ~10 MB; the default 128 MB
+        # split makes every scan a single task on a 32-core machine —
+        # measured 3.5x slower).  On a real cluster with TB-scale
+        # inputs, raise this back toward the 128 MB default via
+        # $SPARK_GRAFT_MAX_PARTITION_BYTES: many-MB splits amortize
+        # task overhead there, and files outnumber cores anyway.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "64k")
     )
     spark = builder.getOrCreate()
     # Pin non-ANSI semantics even when attaching to a pre-existing session.
