@@ -1,0 +1,143 @@
+"""Run the reference's own TPC-H sqllogictest corpus against Spark SQL.
+
+The reference ships a tiny TPC-H slice (tests/sql/tpch/tbl/*.tbl) with
+golden answers for q1-q22 (tests/sql/tpch/_q{N}.slt) and runs them in CI
+(tests/sql/tpch/tpch.slt).  This test loads the same .tbl files into
+Spark views using the schema from tests/sql/tpch/_create.slt (monetary
+columns as double — our engine's numeric model; the sqllogictest 1e-6
+relative tolerance absorbs the decimal-vs-double formatting difference)
+and checks every golden answer.
+
+This is the strongest direct parity evidence in the suite: the
+reference's OWN checked-in expected outputs, bit-for-bit inputs, all 22
+queries.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from slt_runner import (  # noqa: E402
+    _cells_match,
+    fmt_value,
+    has_toplevel_order,
+    parse_slt,
+    rewrite_query,
+)
+
+TPCH_DIR = "/root/reference/tests/sql/tpch"
+
+# Schemas from tests/sql/tpch/_create.slt; DECIMAL(15,2) -> double.
+SCHEMAS = {
+    "nation": "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+    "region": "r_regionkey int, r_name string, r_comment string",
+    "part": "p_partkey int, p_name string, p_mfgr string, p_brand string, "
+    "p_type string, p_size int, p_container string, p_retailprice double, "
+    "p_comment string",
+    "supplier": "s_suppkey int, s_name string, s_address string, "
+    "s_nationkey int, s_phone string, s_acctbal double, s_comment string",
+    "partsupp": "ps_partkey int, ps_suppkey int, ps_availqty int, "
+    "ps_supplycost double, ps_comment string",
+    "customer": "c_custkey int, c_name string, c_address string, "
+    "c_nationkey int, c_phone string, c_acctbal double, "
+    "c_mktsegment string, c_comment string",
+    "orders": "o_orderkey int, o_custkey int, o_orderstatus string, "
+    "o_totalprice double, o_orderdate date, o_orderpriority string, "
+    "o_clerk string, o_shippriority int, o_comment string",
+    "lineitem": "l_orderkey int, l_partkey int, l_suppkey int, "
+    "l_linenumber int, l_quantity double, l_extendedprice double, "
+    "l_discount double, l_tax double, l_returnflag string, "
+    "l_linestatus string, l_shipdate date, l_commitdate date, "
+    "l_receiptdate date, l_shipinstruct string, l_shipmode string, "
+    "l_comment string",
+}
+
+QUERY_FILES = [f"_q{n}.slt" for n in range(1, 23)]
+
+
+@pytest.fixture(scope="session")
+def tpch_views(spark):
+    for name, schema in SCHEMAS.items():
+        # every .tbl line ends with '|': give the parser a throwaway
+        # trailing column, then drop it
+        df = (
+            spark.read.csv(
+                f"{TPCH_DIR}/tbl/{name}.tbl",
+                sep="|",
+                schema=schema + ", _trailing string",
+            )
+            .drop("_trailing")
+        )
+        df.createOrReplaceTempView(name)
+    yield
+    for name in SCHEMAS:
+        spark.catalog.dropTempView(name)
+
+
+def _run_statement(spark, sql: str) -> None:
+    """q15 is the only query with statements: CREATE VIEW / DROP VIEW.
+    Rewrite to temp views so no catalog warehouse is needed."""
+    s = sql.strip().rstrip(";")
+    m = re.match(r"(?i)create\s+view\s+", s)
+    if m:
+        s = re.sub(
+            r"(?i)^create\s+view\s+", "CREATE OR REPLACE TEMPORARY VIEW ", s
+        )
+        spark.sql(s)
+        return
+    m = re.match(r"(?i)drop\s+view\s+(\w+)", s)
+    if m:
+        spark.catalog.dropTempView(m.group(1))
+        return
+    spark.sql(rewrite_query(s))
+
+
+def _tokens(cells: list[str]) -> list[str]:
+    """sqllogictest separates cells by whitespace, so string cells that
+    contain spaces are ambiguous in the golden text.  Comparing the
+    whitespace-flattened token stream of each row sidesteps that (and
+    CHAR(n) trailing-pad differences) without losing any numeric or
+    column-count checking."""
+    out: list[str] = []
+    for c in cells:
+        out.extend(c.split() if c.strip() else ["(empty)"])
+    return out
+
+
+def _row_match(got: list[str], want: list[str]) -> bool:
+    return len(got) == len(want) and all(
+        _cells_match(a, b) for a, b in zip(got, want)
+    )
+
+
+@pytest.mark.parametrize("fname", QUERY_FILES)
+def test_tpch_golden(spark, tpch_views, fname):
+    path = os.path.join(TPCH_DIR, fname)
+    n_queries = 0
+    for rec in parse_slt(path):
+        if rec.kind == "statement":
+            _run_statement(spark, rec.sql)
+            continue
+        if rec.kind != "query":
+            continue
+        rows = spark.sql(rewrite_query(rec.sql)).collect()
+        got = [_tokens([fmt_value(v) for v in row]) for row in rows]
+        want = [ln.split() for ln in rec.expected if ln.strip() != ""]
+        if not (has_toplevel_order(rec.sql) and not rec.rowsort):
+            got, want = sorted(got), sorted(want)
+        assert len(got) == len(want), (
+            f"{fname}: {len(got)} rows != {len(want)} expected"
+        )
+        bad = [
+            (g, w) for g, w in zip(got, want) if not _row_match(g, w)
+        ]
+        assert not bad, f"{fname}: {len(bad)} mismatched rows: {bad[:3]}"
+        n_queries += 1
+    assert n_queries >= 1, f"{fname}: no query records parsed"
