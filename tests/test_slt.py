@@ -18,16 +18,20 @@ sys.path.insert(0, "/root/repo/tools")
 SLT_DIR = "/root/reference/tests/sql"
 
 # Files whose syntax/semantics are Spark-compatible after the runner's
-# minimal DDL rewrites.  Excluded and why:
-#   delete.slt            DELETE on parquet tables (v1) unsupported
-#   blob.slt              b'...' literal syntax differs
-#   pragma.slt/internal   engine-specific introspection
-#   catalog.slt           \d-style metacommands
-#   statistics.slt        reference-internal stats
-#   sql_udf.slt           CREATE FUNCTION dialect differs (covered by
-#                         ddl_sql_udf in the oracle suite)
+# rewrites (DDL mapping, SQL-UDF -> Spark 4 native SQL UDF, DELETE ->
+# copy-on-write, blob literals -> X'..', PRAGMA -> SET, \stat ->
+# computed stats).  Excluded and why:
+#   internal.slt          reference's contributor-list easter egg
+#   catalog.slt           \d metacommands expect the reference's exact
+#                         catalog layout (schema ids, pg_catalog rows)
 #   substring.slt         reference diverges from Spark for negative
 #                         start (covered by the substring_rl shim tests)
+#   timestamp.slt         BC-era timestamp literals (no Spark parse)
+#   window_function.slt   OVER () running semantics depend on scan
+#                         order — meaningless in a parallel engine;
+#                         covered order-pinned by window_running_sum
+#   tpch/                 covered with golden answers in
+#                         tests/test_tpch_slt.py
 # Statements that Spark's stricter analyzer rejects but the reference
 # accepts — skipped with the reason inline.
 DIALECT_SKIPS: dict[str, tuple[str, ...]] = {
@@ -81,6 +85,20 @@ SLT_FILES = [
     "cte.slt",
     "bigint.slt",
     "insert_select_from.slt",
+    "_join.slt",
+    "delete.slt",
+    "blob.slt",
+    "pragma.slt",
+    "statistics.slt",
+    "sql_udf.slt",
+    "create.slt",
+    "insert.slt",
+    "select_star.slt",
+    "type.slt",
+    "vector.slt",
+    "vector_index.slt",
+    "view.slt",
+    "where.slt",
 ]
 
 
