@@ -29,6 +29,7 @@ HEADLINE_EXTRA = (
     "vector_l2_topk",
     "text_quality_scores",
     "text_corpus_stats",
+    "pipeline_clean_corpus",
     "events_sessionization",
     "events_tumbling_window",
     "events_asof_join",

@@ -182,3 +182,70 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok")
         .limit(20)
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, source,
+             {T.lang_id_sql("text")} AS lang_detected,
+             {T.quality_score_sql("text")} AS q,
+             {T.fingerprint_sql("text")} AS fp,
+             {T.token_count_sql("text")} AS ws
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM staged WHERE lang_detected = 'en' AND q >= 0.5
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           count(*) AS docs_kept,
+           sum(ws)::BIGINT AS total_ws_tokens,
+           {fpsum_sql("q")} AS sum_quality
+    FROM dedup GROUP BY source
+    """,
+    doc="End-to-end training-data cleaning pipeline: language-ID filter "
+    "-> quality gate -> exact dedup (keep lowest doc_id per "
+    "fingerprint) -> per-source corpus stats.  Composes the "
+    "text-analysis and dedup primitives in one plan.  Scale shape: the "
+    "staging projection is a stateless codegen map over the scan; the "
+    "only shuffles are the fingerprint partition for dedup and the "
+    "tiny per-source rollup (map-side partials).  Filters run BEFORE "
+    "the dedup shuffle, so rejected documents never shuffle at all.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    c = F.col("text")
+    staged = t.documents.select(
+        "doc_id",
+        "source",
+        T.lang_id(c).alias("lang_detected"),
+        T.quality_score(c).alias("q"),
+        T.fingerprint(c).alias("fp"),
+        T.token_count(c).alias("ws"),
+    )
+    kept = staged.filter(
+        (F.col("lang_detected") == "en") & (F.col("q") >= 0.5)
+    )
+    dedup = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return dedup.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("ws").cast("bigint").alias("total_ws_tokens"),
+        fpsum(F.col("q")).alias("sum_quality"),
+    )
