@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the semantic shims.
+
+The reference tests these surfaces with hand-picked slt cases; here we
+check the general contracts:
+
+- substring_rl == a direct Python transcription of the reference's
+  Rust formula (src/array/ops.rs:304-335) on arbitrary inputs,
+- fpsum is bit-identical across partitionings (the property that makes
+  oracle hashes stable at any parallelism),
+- the Arrow shingle UDF replays the built-in Catalyst expression
+  exactly (they must agree because different queries/oracles use each).
+
+Each hypothesis example is a BATCH of inputs evaluated in one Spark
+job, so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from risinglight_spark.functions import text as T
+from risinglight_spark.functions.scalar import substring_rl
+from risinglight_spark.operators import fpsum
+
+I32 = 2**31 - 1
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _substring_model(s: str | None, b: int, c: int) -> str | None:
+    """Direct transcription of the reference's substring kernel
+    (src/array/ops.rs:304-335): 1-based, negative start from the end,
+    end = start saturating_add(i32) length, swap when inverted, clamp
+    to [0, chars]."""
+    if s is None:
+        return None
+    chars = len(s)
+    start = b - 1 if b >= 0 else chars + b
+    end = max(min(start + c, I32), -I32 - 1)  # i32 saturating_add
+    if start > end:
+        start, end = end, start
+    skip = max(start, 0)
+    take = max(end - skip, 0)
+    return s[skip : skip + take]
+
+
+text_st = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=24,
+    ),
+)
+i32_st = st.one_of(
+    st.integers(min_value=-40, max_value=40),
+    st.integers(min_value=-I32 - 1, max_value=I32),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(text_st, i32_st, i32_st), min_size=1, max_size=32))
+def test_substring_rl_matches_reference_formula(spark, cases):
+    df = spark.createDataFrame(cases, "s STRING, b INT, c INT")
+    got = [
+        r[0]
+        for r in df.select(
+            substring_rl(F.col("s"), F.col("b"), F.col("c"))
+        ).collect()
+    ]
+    want = [_substring_model(s, b, c) for s, b, c in cases]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_fpsum_is_partition_invariant(spark, xs):
+    rows = [(float(x),) for x in xs]
+    df = spark.createDataFrame(rows, "x DOUBLE")
+    a = df.repartition(1).agg(fpsum(F.col("x")).alias("s")).collect()[0].s
+    b = df.repartition(7).agg(fpsum(F.col("x")).alias("s")).collect()[0].s
+    # bit-identical, not approximately equal — this is the property the
+    # oracle value-hash depends on
+    assert repr(a) == repr(b)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_arrow_shingles_match_catalyst_expression(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    udf_out = [
+        list(r[0])
+        for r in df.select(
+            T.shingle_hashes_pandas()(F.col("text"))
+        ).collect()
+    ]
+    expr_out = [
+        list(r[0])
+        for r in df.select(
+            T.shingle_hashes(T.token_hashes(F.col("text")))
+        ).collect()
+    ]
+    assert udf_out == expr_out
