@@ -349,3 +349,20 @@ def copy_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("n_regionkey").agg(F.count("*").alias("n")).select(
         F.col("n_regionkey").cast("int").alias("n_regionkey"), "n"
     )
+
+
+@register(
+    "copy_roundtrip_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    """,
+    doc="COPY round trip through ORC (third columnar source format; "
+    "native vectorized reader, predicate pushdown like parquet).",
+)
+def copy_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    loc = os.path.join(tempfile.mkdtemp(prefix="rl_copyo_"), "supplier_orc")
+    t.supplier.select("s_suppkey", "s_name", "s_acctbal").write.mode(
+        "overwrite"
+    ).orc(loc)
+    return spark.read.orc(loc)

@@ -103,3 +103,12 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+
+def test_merge_join_reuses_clustering(spark, sf_dir):
+    # hint('merge') -> SortMergeJoin; the per-key aggregate after the
+    # join must reuse the join's hash clustering: exactly the two
+    # join-side exchanges, none for the aggregate.
+    plan = _plan(spark, sf_dir, "merge_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
