@@ -112,3 +112,54 @@ def test_merge_join_reuses_clustering(spark, sf_dir):
     plan = _plan(spark, sf_dir, "merge_join")
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join mitigation — the mechanism SCALE.md relies on for
+    mega-bucket keys.  A 90%-hot key joined through a forced SMJ must
+    get its partition split (SortMergeJoin(skew=true) + 'coalesced and
+    skewed' shuffle read).  Thresholds are scaled down to the test SF;
+    the split granularity is per-mapper output, hence the repartition
+    to give AQE chunks to split by."""
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.tables import load
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, "/root/testdata/sf0.01", "lineitem").repartition(16)
+        skewed = li.select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+            F.md5(
+                F.concat_ws("-", "l_orderkey", "l_suppkey", "l_partkey")
+            ).alias("payload"),
+        )
+        dim = spark.range(0, 200000).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("w")
+        )
+        j = skewed.join(dim.hint("merge"), "k").select(
+            F.sum(F.col("l_quantity") * F.col("w")).alias("total"),
+            F.count("payload").alias("n"),
+        )
+        rows = j.collect()
+        assert rows[0].n == 60000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "coalesced and skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
