@@ -10,8 +10,11 @@ an order-insensitive value hash.  Use while iterating:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
