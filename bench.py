@@ -33,6 +33,8 @@ HEADLINE_EXTRA = (
     "events_sessionization",
     "events_tumbling_window",
     "events_asof_join",
+    "events_range_join",
+    "pack_sequences",
 )
 
 

@@ -1,0 +1,318 @@
+"""Training-data pipeline operators beyond single-pass dedup/scoring:
+dedup *clustering* (connected components), sequence packing, stratified
+sampling, percentile-based quality cuts, and event range joins.
+
+These are the ops a 100 TB corpus-curation pipeline runs after the
+per-document passes in operators/dedup.py and operators/text_analysis.py:
+near-dup PAIRS are not enough — you need components (a dup cluster is
+the transitive closure of pairs) to pick one canonical doc per cluster;
+packed token windows are what the trainer actually consumes; sampling
+must be deterministic (hash-based, not rand()) so re-runs are
+reproducible across cluster sizes.
+
+Scale design:
+- Connected components uses min-label propagation: each round is one
+  shuffle (edges join labels -> groupBy min), O(diameter) rounds.  Dup
+  graphs are overwhelmingly tiny star clusters (diameter ~2), so 2-3
+  rounds close them; the loop is capped and convergence-checked with a
+  single scalar count per round (a convergence probe, not data on the
+  driver).  At trillion-edge scale you'd switch the round body to the
+  alternating large-star/small-star of Kiveris et al. "Connected
+  Components in MapReduce and Beyond" (SOCC'14) — same join shape,
+  O(log n) rounds; the per-round dataflow below is the building block.
+- Sequence packing is the concat-and-chunk scheme GPT-style pretraining
+  uses: within each source shard, lay documents end-to-end in doc_id
+  order and cut fixed token windows.  The running offset is a window
+  cumsum PARTITIONED BY source — fully parallel across shards, and the
+  per-shard sort is exactly the parquet write order at scale.
+- Stratified sampling keys off the engine-portable polynomial hash
+  (functions/text.py), never rand(): the kept set is a pure function of
+  (doc_id, rates), identical on any cluster size, any engine.
+- The range join is an equi-join on user_id with the interval predicate
+  as residual — Spark executes it as a hash join + filter, never a
+  cartesian; fan-in per user is bounded by the window length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from risinglight_spark.functions import text as T
+from risinglight_spark.operators import Tables, fpsum, fpsum_sql
+from risinglight_spark.operators.dedup import _jaccard_oracle, dedup_ngram_jaccard
+from risinglight_spark.registry import register
+
+# -- connected components ---------------------------------------------------
+
+CC_MAX_ROUNDS = 15
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_oracle()}) j
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    doc="Dup-cluster assignment: word-3-gram Jaccard pairs (>= 0.5) form "
+    "an undirected graph; every doc gets component = min doc_id reachable "
+    "from it, is_canonical = (component == doc_id).  Spark side runs "
+    "min-label propagation (one shuffle per round, O(diameter) rounds, "
+    "localCheckpoint to cut lineage); the oracle replays it as a "
+    "recursive-CTE transitive closure.  Reference has no graph ops — this "
+    "is the LLM-pipeline step that turns near-dup PAIRS into KEEP/DROP "
+    "decisions.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b"), F.col("doc_a")))
+    sym = sym.localCheckpoint()  # pairs plan is wide; evaluate once
+
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nbr_min = sym.join(labels, sym.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "component"
+        )
+        new_labels = (
+            nbr_min.unionAll(labels)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        # Convergence probe: one scalar per round, not data movement.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {CC_MAX_ROUNDS} rounds")
+
+    return (
+        t.documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
+    )
+
+
+# -- sequence packing -------------------------------------------------------
+
+CHUNK_TOKENS = 256
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {T.token_count_sql("text")} AS n_tokens
+      FROM documents
+      WHERE {T.token_count_sql("text")} > 0
+    ),
+    laid AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS end_tok
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((end_tok - n_tokens) / {CHUNK_TOKENS}.0) AS BIGINT) AS first_chunk,
+           CAST(floor((end_tok - 1) / {CHUNK_TOKENS}.0) AS BIGINT) AS last_chunk,
+           (CAST(floor((end_tok - 1) / {CHUNK_TOKENS}.0) AS BIGINT)
+            - CAST(floor((end_tok - n_tokens) / {CHUNK_TOKENS}.0) AS BIGINT) + 1) AS n_chunks
+    FROM laid
+    """,
+    doc=f"Concat-and-chunk sequence packing: within each source shard, "
+    f"documents are laid end-to-end in doc_id order and cut into "
+    f"{CHUNK_TOKENS}-token training windows; each doc reports the chunk "
+    f"span it lands in.  The running offset is a cumsum window "
+    f"PARTITIONED BY source — parallel across shards (no global sort).",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = t.documents.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    laid = toks.withColumn("end_tok", F.sum("n_tokens").over(w))
+    first = F.floor((F.col("end_tok") - F.col("n_tokens")) / CHUNK_TOKENS).cast("long")
+    last = F.floor((F.col("end_tok") - 1) / CHUNK_TOKENS).cast("long")
+    return laid.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + F.lit(1)).alias("n_chunks"),
+    )
+
+
+# -- deterministic stratified sampling --------------------------------------
+
+SAMPLE_BUCKETS = 1000
+EN_KEEP = 200  # downsample the over-represented stratum to 20%
+OTHER_KEEP = 500  # keep 50% of everything else
+
+
+@register(
+    "sample_hash_stratified",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {T.char_hash_sql("CAST(doc_id AS VARCHAR)")} % {SAMPLE_BUCKETS} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < (CASE WHEN lang = 'en' THEN {EN_KEEP} ELSE {OTHER_KEEP} END)
+    """,
+    doc="Deterministic stratified sampling: bucket = portable polynomial "
+    "hash(doc_id) % 1000; keep en docs with bucket < 200 (20%), others "
+    "< 500 (50%).  No rand() anywhere — the sample is a pure function "
+    "of doc_id, so re-runs reproduce exactly at any parallelism, and "
+    "upsampling a stratum later only ADDS docs (bucket threshold "
+    "monotonicity), never reshuffles the kept set.",
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bucket = (
+        T.char_hash(F.col("doc_id").cast("string")) % SAMPLE_BUCKETS
+    ).alias("bucket")
+    keep = F.when(F.col("lang") == "en", EN_KEEP).otherwise(OTHER_KEEP)
+    return (
+        t.documents.select("doc_id", "lang", bucket)
+        .filter(F.col("bucket") < keep)
+    )
+
+
+# -- per-language quality percentile cut ------------------------------------
+
+
+@register(
+    "text_quality_percentile_cut",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {T.quality_score_sql("text")} AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id) AS pct
+      FROM scored
+    )
+    SELECT doc_id, lang, quality, pct
+    FROM ranked WHERE pct <= 0.5
+    """,
+    doc="Keep the top half of each language by quality score.  Rank-based "
+    "(percent_rank over a TOTAL order — doc_id tiebreak), not a "
+    "percentile-value threshold, so the cut is exact integer logic with "
+    "no interpolation drift; the per-lang window is one shuffle keyed "
+    "on lang (salt the window key if one language dominates the corpus).",
+)
+def text_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("pct") <= 0.5)
+    )
+
+
+# -- event range join -------------------------------------------------------
+
+LOOKBACK_MIN = 10
+
+
+@register(
+    "events_range_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id,
+           count(c.ts) AS n_clicks,
+           {fpsum_sql("c.value")} AS click_value
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL {LOOKBACK_MIN} MINUTE
+     AND c.ts <= p.ts
+    GROUP BY p.purchase_id
+    """,
+    doc=f"Interval range join: for each purchase, the clicks by the same "
+    f"user in the preceding {LOOKBACK_MIN} minutes.  Executes as an "
+    f"equi hash join on user_id with the time predicate as residual — "
+    f"never a cartesian; per-key fan-in is bounded by the lookback "
+    f"window.  At heavy per-user skew you'd additionally bin time into "
+    f"{LOOKBACK_MIN}-minute epochs and join on (user_id, epoch±1).",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value"),
+    )
+    lo = F.col("p_ts") - F.expr(f"INTERVAL {LOOKBACK_MIN} MINUTES")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= lo)
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("c_ts").alias("n_clicks"),
+        fpsum(F.col("value")).alias("click_value"),
+    )

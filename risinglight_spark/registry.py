@@ -44,6 +44,7 @@ _OPERATOR_MODULES = (
     "risinglight_spark.operators.tpch",
     "risinglight_spark.operators.vector_search",
     "risinglight_spark.operators.dedup",
+    "risinglight_spark.operators.pipeline_ops",
     "risinglight_spark.operators.text_analysis",
     "risinglight_spark.operators.events_ops",
     "risinglight_spark.operators.multimodal",
