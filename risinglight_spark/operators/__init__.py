@@ -53,6 +53,17 @@ def fpsum_sql(expr: str, scale: float = 1e8) -> str:
     )
 
 
+def intsum(c: Column) -> Column:
+    """Exact sum for integral-valued double columns (e.g. TPC-H
+    l_quantity): cast to long and sum JVM-side — codegen'd long adds,
+    no decimal path.  Safe to ~9.2e18 units (int64), i.e. any SF."""
+    return F.sum(c.cast("long")).cast("double")
+
+
+def intsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS BIGINT)) AS DOUBLE)"
+
+
 def davg(c: Column) -> Column:
     """avg via the reference's sum/count rewrite (binder/expr.rs:443-447),
     made order-independent the same way as :func:`dsum`."""

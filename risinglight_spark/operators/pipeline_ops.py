@@ -96,26 +96,24 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    # Labels only ever decrease (min-propagation), so sum(component) is
+    # strictly decreasing until the fixed point: an unchanged sum IS
+    # convergence.  One scalar agg per round — no compare join.
+    prev_sum = None
     for _ in range(CC_MAX_ROUNDS):
         nbr_min = sym.join(labels, sym.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "component"
         )
-        new_labels = (
+        labels = (
             nbr_min.unionAll(labels)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        # Convergence probe: one scalar per round, not data movement.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(f"label propagation did not converge in {CC_MAX_ROUNDS} rounds")
 

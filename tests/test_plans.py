@@ -163,3 +163,31 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_join_is_keyed_not_cartesian(spark, sf_dir):
+    # interval predicate must ride as residual on the user_id equi join;
+    # a BroadcastNestedLoopJoin/CartesianProduct here would be O(n^2)
+    # and die at cluster scale.
+    plan = _plan(spark, sf_dir, "events_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    # the packing cumsum must be keyed on source (parallel across
+    # shards); an empty window partition spec would serialize the whole
+    # corpus through one task.
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "hashpartitioning(source" in plan
+
+
+def test_sample_pruning_never_reads_text(spark, sf_dir):
+    # hash-bucket sampling decides from doc_id alone — the scan must not
+    # read the (dominant) text column.
+    plan = _plan(spark, sf_dir, "sample_hash_stratified")
+    read = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "doc_id" in read and "text" not in read
