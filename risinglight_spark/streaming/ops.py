@@ -183,3 +183,116 @@ def streaming_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("win_start"), "event_type"
     ).agg(F.count("*").alias("n"))
+
+
+STREAM_SESSION_GAP_MIN = 30
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, (CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL {STREAM_SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END) AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {STREAM_SESSION_GAP_MIN} MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc=f"Streaming session windows (F.session_window, "
+    f"{STREAM_SESSION_GAP_MIN}-minute gap): Spark merges per-user "
+    f"events into dynamic inactivity-gap sessions as they arrive; "
+    f"state is one open session per user, merged on overlap.  Oracle "
+    f"replays it as batch gaps-and-islands (session_end = last event "
+    f"+ gap, Spark's convention).  Production runs append mode with "
+    f"the watermark finalizing sessions; AvailableNow + complete here "
+    f"for a deterministic full answer.",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.session_window("ts", f"{STREAM_SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_table(agg, spark, "complete")
+
+
+STREAM_JOIN_LOOKBACK_MIN = 10
+
+
+@register(
+    "streaming_interval_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           c.value AS click_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_MIN} MINUTE
+     AND c.ts <= p.ts
+    """,
+    doc=f"Stream-stream interval self-join: purchases matched to the "
+    f"same user's clicks in the preceding {STREAM_JOIN_LOOKBACK_MIN} "
+    f"minutes.  Both sides carry watermarks and the join condition "
+    f"bounds event-time distance, so Spark derives state expiry — "
+    f"click state older than watermark + lookback is dropped, keeping "
+    f"join state finite on an infinite stream.  Emitted pair set "
+    f"equals the batch inner join (oracle).",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = _events_stream(spark, sf_dir)
+    p = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {STREAM_JOIN_LOOKBACK_MIN} MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "click_value")
+    return _run_to_table(j, spark, "append")
