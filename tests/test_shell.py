@@ -1,0 +1,74 @@
+"""The interactive shell (risinglight_spark.sql.shell): the same
+dialect/executor path the slt corpus runs, exposed as the user-facing
+front door.  Matches the reference's REPL surface (src/db.rs:63-80)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from risinglight_spark.sql.shell import Shell, _split_statements, is_query
+
+
+@pytest.fixture(scope="module")
+def shell(spark, sf_dir):
+    sh = Shell(spark, sf_dir)
+    yield sh
+    sh.ex.cleanup()
+
+
+def test_metacommand_dt_lists_tables(shell):
+    df = shell.run(r"\dt")
+    names = {r.tablename for r in df.collect()}
+    assert {"lineitem", "orders", "nation", "documents"} <= names
+
+
+def test_metacommand_describe(shell):
+    df = shell.run(r"\d nation")
+    cols = [r.column_name for r in df.orderBy("ordinal").collect()]
+    assert cols[:2] == ["n_nationkey", "n_name"]
+
+
+def test_metacommand_stat(shell):
+    row = shell.run(r"\stat region r_name").collect()[0]
+    assert row.row_count == 5 and row.r_name_distinct == 5
+
+
+def test_reference_ddl_dml_roundtrip(shell):
+    assert shell.run(
+        "CREATE TABLE sh_t(v1 INT NOT NULL, v2 VARCHAR(8), PRIMARY KEY(v1))"
+    ) == "ok"
+    assert shell.run("INSERT INTO sh_t VALUES (1,'a'), (2,'b'), (3,'c')") == "ok"
+    assert shell.run("DELETE FROM sh_t WHERE v1 = 2") == "ok"
+    got = [tuple(r) for r in shell.run("SELECT * FROM sh_t ORDER BY v1").collect()]
+    assert got == [(1, "a"), (3, "c")]
+    assert shell.run("DROP TABLE sh_t") == "ok"
+
+
+def test_sql_udf_macro(shell):
+    assert (
+        shell.run(
+            "CREATE FUNCTION sh_addone(x INT) RETURNS INT LANGUAGE SQL"
+            " RETURN x + 1"
+        )
+        == "ok"
+    )
+    assert shell.run("SELECT sh_addone(41) AS a").collect()[0].a == 42
+
+
+def test_vector_operator_dialect(shell):
+    row = shell.run(
+        "SELECT '[1,2,3]'::VECTOR(3) <#> '[4,5,6]'::VECTOR(3) AS negdot"
+    ).collect()[0]
+    assert row.negdot == -32.0
+
+
+def test_render_is_aligned(shell):
+    out = shell.render(shell.run("SELECT 1 AS a, 'xy' AS b"))
+    assert "a | b" in out.replace("  ", " ") and "(1 row)" in out
+
+
+def test_is_query_and_split():
+    assert is_query("SELECT 1") and is_query("  with x as (select 1) select * from x")
+    assert not is_query("INSERT INTO t VALUES (1)")
+    assert _split_statements("select ';'; select 2;") == ["select ';'", "select 2"]
