@@ -15,6 +15,7 @@ heavy lifting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -248,4 +249,135 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("docs_kept"),
         F.sum("ws").cast("bigint").alias("total_ws_tokens"),
         fpsum(F.col("q")).alias("sum_quality"),
+    )
+
+
+BPE_MIN_COUNT = 3
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql(T.normalized_text_sql("text"))} AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    HAVING count(*) >= {BPE_MIN_COUNT}
+    """,
+    doc=f"Adjacent-token-pair frequencies over the corpus — the "
+    f"counting core of one BPE merge round (pairs seen >= "
+    f"{BPE_MIN_COUNT} times).  zip_with over offset slices builds "
+    f"pairs without a per-element lambda re-scan; the only shuffle is "
+    f"the pair groupBy with map-side partials.  A full BPE trainer "
+    f"repeats this with the winning pair merged — each round is this "
+    f"same one-shuffle job.",
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        T.tokens(T.normalized_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    m = F.size("t") - 1
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, m),
+                F.slice(F.col("t"), 2, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BPE_MIN_COUNT)
+    )
+
+
+N_BPE_MERGES = 5
+# pair separator inside the counting shuffle: tokens come from
+# whitespace splitting, so \x1f (ASCII unit separator) can never occur
+# in a token and the (a, b) split is unambiguous
+_SEP = "\x1f"
+
+
+def _apply_merge(a: str, b: str):
+    """Arrow-batched greedy left-to-right BPE merge of one pair."""
+    from pyspark.sql.functions import pandas_udf
+
+    merged = a + " " + b
+
+    @pandas_udf("array<string>")
+    def merge(col: pd.Series) -> pd.Series:
+        def m(toks):
+            out, i, n = [], 0, len(toks)
+            while i < n:
+                if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            return out
+
+        return col.map(m)
+
+    return merge
+
+
+@register(
+    "text_bpe_train",
+    oracle=None,  # iterative argmax-per-round; verified by unit test
+    doc=f"BPE training loop: {N_BPE_MERGES} merge rounds over the "
+    f"corpus.  Each round = one pair-count shuffle (map-side partials) "
+    f"+ a 1-row argmax probe to the driver + a stateless Arrow-batched "
+    f"merge map; localCheckpoint cuts lineage between rounds.  "
+    f"Deterministic tie-break (count desc, pair asc).  At 100 TB each "
+    f"round stays a single shuffle whose key space shrinks as merges "
+    f"consume pairs — the classic distributed-BPE shape.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    df = (
+        t.documents.select(
+            T.tokens(T.normalized_text(F.col("text"))).alias("t")
+        )
+        .filter(F.size("t") >= 2)
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(N_BPE_MERGES):
+        m = F.size("t") - 1
+        pairs = df.filter(F.size("t") >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, m),
+                    F.slice(F.col("t"), 2, m),
+                    lambda x, y: F.concat_ws(_SEP, x, y),
+                )
+            ).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0].pair.split(_SEP)
+        merges.append((r + 1, a + " " + b, top[0].n))
+        df = df.select(
+            _apply_merge(a, b)(F.col("t")).alias("t")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank INT, merged_pair STRING, n BIGINT"
     )
