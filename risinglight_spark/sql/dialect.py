@@ -1,4 +1,4 @@
-"""Reference-SQL dialect layer: rewrites risinglight's SQL dialect to
+r"""Reference-SQL dialect layer: rewrites risinglight's SQL dialect to
 Spark SQL, and formats result values the way the reference prints them.
 
 This is product code (the interactive shell in

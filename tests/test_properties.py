@@ -124,3 +124,43 @@ def test_arrow_shingles_match_catalyst_expression(spark, texts):
         ).collect()
     ]
     assert udf_out == expr_out
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from risinglight_spark.operators.pipeline_ops import CHUNK_TOKENS
+    from risinglight_spark.registry import collect
+
+    rows = collect()["pack_sequences"].fn(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for src, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        # chunk spans are consistent with the running layout
+        offset = 0
+        for r in docs:
+            assert r.n_tokens > 0
+            assert r.first_chunk == offset // CHUNK_TOKENS
+            assert r.last_chunk == (offset + r.n_tokens - 1) // CHUNK_TOKENS
+            assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+            offset += r.n_tokens
+        # consecutive docs tile the token stream with no gaps:
+        # doc i+1 starts in the same or next chunk as doc i ends
+        for a, b in zip(docs, docs[1:]):
+            assert b.first_chunk in (a.last_chunk, a.last_chunk + 1)
+
+
+def test_connected_components_well_formed(spark, sf_dir):
+    from risinglight_spark.registry import collect
+
+    rows = collect()["dedup_connected_components"].fn(spark, sf_dir).collect()
+    comp: dict[int, int] = {r.doc_id: r.component for r in rows}
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        # the component label IS the minimum member (canonical doc)
+        assert c == min(ds)
+    for r in rows:
+        assert r.is_canonical == (r.doc_id == r.component)

@@ -89,6 +89,7 @@ from risinglight_spark.sql.dialect import (  # noqa: E402,F401
     _CREATE_RE,
     _DROP_RE,
     _STAT_RE,
+    _cells_match,
     fmt_value,
     _rows_match,
     has_toplevel_order,
