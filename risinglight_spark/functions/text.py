@@ -385,3 +385,66 @@ def word_shingles_sql(text: str, n: int = 3) -> str:
         f" list_transform(generate_series(1, len({toks}) - {n - 1}), i -> {parts})"
         f" ELSE [] END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass Arrow-batched document features.
+#
+# Same rationale as shingle_hashes_pandas: the tokenizing feature
+# expressions above are higher-order lambda chains that Catalyst
+# evaluates interpreted AND re-evaluates wherever pushdown duplicates
+# them (no CSE outside codegen).  One Arrow pass computes all four
+# features per document; Catalyst extracts the Python UDF into a
+# single ArrowEvalPython node, so it runs exactly once per row no
+# matter how the surrounding plan is rewritten.
+#
+# Formula parity with the Column/SQL versions is bit-exact (same IEEE
+# operation order; Java-\s-equivalent whitespace class) and pinned by
+# tests/test_properties.py::test_doc_features_udf_matches_expressions.
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+_PUNCT_SET = frozenset(".,;:!?")
+_LANG_SETS = {c: frozenset(m) for c, m in LANG_MARKERS.items()}
+_EN_STOP_SET = frozenset(EN_STOPWORDS)
+_LANG_ORDER = sorted(LANG_MARKERS)  # ties break to lexically smallest
+
+
+def _doc_features_one(text):
+    if text is None:
+        return (None, None, None, None)
+    toks = [t for t in _JAVA_WS.split(text) if t != ""]
+    low = [t.lower() for t in toks]
+    ws = len(toks)
+    hits = {c: sum(1 for t in low if t in s) for c, s in _LANG_SETS.items()}
+    best = max(hits.values())
+    lang = "und"
+    if best > 0:
+        lang = next(c for c in _LANG_ORDER if hits[c] == best)
+    n = len(text)
+    n_punct = sum(1 for ch in text if ch in _PUNCT_SET)
+    len_score = min(n / 500.0, 1.0)
+    punct_pen = max(1.0 - (n_punct / max(n, 1)) * 5.0, 0.0)
+    n_stop = sum(1 for t in low if t in _EN_STOP_SET)
+    stop_score = min((n_stop / max(ws, 1)) * 4.0, 1.0)
+    q = len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3
+    import hashlib
+
+    norm = _JAVA_WS.sub(" ", text.lower()).strip()
+    fp = hashlib.md5(norm.encode("utf-8")).hexdigest()
+    return (lang, q, fp, ws)
+
+
+def doc_features_pandas():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<lang_detected:string, q:double, fp:string, ws:bigint>"
+    )
+    def _udf(text: pd.Series) -> pd.DataFrame:
+        rows = [_doc_features_one(t) for t in text]
+        return pd.DataFrame(
+            rows, columns=["lang_detected", "q", "fp", "ws"]
+        )
+
+    return _udf

@@ -225,14 +225,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     c = F.col("text")
+    # Single Arrow pass for all four features (bit-identical to the
+    # Column formulas the oracle replays — see
+    # functions/text.py:doc_features_pandas).  Catalyst extracts the
+    # UDF into one ArrowEvalPython node, so the features are computed
+    # exactly once per document even though the filter below would
+    # otherwise duplicate the interpreted lambda trees of the
+    # expression versions (no CSE outside codegen; measured 2x).
     staged = t.documents.select(
-        "doc_id",
-        "source",
-        T.lang_id(c).alias("lang_detected"),
-        T.quality_score(c).alias("q"),
-        T.fingerprint(c).alias("fp"),
-        T.token_count(c).alias("ws"),
-    )
+        "doc_id", "source", T.doc_features_pandas()(c).alias("f")
+    ).select("doc_id", "source", "f.*")
     kept = staged.filter(
         (F.col("lang_detected") == "en") & (F.col("q") >= 0.5)
     )

@@ -164,3 +164,28 @@ def test_connected_components_well_formed(spark, sf_dir):
         assert c == min(ds)
     for r in rows:
         assert r.is_canonical == (r.doc_id == r.component)
+
+
+def test_doc_features_udf_matches_expressions(spark, sf_dir):
+    # the Arrow single-pass feature UDF must be BIT-identical to the
+    # Column-expression formulas the DuckDB oracle replays
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.functions import text as T
+    from risinglight_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    expr_side = docs.select(
+        "doc_id",
+        T.lang_id(c).alias("lang_detected"),
+        T.quality_score(c).alias("q"),
+        T.fingerprint(c).alias("fp"),
+        T.token_count(c).alias("ws"),
+    )
+    udf_side = docs.select(
+        "doc_id", T.doc_features_pandas()(c).alias("f")
+    ).select("doc_id", "f.*")
+    a = {r.doc_id: (r.lang_detected, r.q, r.fp, r.ws) for r in expr_side.collect()}
+    b = {r.doc_id: (r.lang_detected, r.q, r.fp, r.ws) for r in udf_side.collect()}
+    assert a == b  # exact, including float bits
