@@ -209,6 +209,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # it is ~100 bytes/doc, 1e-4 of corpus size.
         .persist()
     )
+    # eager materialization: with a lazy persist, the band self-join's
+    # two scans race to populate the cache and can run the Arrow
+    # signature stage twice (measured ~0.4s extra at sf0.1)
+    sig.count()
     bands = sig.select(
         "doc_id",
         "sig",
