@@ -258,3 +258,34 @@ _sql(
            CAST(NULL AS INT) AS n
     """,
 )
+
+
+@register(
+    "unnest_with_ordinality",
+    oracle="""
+    SELECT doc_id, tok.pos AS pos, tok.t AS token
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+               (x, i) -> {'pos': i - 1, 't': x})) AS tok
+      FROM documents
+    )
+    WHERE doc_id < 10
+    """,
+    doc="UNNEST WITH ORDINALITY / lateral explode: tokens of each "
+    "document with their positions (posexplode).  Arrays are "
+    "first-class here (vector columns), so positional flattening is "
+    "part of the engine surface; map-side only, no shuffle.",
+)
+def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.functions import text as T
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.filter(F.col("doc_id") < 10)
+        .select(
+            "doc_id",
+            F.posexplode(T.tokens(F.col("text"))).alias("pos", "token"),
+        )
+    )

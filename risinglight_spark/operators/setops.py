@@ -63,3 +63,27 @@ _sql(
     """,
     doc="EXCEPT — left-anti join of distinct sides.",
 )
+
+
+_sql(
+    "setop_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+    doc="INTERSECT ALL — bag intersection (min of per-side "
+    "multiplicities); Spark plans it as a shuffle on the value with "
+    "per-side counts, no row explosion.",
+)
+
+_sql(
+    "setop_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+    doc="EXCEPT ALL — bag difference (multiplicity subtraction), same "
+    "one-shuffle shape as INTERSECT ALL.",
+)

@@ -220,3 +220,26 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_custkey < 200
         """
     )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    doc="ntile(4): equi-depth bucketing per priority class — the "
+    "windowed analog of the percentile cut; total order (orderkey "
+    "tiebreak) keeps it deterministic at any parallelism.",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        t.orders.filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    )
