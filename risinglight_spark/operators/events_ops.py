@@ -337,3 +337,40 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c.n"), F.lit(0)).alias("n"),
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT cohort_week, active_week, count(*) AS active_users
+    FROM activity JOIN firstseen USING (user_id)
+    GROUP BY cohort_week, active_week
+    """,
+    doc="Weekly retention cohorts: users grouped by first-seen week, "
+    "counted in each week they return — the standard growth-analytics "
+    "rollup.  Two aggregations keyed on user_id share one shuffle "
+    "partitioning; the cohort join is user-keyed (no broadcast of the "
+    "user dimension needed at scale, it is co-partitioned).",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firstseen = t.events.groupBy("user_id").agg(
+        F.min(wk).alias("cohort_week")
+    )
+    activity = t.events.select(
+        "user_id", wk.alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firstseen, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -422,3 +422,63 @@ def vector_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.groupBy(
         F.col("label").alias("old_label"), "new_label"
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "vector_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             (list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) / 127.0) AS scale
+      FROM embeddings
+    ),
+    rec AS (
+      SELECT e.vec_id, q.scale,
+             list_transform(e.embedding,
+               x -> round(CAST(x AS DOUBLE) / q.scale, 0)) AS qv
+      FROM embeddings e JOIN q USING (vec_id)
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           sqrt(list_reduce(
+             list_prepend(0.0, list_transform(generate_series(1, 64),
+               i -> (CAST(e2.embedding[i] AS DOUBLE) - rec.qv[i] * rec.scale)
+                    * (CAST(e2.embedding[i] AS DOUBLE) - rec.qv[i] * rec.scale))),
+             (acc, x) -> acc + x)) AS recon_err
+    FROM rec JOIN embeddings e2 USING (vec_id)
+    """,
+    doc="Scalar int8 quantization of embeddings (the 4x storage/IO "
+    "compression every large ANN index applies before sharding): "
+    "per-vector symmetric scale = max|x|/127, quantized value = "
+    "round(x/scale), plus the exact L2 reconstruction error.  Pure "
+    "per-row map over the scan — zero shuffles, compresses the corpus "
+    "before it ever moves.",
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+    scale = (
+        F.array_max(F.transform(e, lambda x: F.abs(x.cast("double")))) / 127.0
+    ).alias("scale")
+    df = t.embeddings.select("vec_id", e.alias("emb"), scale)
+    qv = F.transform(
+        F.col("emb"), lambda x: F.round(x.cast("double") / F.col("scale"), 0)
+    )
+    df = df.withColumn("qv", qv)
+    err_terms = F.zip_with(
+        F.col("emb"),
+        F.col("qv"),
+        lambda x, q: (x.cast("double") - q * F.col("scale"))
+        * (x.cast("double") - q * F.col("scale")),
+    )
+    return df.select(
+        "vec_id",
+        "scale",
+        F.aggregate(F.col("qv"), F.lit(0.0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("qsum"),
+        F.sqrt(
+            F.aggregate(err_terms, F.lit(0.0), lambda a, x: a + x)
+        ).alias("recon_err"),
+    )
