@@ -321,6 +321,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # band join: one Arrow pass, both join sides read the cache.
         .persist()
     )
+    sig.count()  # eager: see the minhash note on cache-population races
     nib = sig.select(
         "doc_id",
         "sh",

@@ -191,3 +191,18 @@ def test_sample_pruning_never_reads_text(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_hash_stratified")
     read = plan.split("ReadSchema:")[-1].splitlines()[0]
     assert "doc_id" in read and "text" not in read
+
+
+def test_sessionization_single_exchange(spark, sf_dir):
+    # lag + running-sum + rollup must share ONE user_id shuffle: the
+    # windows collapse onto the same spec and the aggregation reuses
+    # the window's hash partitioning (user_id is a prefix of the keys).
+    plan = _plan(spark, sf_dir, "events_sessionization")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantization_has_no_shuffle(spark, sf_dir):
+    # int8 quantization is a pure per-row map — any Exchange would mean
+    # the corpus moves before it is compressed.
+    plan = _plan(spark, sf_dir, "vector_quantize_int8")
+    assert "Exchange" not in plan
