@@ -383,3 +383,43 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank INT, merged_pair STRING, n BIGINT"
     )
+
+
+# PII scrubbing patterns — the regex subset where Java (Spark) and RE2
+# (DuckDB) agree exactly, so the oracle replays the scrub verbatim.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_LONGNUM = "[0-9]{6,}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_LONGNUM}')) AS n_longnums,
+           md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{PII_LONGNUM}', '<NUM>', 'g')) AS scrubbed_fp
+    FROM documents
+    """,
+    doc="PII scrubbing pass: redact emails and long digit runs, count "
+    "redactions, fingerprint the scrubbed text (the pre-training "
+    "hygiene step every corpus pipeline runs before packing).  Pure "
+    "per-row regex map — zero shuffles; patterns restricted to the "
+    "Java/RE2-common subset so the oracle replays them exactly.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    c = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_LONGNUM, "<NUM>"
+    )
+    return t.documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_LONGNUM), F.lit(0)))
+        .cast("bigint")
+        .alias("n_longnums"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )

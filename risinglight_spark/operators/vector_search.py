@@ -482,3 +482,49 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(err_terms, F.lit(0.0), lambda a, x: a + x)
         ).alias("recon_err"),
     )
+
+
+@register(
+    "semantic_search_e2e",
+    oracle=f"""
+    WITH topk AS (
+      SELECT vec_id, {_cosine_sql('embedding', QUERY_VEC)} AS cos_dist
+      FROM embeddings
+      ORDER BY cos_dist, vec_id
+      LIMIT 5
+    )
+    SELECT t.vec_id, t.cos_dist, d.lang, d.source,
+           substring(d.text, 1, 80) AS snippet
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    ORDER BY t.cos_dist, t.vec_id
+    """,
+    doc="End-to-end semantic search: brute-force cosine top-k over the "
+    "embedding corpus, joined back to the document store for display "
+    "fields.  The cross-modal join is keyed on the shared id — at "
+    "scale the 5-row top-k side broadcasts, so the document corpus "
+    "never shuffles to serve a query.",
+)
+def semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    topk = (
+        t.embeddings.select(
+            "vec_id",
+            cosine_distance(F.col("embedding"), lit_vector(QUERY_VEC)).alias(
+                "cos_dist"
+            ),
+        )
+        .orderBy("cos_dist", "vec_id")
+        .limit(5)
+    )
+    return (
+        F.broadcast(topk)
+        .join(t.documents, topk.vec_id == F.col("doc_id"))
+        .select(
+            "vec_id",
+            "cos_dist",
+            "lang",
+            "source",
+            F.substring("text", 1, 80).alias("snippet"),
+        )
+        .orderBy("cos_dist", "vec_id")
+    )
