@@ -74,9 +74,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer `div`, not `/`: float division round-trips the int64
-        # nanos through double (2^53 mantissa) and drifts by 1 us.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Only rewrite when the file really is ns-typed (read back as
+        # int64): an events table RE-written by this engine (COPY, the
+        # scaling harness) is already us-typed TIMESTAMP.
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div`, not `/`: float division round-trips the
+            # int64 nanos through double (2^53 mantissa) and drifts
+            # by 1 us.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
     else:
         df = spark.read.parquet(path)
     _df_cache[key] = df
