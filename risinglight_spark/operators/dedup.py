@@ -440,3 +440,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
     )
+
+
+def _minhash_verified_oracle() -> str:
+    return f"""
+    WITH cand AS ({_minhash_oracle()}),
+    jac AS ({_jaccard_oracle().replace(">= 0.5", ">= 0.0")})
+    SELECT c.doc_a, c.doc_b, c.est_sim, j.jaccard
+    FROM cand c JOIN jac j USING (doc_a, doc_b)
+    WHERE j.jaccard >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=_minhash_verified_oracle(),
+    doc="The full two-stage near-dup pipeline: MinHash-LSH generates "
+    "candidates (cheap, probabilistic), then EXACT Jaccard verifies "
+    "each candidate and drops false positives.  The exact check only "
+    "runs on the candidate set, never the corpus cross-product — the "
+    "precision/recall structure every production dedup uses.  One "
+    "extra keyed join on (doc_a, doc_b), cost O(|candidates|).",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    # exact Jaccard, unthresholded (thresholding happens after the
+    # candidate join so FALSE candidates are visible to the filter)
+    t = Tables(spark, sf_dir)
+    has_shingles = F.size(T.tokens(T.normalized_text(F.col("text")))) >= 3
+    docs = t.documents.filter(has_shingles).select(
+        "doc_id", T.word_shingles(F.col("text")).alias("shingles")
+    )
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("x.n") + F.col("y.n") - F.col("n_shared")
+    )
+    exact = (
+        shared.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_sim", "jaccard")
+    )
