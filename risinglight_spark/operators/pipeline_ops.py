@@ -183,6 +183,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- greedy bin packing (applyInPandas) -------------------------------------
+
+BIN_CAP_TOKENS = 512
+
+
+def _pack_bins(pdf):
+    """First-fit-decreasing bin packing of one source shard.
+    Deterministic: docs sorted by (tokens desc, doc_id); each goes into
+    the lowest-numbered bin with room, else opens a new bin."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    bins: list[int] = []  # remaining capacity per bin
+    rows = []
+    for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+        for i, rem in enumerate(bins):
+            if n <= rem:
+                bins[i] = rem - n
+                rows.append((doc_id, i))
+                break
+        else:
+            bins.append(max(BIN_CAP_TOKENS - n, 0))
+            rows.append((doc_id, len(bins) - 1))
+    out = pd.DataFrame(rows, columns=["doc_id", "bin_id"])
+    out["source"] = pdf["source"].iloc[0] if len(pdf) else None
+    out["n_tokens"] = pdf["n_tokens"].values
+    return out[["source", "bin_id", "doc_id", "n_tokens"]]
+
+
+@register(
+    "pack_greedy_bins",
+    oracle=None,  # sequential first-fit is not SQL-expressible;
+    # invariants pinned in tests/test_properties.py
+    doc=f"First-fit-decreasing bin packing of documents into "
+    f"{BIN_CAP_TOKENS}-token training bins, per source shard via "
+    f"applyInPandas (grouped Arrow batches).  Unlike pack_sequences' "
+    f"concat-and-chunk, FFD minimizes padding waste when documents "
+    f"must not span bins.  Shuffles once on source; each group packs "
+    f"independently — the per-shard sequential scan is the "
+    f"algorithm's nature, parallelism comes from shard count.",
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return toks.groupBy("source").applyInPandas(
+        _pack_bins,
+        schema="source string, bin_id long, doc_id long, n_tokens long",
+    )
+
+
 # -- deterministic stratified sampling --------------------------------------
 
 SAMPLE_BUCKETS = 1000

@@ -189,3 +189,34 @@ def test_doc_features_udf_matches_expressions(spark, sf_dir):
     a = {r.doc_id: (r.lang_detected, r.q, r.fp, r.ws) for r in expr_side.collect()}
     b = {r.doc_id: (r.lang_detected, r.q, r.fp, r.ws) for r in udf_side.collect()}
     assert a == b  # exact, including float bits
+
+
+def test_pack_greedy_bins_invariants(spark, sf_dir):
+    from risinglight_spark.operators.pipeline_ops import BIN_CAP_TOKENS
+    from risinglight_spark.registry import collect
+
+    fn = collect()["pack_greedy_bins"].fn
+    rows = fn(spark, sf_dir).collect()
+    rows2 = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))  # deterministic
+    by_bin: dict[tuple, int] = {}
+    for r in rows:
+        by_bin[(r.source, r.bin_id)] = by_bin.get((r.source, r.bin_id), 0) + r.n_tokens
+    docs_per_bin: dict[tuple, int] = {}
+    for r in rows:
+        docs_per_bin[(r.source, r.bin_id)] = docs_per_bin.get((r.source, r.bin_id), 0) + 1
+    for k, tot in by_bin.items():
+        # capacity respected unless a single oversize doc owns the bin
+        assert tot <= BIN_CAP_TOKENS or docs_per_bin[k] == 1
+    # every source's doc set is fully assigned exactly once
+    from risinglight_spark.functions import text as T
+    from risinglight_spark.tables import load
+    from pyspark.sql import functions as F
+
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .filter(T.token_count(F.col("text")) > 0)
+        .count()
+    )
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
