@@ -374,3 +374,36 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "active_week")
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "events_windowed_topk",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, user_id, count(*) AS n
+      FROM events GROUP BY hr, user_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY hr
+                                   ORDER BY n DESC, user_id) AS rk
+      FROM hourly
+    )
+    SELECT hr, user_id, n, rk FROM ranked WHERE rk <= 3
+    """,
+    doc="Top-3 most active users per hour: pre-aggregate to (hour, "
+    "user) counts FIRST (map-side partials collapse the event stream), "
+    "then a rank window over the small per-hour aggregate — the "
+    "windowed-leaderboard pattern; the rank never sees raw events.",
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hr").orderBy(F.desc("n"), "user_id")
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
