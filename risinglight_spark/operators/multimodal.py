@@ -206,3 +206,88 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("frame_no") * FRAME_BYTES).alias("byte_offset"),
         )
     )
+
+
+TARGET_W, TARGET_H = 224, 224
+_RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, "
+    "scale double, out_bytes bigint"
+)
+
+
+def _resize_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Arrow-batched 'resize' stage.  The real pixel resample is
+    stubbed (no PIL/opencv in this container — see decode_image_real);
+    source dims are derived deterministically from the payload and the
+    letterbox geometry (aspect-preserving scale into TARGET_WxTARGET_H)
+    is computed exactly as a real resizer would."""
+    for pdf in batches:
+        n = pdf["n_bytes"]
+        src_w = (n % 640 + 32).astype("int32")
+        src_h = (n % 480 + 24).astype("int32")
+        scale = pd.concat(
+            [TARGET_W / src_w, TARGET_H / src_h], axis=1
+        ).min(axis=1)
+        # truncation (astype) is mirrored by trunc() in the oracle —
+        # DuckDB's bare CAST rounds instead
+        dst_w = (src_w * scale).astype("int64")
+        dst_h = (src_h * scale).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": src_w,
+                "src_h": src_h,
+                "dst_w": dst_w.astype("int32"),
+                "dst_h": dst_h.astype("int32"),
+                "scale": scale,
+                "out_bytes": (dst_w * dst_h * 3).astype("int64"),
+            }
+        )
+
+
+@register(
+    "mm_resize_stub",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, octet_length(text::BLOB) AS n
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             (n % 640 + 32)::INT AS src_w,
+             (n % 480 + 24)::INT AS src_h
+      FROM src
+    ),
+    scaled AS (
+      SELECT doc_id, src_w, src_h,
+             least({TARGET_W}.0 / src_w, {TARGET_H}.0 / src_h) AS scale
+      FROM dims
+    ),
+    sized AS (
+      SELECT *,
+             CAST(trunc(src_w * scale) AS BIGINT) AS dw,
+             CAST(trunc(src_h * scale) AS BIGINT) AS dh
+      FROM scaled
+    )
+    SELECT doc_id, src_w, src_h,
+           dw::INT AS dst_w, dh::INT AS dst_h, scale,
+           (dw * dh * 3) AS out_bytes
+    FROM sized
+    """,
+    doc=f"Image resize stage ({TARGET_W}x{TARGET_H} letterbox): "
+    "mapInPandas over the payload batches computes the aspect-"
+    "preserving scale, output dims, and output byte size.  The pixel "
+    "resample itself is stubbed (no image libs here) but the Spark "
+    "plumbing — Arrow batch shapes, schema, partition-parallel map, "
+    "zero shuffles — is the real 100 TB dataflow; the oracle replays "
+    "the geometry exactly.",
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    src = t.documents.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    return src.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
