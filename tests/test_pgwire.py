@@ -135,3 +135,29 @@ def test_multi_statement_query(client):
     _, rows, tags, errs = client.query("SELECT 1 AS a; SELECT 2 AS b")
     assert not errs
     assert tags == ["SELECT 1", "SELECT 1"] and rows == [["1"], ["2"]]
+
+
+def test_concurrent_clients(server):
+    import threading
+
+    port = server.server_address[1]
+    results: dict[int, object] = {}
+
+    def worker(i: int) -> None:
+        try:
+            c = MiniPgClient(port)
+            _, rows, _, errs = c.query(
+                f"SELECT count(*) AS n FROM lineitem WHERE l_orderkey % 4 = {i % 4}"
+            )
+            results[i] = rows[0][0] if not errs else f"err:{errs}"
+            c.close()
+        except Exception as exc:
+            results[i] = f"exc:{exc}"
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 4
+    assert all(str(v).isdigit() for v in results.values()), results
