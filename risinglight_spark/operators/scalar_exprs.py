@@ -289,3 +289,119 @@ def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(T.tokens(F.col("text"))).alias("pos", "token"),
         )
     )
+
+
+@register(
+    "expr_string_library",
+    oracle="""
+    SELECT o_orderkey,
+           lpad(o_orderpriority, 12, '*') AS padded_l,
+           rpad(o_clerk_sub, 8, '.') AS padded_r,
+           reverse(o_orderpriority) AS rev,
+           split_part(o_orderpriority, '-', 1) AS prio_code,
+           ltrim(rtrim('  ' || o_orderpriority || '  ')) AS trimmed,
+           upper(o_orderpriority) AS up, lower(o_orderpriority) AS lo,
+           instr(o_orderpriority, '-')::BIGINT AS dash_at
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             substring(o_orderpriority, 1, 3) AS o_clerk_sub
+      FROM orders WHERE o_orderkey < 500
+    )
+    """,
+    doc="String library breadth: lpad/rpad, reverse, split_part, "
+    "ltrim/rtrim, case mapping, instr — the everyday string surface a "
+    "migrating workload expects beyond the reference's concat/"
+    "substring/replace/repeat set.",
+)
+def expr_string_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    p = F.col("o_orderpriority")
+    return t.orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.lpad(p, 12, "*").alias("padded_l"),
+        F.rpad(F.substring(p, 1, 3), 8, ".").alias("padded_r"),
+        F.reverse(p).alias("rev"),
+        F.split_part(p, F.lit("-"), F.lit(1)).alias("prio_code"),
+        F.ltrim(F.rtrim(F.concat(F.lit("  "), p, F.lit("  ")))).alias("trimmed"),
+        F.upper(p).alias("up"),
+        F.lower(p).alias("lo"),
+        F.instr(p, "-").cast("bigint").alias("dash_at"),
+    )
+
+
+@register(
+    "expr_math_library",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0) AS absdiff,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_pct,
+           CAST(floor(l_tax * 100) AS BIGINT) AS floor_pct,
+           round(l_extendedprice / 1000.0, 2) AS price_k,
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS sgn,
+           CAST(l_quantity AS BIGINT) % 7 AS qmod,
+           round(sqrt(l_extendedprice), 10) AS root,
+           round(ln(l_extendedprice), 10) AS lnp,
+           round(power(l_discount + 1.0, 2.0), 10) AS p2
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+    doc="Math library breadth: abs/ceil/floor/round/sign/mod/sqrt/ln/"
+    "power.  Transcendentals (sqrt aside) are rounded to 10 dp in BOTH "
+    "engines — JVM StrictMath and libm disagree in the last ulp, the "
+    "same last-ulp class the IDF query handles.",
+)
+def expr_math_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ep, disc, tax, qty = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+        F.col("l_quantity"),
+    )
+    return t.lineitem.filter(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(ep - 30000.0).alias("absdiff"),
+        F.ceil(disc * 100).alias("ceil_pct"),
+        F.floor(tax * 100).alias("floor_pct"),
+        F.round(ep / 1000.0, 2).alias("price_k"),
+        F.signum(ep - 30000.0).alias("sgn"),
+        (qty.cast("bigint") % 7).alias("qmod"),
+        F.round(F.sqrt(ep), 10).alias("root"),
+        F.round(F.log(ep), 10).alias("lnp"),
+        F.round(F.pow(disc + 1.0, 2.0), 10).alias("p2"),
+    )
+
+
+@register(
+    "expr_datetime_library",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE))::INT AS days_since,
+           (dayofweek(o_orderdate) + 1)::INT AS dow,  -- DuckDB 0=Sun, Spark 1=Sun
+           (quarter(o_orderdate))::INT AS qtr,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="Datetime library breadth: interval add, month truncation, "
+    "last_day, day diffs, day-of-week, quarter, formatting — mapped "
+    "across dialects (Spark date_format/datediff vs DuckDB "
+    "strftime/date_diff) with identical values.",
+)
+def expr_datetime_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return t.orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_add(d, 30).alias("plus30"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1998-01-01").cast("date")).cast("int").alias("days_since"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
