@@ -296,3 +296,35 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "click_value")
     return _run_to_table(j, spark, "append")
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT TIMESTAMP '1970-01-01'
+               + ((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900)
+                 * INTERVAL 1 SECOND AS win_start,
+             event_type
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT win_start, event_type, count(*) AS n
+    FROM w GROUP BY win_start, event_type
+    """,
+    doc="Streaming sliding-window aggregation (1 h windows sliding "
+    "every 15 min — each event lands in 4 overlapping windows).  "
+    "State is (window x type), bounded by the watermark horizon; the "
+    "oracle replays Spark's epoch-aligned window assignment by "
+    "explicit offset expansion.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    return _run_to_table(agg, spark, "complete")
