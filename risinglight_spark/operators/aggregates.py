@@ -341,3 +341,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)::INT AS g_status,
+           GROUPING(o_orderpriority)::INT AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUPING() markers on rollup rows — distinguishes 'NULL "
+    "because subtotal' from 'NULL in the data', required for correct "
+    "report rendering over grouping sets.",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n")

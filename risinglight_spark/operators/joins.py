@@ -285,3 +285,59 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spent"),
         )
     )
+
+
+@register(
+    "join_cross_tiny",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="Deliberate CROSS JOIN of the two constant-size dims (5 x 25 "
+    "rows) — the one place a cartesian product is legitimate.  Any "
+    "cartesian over a FACT table is a bug (asserted absent in "
+    "tests/test_plans.py); dim x dim is bounded at any SF.",
+)
+def join_cross_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.region.select("r_name").crossJoin(t.nation.select("n_name"))
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) o
+    WHERE c.c_custkey < 100
+    """,
+    doc="LATERAL correlated subquery: top-2 orders per customer.  "
+    "Catalyst decorrelates this to a ranked window over the "
+    "customer-keyed join — no per-row re-execution (the reference "
+    "executes apply operators row-at-a-time; Spark rewrites them "
+    "set-oriented).",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice
+               FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) o
+        WHERE c.c_custkey < 100
+        """
+    )
