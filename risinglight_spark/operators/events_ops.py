@@ -407,3 +407,44 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT user_id,
+             {fpsum_sql("value")} / count(value) AS mu,
+             {fpsum_sql("value * value", 1000000)} / count(value) AS m2,
+             count(value) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           (e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu) AS z
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.n >= 10 AND s.m2 - s.mu * s.mu > 1e-12
+      AND abs((e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu)) > 2.0
+    """,
+    doc="Per-user z-score anomaly flags (|z| > 2): population moments "
+    "from deterministic fixed-point sums (built-in stddev is a "
+    "float-associativity lottery across partitionings), one groupBy + "
+    "one keyed join back.  The squared-value sum uses scale 1e6 — "
+    "headroom ~9.2e12 value-units squared, documented bound.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    v = F.col("value")
+    stats = t.events.groupBy("user_id").agg(
+        (fpsum(v) / F.count(v)).alias("mu"),
+        (fpsum(v * v, 1e6) / F.count(v)).alias("m2"),
+        F.count(v).alias("n"),
+    )
+    j = t.events.join(stats, "user_id")
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    z = (v - F.col("mu")) / F.sqrt(var)
+    return (
+        j.filter((F.col("n") >= 10) & (var > 1e-12) & (F.abs(z) > 2.0))
+        .select("event_id", "user_id", "value", z.alias("z"))
+    )

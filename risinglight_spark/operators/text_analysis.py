@@ -423,3 +423,44 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_longnums"),
         F.md5(scrubbed).alias("scrubbed_fp"),
     )
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {T.quality_score_sql("text")} AS q
+      FROM documents
+    ),
+    tiled AS (
+      SELECT doc_id, lang, q,
+             ntile(3) OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+               AS tercile
+      FROM scored
+    )
+    SELECT doc_id, lang, q,
+           (CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END) AS bucket
+    FROM tiled
+    """,
+    doc="CCNet-style quality bucketing: per-language terciles of the "
+    "quality score labeled head/middle/tail (the bucket a document "
+    "lands in decides its sampling weight during pre-training).  One "
+    "lang-keyed window; total order (doc_id tiebreak) keeps buckets "
+    "deterministic at any parallelism.",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), "doc_id")
+    tercile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+    )
+    return scored.select("doc_id", "lang", "q", bucket.alias("bucket"))

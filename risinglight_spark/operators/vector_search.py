@@ -528,3 +528,55 @@ def semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cos_dist", "vec_id")
     )
+
+
+MRL_DIM = 16
+
+
+def _cosine_trunc_sql(col: str, q: list[float], d: int) -> str:
+    qv = "[" + ", ".join(repr(float(x)) for x in q[:d]) + "]"
+    tv = f"list_transform({col}[1:{d}], x -> CAST(x AS DOUBLE))"
+    dot = (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {d}), i -> ({tv})[i] * ({qv})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+    nrm = (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({tv}, "
+        f"x -> x * x)), (acc, x) -> acc + x))"
+    )
+    qn = f"sqrt(list_reduce(list_prepend(0.0, list_transform({qv}, x -> x * x)), (acc, x) -> acc + x))"
+    return f"(1.0 - {dot} / ({nrm} * {qn}))"
+
+
+@register(
+    "ann_matryoshka_truncated",
+    oracle=f"""
+    SELECT vec_id, label,
+           {_cosine_trunc_sql('embedding', QUERY_VEC, MRL_DIM)} AS cos_dist_16
+    FROM embeddings
+    ORDER BY cos_dist_16, vec_id
+    LIMIT 10
+    """,
+    doc=f"Matryoshka-style truncated-dimension search: cosine top-k "
+    f"using only the first {MRL_DIM} of {DIM} dims — the coarse pass "
+    f"of a two-stage MRL retrieval (scan cost drops {DIM // MRL_DIM}x, "
+    f"full-dim rerank runs on the shortlist only).  Same "
+    f"TakeOrderedAndProject shape as the exact search.",
+)
+def ann_matryoshka_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.functions.vector import cosine_distance
+
+    t = Tables(spark, sf_dir)
+    trunc = F.slice(F.col("embedding"), 1, MRL_DIM)
+    return (
+        t.embeddings.select(
+            "vec_id",
+            "label",
+            cosine_distance(trunc, lit_vector(QUERY_VEC[:MRL_DIM])).alias(
+                "cos_dist_16"
+            ),
+        )
+        .orderBy("cos_dist_16", "vec_id")
+        .limit(10)
+    )
