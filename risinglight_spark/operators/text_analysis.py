@@ -464,3 +464,50 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return scored.select("doc_id", "lang", "q", bucket.alias("bucket"))
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest({T.tokens_sql(T.normalized_text_sql("text"))}) AS tok
+      FROM documents
+    ),
+    freq AS MATERIALIZED (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ),
+    total AS (SELECT count(*) AS t FROM toks)
+    SELECT d.doc_id,
+           count(*) AS n_tokens,
+           ({fpsum_sql("round(-ln(f.n::DOUBLE / (SELECT t FROM total)), 10)", 1000000)}
+            / count(*)) AS avg_neg_logprob
+    FROM toks d JOIN freq f USING (tok)
+    GROUP BY d.doc_id
+    """,
+    doc="Unigram negative-log-probability per document — the cheap "
+    "stand-in for LM-perplexity quality filtering (KenLM-style): "
+    "corpus token frequencies as the model, score = mean -ln p(tok).  "
+    "ln rounded to 10 dp (JVM/libm last-ulp), then fixed-point summed "
+    "so the per-doc mean is partition-order independent.  Two "
+    "shuffles: the frequency groupBy and the doc rollup; the freq "
+    "table join is token-keyed (broadcast at vocab scale).",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+    ).localCheckpoint()
+    total = toks.count()
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    neg_ln = F.round(-F.log(F.col("n").cast("double") / total), 10)
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (fpsum(neg_ln, 1e6) / F.count("*")).alias("avg_neg_logprob"),
+        )
+    )
