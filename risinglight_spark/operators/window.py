@@ -243,3 +243,35 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.filter(F.col("o_orderkey") < 2000)
         .select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value / last_value / nth_value over an explicit "
+    "full-partition frame (the default frame would make last_value "
+    "degenerate to the current row).  Deterministic via the "
+    "(orderdate, orderkey) total order.",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
