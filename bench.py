@@ -78,13 +78,21 @@ def main() -> None:
         load(spark, sf_dir, t).count()
     entries["tpch_q6"].fn(spark, sf_dir).collect()
 
+    # Best-of-N timing (criterion-style: the reference benches with
+    # sample_size=10 and reports the distribution min/median).  The
+    # minimum is the steady-state latency; a single sample can be 3x
+    # inflated by unrelated machine load.
+    samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
     per_query: dict[str, float] = {}
     total = 0.0
     for name in names:
-        t0 = time.perf_counter()
-        df = entries[name].fn(spark, sf_dir)
-        df.collect()
-        dt = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            entries[name].fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        dt = round(best, 3)
         per_query[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
