@@ -189,14 +189,45 @@ def lsh_bucket(vec: Column) -> Column:
     return bucket
 
 
+def _lsh_qbucket() -> int:
+    qbucket = 0
+    for p, plane in enumerate(PLANES):
+        s = 0.0
+        for a, b in zip(QUERY_VEC, plane):
+            s += a * b
+        qbucket += (1 if s >= 0 else 0) * (2**p)
+    return qbucket
+
+
+def _lsh_oracle() -> str:
+    # the hyperplanes are literal constants and the sign test is the
+    # same left-folded double arithmetic as every other vector oracle,
+    # so the bucketing replays exactly — no engine-specific hashing
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', plane)} >= 0"
+        f" THEN {2**p} ELSE 0 END)"
+        for p, plane in enumerate(PLANES)
+    )
+    return f"""
+    SELECT vec_id, label,
+           {_cosine_sql('embedding', QUERY_VEC)} AS cos_dist
+    FROM embeddings
+    WHERE ({bucket}) = {_lsh_qbucket()}
+    ORDER BY cos_dist, vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # engine-specific bucketing; verified by recall test
+    oracle=_lsh_oracle(),
     doc="LSH-bucketed ANN: vectors signed into 2^6 hyperplane buckets, "
     "query probes only its own bucket, exact cosine re-rank inside.  "
     "Candidate set ~1/64 of the corpus — the scale path the reference's "
     "IVF index models (nlists/nprobe, binder/create_index.rs:33-50).  "
-    "Recall vs exact top-k asserted in tests/test_vector.py.",
+    "Recall vs exact top-k asserted in tests/test_vector.py; the "
+    "deterministic-literal hyperplanes make even the bucket assignment "
+    "oracle-replayable.",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
