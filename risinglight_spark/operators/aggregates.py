@@ -364,3 +364,43 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         F.count("*").alias("n"),
     ).select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n")
+
+
+@register(
+    "agg_stats_library",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd_samp,
+           round(stddev_pop(value), 6) AS sd_pop,
+           round(var_samp(value), 6) AS var_samp,
+           round(var_pop(value), 6) AS var_pop,
+           round(corr(value, user_id), 6) AS corr_vu,
+           round(covar_samp(value, user_id), 6) AS cov_samp,
+           round(covar_pop(value, user_id), 6) AS cov_pop,
+           round(median(value), 6) AS med
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Statistical aggregate library: stddev/variance (sample+pop), "
+    "corr, covariance, median — all single-pass JVM aggregates "
+    "(median = exact interpolated percentile, matching DuckDB). "
+    "Rounded to 6 decimals: Spark's streaming (Welford) moments vs "
+    "DuckDB's differ in last-ulp association order.",
+)
+def agg_stats_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v, u = F.col("value"), F.col("user_id")
+    return (
+        t.events.filter(v.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp(v), 6).alias("sd_samp"),
+            F.round(F.stddev_pop(v), 6).alias("sd_pop"),
+            F.round(F.var_samp(v), 6).alias("var_samp"),
+            F.round(F.var_pop(v), 6).alias("var_pop"),
+            F.round(F.corr(v, u), 6).alias("corr_vu"),
+            F.round(F.covar_samp(v, u), 6).alias("cov_samp"),
+            F.round(F.covar_pop(v, u), 6).alias("cov_pop"),
+            F.round(F.median(v), 6).alias("med"),
+        )
+    )

@@ -495,3 +495,56 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_sim", "jaccard")
     )
+
+
+def _decontaminate_oracle() -> str:
+    sh = T.word_shingles_sql("text", 5)
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, (doc_id % 97 = 0) AS is_bench,
+             list_distinct({sh}) AS sh
+      FROM documents
+      WHERE len({sh}) > 0
+    ), corpus AS (
+      SELECT doc_id, unnest(sh) AS s FROM shingled WHERE NOT is_bench
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM shingled WHERE is_bench
+    )
+    SELECT c.doc_id, count(*) AS n_hit_shingles
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """
+
+
+@register(
+    "text_decontaminate",
+    oracle=_decontaminate_oracle(),
+    doc="Benchmark decontamination: flag training docs sharing any "
+    "word-5-gram with a held-out benchmark split (doc_id % 97). "
+    "Inverted-index semi-style join on shingles — the benchmark side "
+    "is tiny (~1% of docs, deduped) so Spark broadcasts it; the "
+    "corpus side streams map-side with zero shuffle of the corpus "
+    "itself.  At 100 TB this is the standard n-gram-collision "
+    "decontamination pass (GPT-3/PaLM style), cost O(corpus shingles).",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sh = T.word_shingles(F.col("text"), 5)
+    shingled = t.documents.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_bench"),
+        F.array_distinct(sh).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    corpus = shingled.filter(~F.col("is_bench")).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    bench = (
+        shingled.filter(F.col("is_bench"))
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )

@@ -368,3 +368,96 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_ts").alias("n_clicks"),
         fpsum(F.col("value")).alias("click_value"),
     )
+
+
+# -- token-budget selection & mixture weighting -----------------------------
+
+TOKEN_BUDGET_PER_SOURCE = 5_000
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, {T.token_count_sql("text")} AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)::BIGINT AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+    """,
+    doc="Per-source token-budget fill: lay docs in deterministic "
+    "doc_id order and keep each source's prefix up to a fixed token "
+    "budget — how pretraining mixtures cap over-represented sources. "
+    "One window cumsum partitioned by source (parallel across "
+    "sources, no global sort); the budget predicate prunes "
+    "everything past the cutoff before any downstream stage.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            "source",
+            T.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+    )
+
+
+@register(
+    "mix_source_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             sum({T.token_count_sql("text")})::BIGINT AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT source, n_docs, tokens,
+             sum(tokens) OVER ()::BIGINT AS total_tokens,
+             count(*) OVER () AS n_sources
+      FROM per_source
+    )
+    SELECT source, n_docs, tokens,
+           round(tokens::DOUBLE / total_tokens, 10) AS actual_share,
+           round((1.0 / n_sources)
+                 / (tokens::DOUBLE / total_tokens), 10) AS weight,
+           round(least((1.0 / n_sources)
+                 / (tokens::DOUBLE / total_tokens), 4.0), 10) AS epochs
+    FROM tot
+    """,
+    doc="Pretraining mixture weighting: per-source token shares and "
+    "the up/down-sampling factor to reach a uniform target mix, "
+    "capped at 4 epochs (the standard repetition-harm bound). "
+    "The per-source rollup is a map-side-combined aggregate; the "
+    "share window runs over K source rows — driver-scale metadata, "
+    "not data.",
+)
+def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per = t.documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(w)
+    weight = (F.lit(1.0) / F.count("*").over(w)) / share
+    return per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(share, 10).alias("actual_share"),
+        F.round(weight, 10).alias("weight"),
+        F.round(F.least(weight, F.lit(4.0)), 10).alias("epochs"),
+    )

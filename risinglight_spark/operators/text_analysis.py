@@ -511,3 +511,88 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (fpsum(neg_ln, 1e6) / F.count("*")).alias("avg_neg_logprob"),
         )
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(text), '[.!?]+') AS raw_sents,
+             {T.word_shingles_sql("text", 2)} AS g2,
+             {T.word_shingles_sql("text", 3)} AS g3
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+             list_filter(list_transform(raw_sents, s -> trim(s)),
+                         s -> s <> '') AS sents,
+             g2, g3
+      FROM feats
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(sents) = 0 THEN 0.0
+                 ELSE (len(sents) - len(list_distinct(sents)))::DOUBLE
+                      / len(sents) END, 10) AS dup_sent_frac,
+           round(CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE (len(g2) - len(list_distinct(g2)))::DOUBLE
+                      / len(g2) END, 10) AS dup_2gram_frac,
+           round(CASE WHEN len(g3) = 0 THEN 0.0
+                 ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE
+                      / len(g3) END, 10) AS dup_3gram_frac,
+           (CASE WHEN len(sents) > 0 AND
+                      (len(sents) - len(list_distinct(sents)))::DOUBLE
+                      / len(sents) > 0.30 THEN true
+                 WHEN len(g2) > 0 AND
+                      (len(g2) - len(list_distinct(g2)))::DOUBLE
+                      / len(g2) > 0.20 THEN true
+                 ELSE false END) AS flagged
+    FROM cleaned
+    """,
+    doc="Gopher-style within-document repetition signals (duplicate "
+    "sentence / 2-gram / 3-gram fractions) and a repetition flag. "
+    "Pure per-row array arithmetic: no explode, no shuffle — a "
+    "single codegen stage over the scan, so it scales linearly to "
+    "100 TB unlike explode+groupBy formulations.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def dup_frac(arr):
+        return F.round(
+            F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+                (F.size(arr) - F.size(F.array_distinct(arr)))
+                .cast("double") / F.size(arr)
+            ),
+            10,
+        )
+
+    def raw_frac(arr):
+        return (
+            (F.size(arr) - F.size(F.array_distinct(arr))).cast("double")
+            / F.size(arr)
+        )
+
+    sents = F.filter(
+        F.transform(
+            F.split(F.lower(F.col("text")), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    g2 = T.word_shingles(F.col("text"), 2)
+    g3 = T.word_shingles(F.col("text"), 3)
+    d = t.documents.select(
+        "doc_id",
+        sents.alias("sents"),
+        g2.alias("g2"),
+        g3.alias("g3"),
+    )
+    return d.select(
+        "doc_id",
+        dup_frac(F.col("sents")).alias("dup_sent_frac"),
+        dup_frac(F.col("g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("g3")).alias("dup_3gram_frac"),
+        (
+            ((F.size("sents") > 0) & (raw_frac(F.col("sents")) > 0.30))
+            | ((F.size("g2") > 0) & (raw_frac(F.col("g2")) > 0.20))
+        ).alias("flagged"),
+    )

@@ -275,3 +275,26 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 10) AS pr,
+           round(cume_dist() OVER w, 10) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    doc="percent_rank / cume_dist relative-position window functions. "
+    "Both are functions of the value ordering alone, so ties in "
+    "o_totalprice are deterministic without a full tie-break.",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return t.orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 10).alias("pr"),
+        F.round(F.cume_dist().over(w), 10).alias("cd"),
+    )

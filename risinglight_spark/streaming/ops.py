@@ -328,3 +328,37 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("win_start"), "event_type", "n")
     )
     return _run_to_table(agg, spark, "complete")
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="Stream-static join: the event stream enriched with the "
+    "static customer dimension.  Stateless — the static side is a "
+    "broadcast hash map re-resolved per micro-batch (picks up dim "
+    "updates), so no streaming state at all; at 100 TB/day the "
+    "stream side never shuffles.  Result equals the batch join "
+    "(oracle).",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.tables import load
+
+    sdf = _events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            "value",
+        )
+    )
+    return _run_to_table(j, spark, "append")
