@@ -404,3 +404,30 @@ def agg_stats_library(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median(v), 6).alias("med"),
         )
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube): three grouping "
+    "shapes in one pass — Spark expands to a single Expand+HashAgg, "
+    "one scan and one shuffle instead of three.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("rl_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(avg(o_totalprice), 6) AS avg_price
+        FROM rl_gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )

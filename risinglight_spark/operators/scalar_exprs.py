@@ -405,3 +405,100 @@ def expr_datetime_library(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("int").alias("qtr"),
         F.date_format(d, "yyyy-MM").alias("ym"),
     )
+
+
+@register(
+    "expr_regexp_library",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
+           regexp_matches(text, '[.!?]$') AS ends_sentence,
+           regexp_extract(text, '([A-Za-z]+)\s+([A-Za-z]+)', 2) AS second_word
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="Regexp scalar library: extract (group refs), global replace, "
+    "match predicate — all JVM-side regexp codegen, no Python. "
+    "DuckDB regexp_replace needs the 'g' flag to match Spark's "
+    "replace-all semantics.",
+)
+def expr_regexp_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    txt = F.col("text")
+    return t.documents.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.regexp_extract(txt, r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_replace(txt, r"[0-9]+", "#").alias("digits_masked"),
+        txt.rlike(r"[.!?]$").alias("ends_sentence"),
+        F.regexp_extract(txt, r"([A-Za-z]+)\s+([A-Za-z]+)", 2).alias(
+            "second_word"
+        ),
+    )
+
+
+@register(
+    "expr_bitwise_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, o_custkey) AS bxor,
+           (o_orderkey << 2)::BIGINT AS shl,
+           (o_orderkey >> 1)::BIGINT AS shr,
+           ~o_orderkey AS bnot,
+           bit_count(o_orderkey)::INT AS popcnt
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    doc="Bitwise expression family (& | xor << >> ~ bit_count) — used "
+    "by every hash/partition/bloom trick in the engine; all codegen "
+    "integer ops.",
+)
+def expr_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return t.orders.filter(k < 2000).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("bxor"),
+        F.shiftleft(k, 2).cast("bigint").alias("shl"),
+        F.shiftright(k, 1).cast("bigint").alias("shr"),
+        F.bitwise_not(k).alias("bnot"),
+        F.bit_count(k).cast("int").alias("popcnt"),
+    )
+
+
+@register(
+    "expr_array_library",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::INT AS dim,
+           round(embedding[1], 8) AS first_dim,
+           round(embedding[len(embedding)], 8) AS last_dim,
+           round(list_min(embedding), 8) AS mn,
+           round(list_max(embedding), 8) AS mx,
+           list_contains(list_transform(embedding, x -> x > 0.0), true)
+             AS has_positive,
+           round(list_sort(embedding)[2], 8) AS second_smallest
+    FROM embeddings WHERE vec_id < 200
+    """,
+    doc="Collection/array scalar library over the embedding column: "
+    "size, indexing, min/max, existence predicate, sort — the "
+    "building blocks the vector ops compose; all higher-order "
+    "JVM expressions, no explode.",
+)
+def expr_array_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+    return t.embeddings.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1), 8).alias("first_dim"),
+        F.round(F.element_at(e, F.size(e)), 8).alias("last_dim"),
+        F.round(F.array_min(e), 8).alias("mn"),
+        F.round(F.array_max(e), 8).alias("mx"),
+        F.exists(e, lambda x: x > 0.0).alias("has_positive"),
+        F.round(F.element_at(F.sort_array(e), 2), 8).alias(
+            "second_smallest"
+        ),
+    )
