@@ -35,6 +35,9 @@ HEADLINE_EXTRA = (
     "events_asof_join",
     "events_range_join",
     "pack_sequences",
+    "text_repetition_filter",
+    "text_decontaminate",
+    "text_line_dedup_c4",
 )
 
 

@@ -448,3 +448,80 @@ def doc_features_pandas():
         )
 
     return _udf
+
+
+def _word_ngrams(toks: list, n: int) -> list:
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def word_shingles_pandas(n: int = 3):
+    """Arrow-batched replay of ``word_shingles`` (string word n-grams
+    of the normalized text).  Same rationale as shingle_hashes_pandas:
+    the Column version's element_at lambda chain is interpreted and
+    re-tokenizes per output element (O(tokens²) per doc); one Python
+    pass is linear and stays per-partition parallel.  Parity with
+    ``word_shingles_sql`` is exact: same normalization (lower,
+    ws-collapse, trim), same Java-\\s-equivalent splitter, same
+    space-joined shingle strings."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append([])
+                continue
+            toks = [x for x in _JAVA_WS.split(t.lower().strip()) if x]
+            out.append(_word_ngrams(toks, n))
+        return pd.Series(out)
+
+    return _udf
+
+
+_SENT_SPLIT = _re.compile(r"[.!?]+")
+
+
+def repetition_counts_pandas():
+    """Arrow-batched within-doc repetition counts for the Gopher-style
+    filter: (n_sents, dup_sents, n_g2, dup_g2, n_g3, dup_g3) per doc.
+    Counts only — the fractions and their rounding stay in codegen'd
+    built-ins so round() semantics match the SQL oracle exactly.
+    Sentences = trimmed non-empty splits of lower(text) on [.!?]+;
+    n-grams over the normalized-text tokens, both identical to the
+    oracle's formulas."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema = (
+        "n_sents bigint, dup_sents bigint, n_g2 bigint, "
+        "dup_g2 bigint, n_g3 bigint, dup_g3 bigint"
+    )
+
+    @pandas_udf(schema)
+    def _udf(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            if t is None:
+                rows.append((0, 0, 0, 0, 0, 0))
+                continue
+            low = t.lower()
+            sents = [s.strip() for s in _SENT_SPLIT.split(low)]
+            sents = [s for s in sents if s]
+            toks = [x for x in _JAVA_WS.split(low.strip()) if x]
+            g2 = _word_ngrams(toks, 2)
+            g3 = _word_ngrams(toks, 3)
+            rows.append(
+                (
+                    len(sents), len(sents) - len(set(sents)),
+                    len(g2), len(g2) - len(set(g2)),
+                    len(g3), len(g3) - len(set(g3)),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["n_sents", "dup_sents", "n_g2", "dup_g2", "n_g3", "dup_g3"],
+        )
+
+    return _udf

@@ -431,3 +431,61 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus, o_orderpriority))
         """
     )
+
+
+@register(
+    "agg_bool_logical",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 10.0) AS all_gt10,
+           bool_or(value > 900.0) AS any_gt900,
+           count(*) FILTER (WHERE value > 500.0) AS n_gt500
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Boolean aggregates (bool_and/bool_or) plus FILTER'd count — "
+    "single-pass partial-aggregating predicates.",
+)
+def agg_bool_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = F.col("value")
+    return (
+        t.events.filter(v.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.bool_and(v > 10.0).alias("all_gt10"),
+            F.bool_or(v > 900.0).alias("any_gt900"),
+            F.count(F.when(v > 500.0, 1)).alias("n_gt500"),
+        )
+    )
+
+
+@register(
+    "agg_string_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|')
+             AS distinct_statuses
+    FROM orders WHERE o_orderkey < 300
+    GROUP BY o_orderpriority
+    """,
+    doc="Ordered string aggregation (listagg/string_agg) and sorted "
+    "distinct array_agg — deterministic via explicit in-aggregate "
+    "ordering, the only safe way to hash-compare concatenations "
+    "across engines.",
+)
+def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderkey") < 300)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), "|"
+            ).alias("distinct_statuses"),
+        )
+    )

@@ -529,7 +529,10 @@ def _decontaminate_oracle() -> str:
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    sh = T.word_shingles(F.col("text"), 5)
+    # One Arrow pass for the 5-gram strings (the Column word_shingles
+    # re-tokenizes per element, interpreted — O(tokens^2)/doc); the
+    # distinct/explode/join stay JVM-side.
+    sh = T.word_shingles_pandas(5)(F.col("text"))
     shingled = t.documents.select(
         "doc_id",
         (F.col("doc_id") % 97 == 0).alias("is_bench"),

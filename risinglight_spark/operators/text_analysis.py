@@ -556,43 +556,86 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # Counts come from ONE Arrow pass (the Column formulation's
+    # element_at lambdas are interpreted and re-tokenize per element —
+    # O(tokens^2) per doc and re-evaluated per consumer); fractions and
+    # rounding stay in codegen built-ins for oracle round() parity.
+    c = T.repetition_counts_pandas()(F.col("text"))
+    d = t.documents.select("doc_id", c.alias("c")).select("doc_id", "c.*")
 
-    def dup_frac(arr):
-        return F.round(
-            F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
-                (F.size(arr) - F.size(F.array_distinct(arr)))
-                .cast("double") / F.size(arr)
-            ),
-            10,
+    def frac(dup, n):
+        return F.when(F.col(n) == 0, F.lit(0.0)).otherwise(
+            F.col(dup).cast("double") / F.col(n)
         )
 
-    def raw_frac(arr):
-        return (
-            (F.size(arr) - F.size(F.array_distinct(arr))).cast("double")
-            / F.size(arr)
-        )
+    return d.select(
+        "doc_id",
+        F.round(frac("dup_sents", "n_sents"), 10).alias("dup_sent_frac"),
+        F.round(frac("dup_g2", "n_g2"), 10).alias("dup_2gram_frac"),
+        F.round(frac("dup_g3", "n_g3"), 10).alias("dup_3gram_frac"),
+        (
+            ((F.col("n_sents") > 0) & (frac("dup_sents", "n_sents") > 0.30))
+            | ((F.col("n_g2") > 0) & (frac("dup_g2", "n_g2") > 0.20))
+        ).alias("flagged"),
+    )
 
-    sents = F.filter(
+
+@register(
+    "text_line_dedup_c4",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id, trim(s) AS sent
+      FROM documents,
+           unnest(regexp_split_to_array(lower(text), '[.!?]+')) AS u(s)
+      WHERE trim(s) <> ''
+    ), freq AS (
+      SELECT sent, count(DISTINCT doc_id) AS n_docs
+      FROM sents GROUP BY sent
+    )
+    SELECT s.doc_id,
+           count(*) AS n_sents,
+           sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_shared_sents,
+           round(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 10) AS shared_frac
+    FROM sents s JOIN freq f ON s.sent = f.sent
+    GROUP BY s.doc_id
+    """,
+    doc="C4-style corpus-level line dedup signal: a sentence is "
+    "'shared' if it occurs in more than one document; per-doc shared "
+    "counts drive boilerplate removal.  One shuffle on the sentence "
+    "key with map-side combine doing nearly all the work (unique "
+    "sentences dominate); at 100 TB hash the sentence to a 64-bit "
+    "key before the shuffle so the wide stage moves 8-byte keys, "
+    "not text.",
+)
+def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sents_arr = F.filter(
         F.transform(
             F.split(F.lower(F.col("text")), r"[.!?]+"), lambda s: F.trim(s)
         ),
         lambda s: s != "",
     )
-    g2 = T.word_shingles(F.col("text"), 2)
-    g3 = T.word_shingles(F.col("text"), 3)
-    d = t.documents.select(
-        "doc_id",
-        sents.alias("sents"),
-        g2.alias("g2"),
-        g3.alias("g3"),
+    sents = t.documents.select(
+        "doc_id", F.explode(sents_arr).alias("sent")
     )
-    return d.select(
-        "doc_id",
-        dup_frac(F.col("sents")).alias("dup_sent_frac"),
-        dup_frac(F.col("g2")).alias("dup_2gram_frac"),
-        dup_frac(F.col("g3")).alias("dup_3gram_frac"),
-        (
-            ((F.size("sents") > 0) & (raw_frac(F.col("sents")) > 0.30))
-            | ((F.size("g2") > 0) & (raw_frac(F.col("g2")) > 0.20))
-        ).alias("flagged"),
+    freq = sents.groupBy("sent").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        sents.join(freq, "sent")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sents"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_sents"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                .cast("double")
+                / F.count("*"),
+                10,
+            ).alias("shared_frac"),
+        )
     )

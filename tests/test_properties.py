@@ -220,3 +220,60 @@ def test_pack_greedy_bins_invariants(spark, sf_dir):
     )
     assert len(rows) == n_docs
     assert len({r.doc_id for r in rows}) == n_docs
+
+
+def test_word_shingles_udf_matches_expression(spark, sf_dir):
+    # the Arrow word-shingle UDF must equal the Column word_shingles
+    # formula the DuckDB oracle replays (same normalization/splitter)
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.functions import text as T
+    from risinglight_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    for n in (2, 5):
+        a = {
+            r.doc_id: r.sh
+            for r in docs.select(
+                "doc_id", T.word_shingles(c, n).alias("sh")
+            ).collect()
+        }
+        b = {
+            r.doc_id: r.sh
+            for r in docs.select(
+                "doc_id", T.word_shingles_pandas(n)(c).alias("sh")
+            ).collect()
+        }
+        assert a == b
+
+
+def test_repetition_counts_udf_matches_expression(spark, sf_dir):
+    # dup counts from the Arrow pass == array_distinct arithmetic on
+    # the Column shingle/sentence formulas
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.functions import text as T
+    from risinglight_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.lower(F.col("text")), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    g2 = T.word_shingles(F.col("text"), 2)
+    expr_side = docs.select(
+        "doc_id",
+        F.size(sents).alias("n_sents"),
+        (F.size(sents) - F.size(F.array_distinct(sents))).alias("dup_sents"),
+        F.size(g2).alias("n_g2"),
+        (F.size(g2) - F.size(F.array_distinct(g2))).alias("dup_g2"),
+    )
+    udf_side = docs.select(
+        "doc_id", T.repetition_counts_pandas()(F.col("text")).alias("c")
+    ).select("doc_id", "c.n_sents", "c.dup_sents", "c.n_g2", "c.dup_g2")
+    a = {r.doc_id: tuple(r)[1:] for r in expr_side.collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in udf_side.collect()}
+    assert a == b
