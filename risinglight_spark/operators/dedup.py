@@ -112,10 +112,11 @@ def _jaccard_oracle() -> str:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    has_shingles = F.size(T.tokens(T.normalized_text(F.col("text")))) >= 3
-    docs = t.documents.filter(has_shingles).select(
-        "doc_id", T.word_shingles(F.col("text")).alias("shingles")
-    )
+    # Arrow pass for the shingles (Column version is O(tokens^2)
+    # interpreted); empty-array filter == the >=3-token predicate.
+    docs = t.documents.select(
+        "doc_id", T.word_shingles_pandas(3)(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
     )
@@ -467,10 +468,11 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Jaccard, unthresholded (thresholding happens after the
     # candidate join so FALSE candidates are visible to the filter)
     t = Tables(spark, sf_dir)
-    has_shingles = F.size(T.tokens(T.normalized_text(F.col("text")))) >= 3
-    docs = t.documents.filter(has_shingles).select(
-        "doc_id", T.word_shingles(F.col("text")).alias("shingles")
-    )
+    # Arrow pass for the shingles (Column version is O(tokens^2)
+    # interpreted); empty-array filter == the >=3-token predicate.
+    docs = t.documents.select(
+        "doc_id", T.word_shingles_pandas(3)(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
     )
