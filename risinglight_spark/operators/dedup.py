@@ -553,3 +553,45 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_shingles"))
     )
+
+
+@register(
+    "dedup_exact_keep_best",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {T.fingerprint_sql("text")} AS fp, doc_id,
+             {T.quality_score_sql("text")} AS q
+      FROM documents
+    ), ranked AS (
+      SELECT fp, doc_id,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY q DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY fp) AS n
+      FROM scored
+    )
+    SELECT fp, n AS n_dups, doc_id AS keeper
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Exact dedup keeping the BEST doc per cluster (highest "
+    "quality score, doc_id tiebreak) instead of min id — what "
+    "production pipelines actually keep.  max_by over a (quality, "
+    "doc_id) sort key: still one hash-partitioned groupBy with "
+    "map-side partials; the argmax state is one row per group.",
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = T.quality_score(F.col("text"))
+    return (
+        t.documents.select(
+            "doc_id",
+            T.fingerprint(F.col("text")).alias("fp"),
+            F.struct(
+                q.alias("q"), F.col("doc_id").cast("double").alias("tb")
+            ).alias("rank_key"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.max_by("doc_id", F.col("rank_key")).alias("keeper"),
+        )
+    )

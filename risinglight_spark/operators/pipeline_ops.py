@@ -461,3 +461,46 @@ def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 10).alias("weight"),
         F.round(F.least(weight, F.lit(4.0)), 10).alias("epochs"),
     )
+
+
+# -- deterministic training order -------------------------------------------
+
+ORDER_MULT = 2_654_435_761  # Knuth multiplicative hash (fits in int64 math)
+ORDER_MOD = 2**31 - 1
+N_SHARDS = 64
+
+
+@register(
+    "sample_training_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ((doc_id * {ORDER_MULT}) % {ORDER_MOD}) AS order_key
+      FROM documents
+    )
+    SELECT doc_id, order_key,
+           (order_key % {N_SHARDS})::INT AS shard,
+           row_number() OVER (PARTITION BY (order_key % {N_SHARDS})
+                              ORDER BY order_key, doc_id) AS pos_in_shard
+    FROM h
+    """,
+    doc="Deterministic global training-order shuffle WITHOUT a global "
+    "sort: a multiplicative hash assigns each doc a pseudo-random "
+    "order key, docs land in hash shards, and position is a "
+    "per-shard window — 64 parallel sorts instead of one total "
+    "order.  The trainer reads shard files round-robin; the order "
+    "is a pure function of doc_id (reproducible on any cluster, "
+    "restartable mid-epoch).  This is how you shuffle a 100 TB "
+    "corpus for training: rand() is non-reproducible and a global "
+    "ORDER BY is a single-range-partition bottleneck.",
+)
+def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    key = (F.col("doc_id") * F.lit(ORDER_MULT)) % F.lit(ORDER_MOD)
+    shard = (F.col("order_key") % N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        t.documents.select("doc_id", key.alias("order_key"))
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+    )
