@@ -533,19 +533,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     # One Arrow pass for the 5-gram strings (the Column word_shingles
     # re-tokenizes per element, interpreted — O(tokens^2)/doc); the
-    # distinct/explode/join stay JVM-side.
-    sh = T.word_shingles_pandas(5)(F.col("text"))
-    shingled = t.documents.select(
-        "doc_id",
-        (F.col("doc_id") % 97 == 0).alias("is_bench"),
-        F.array_distinct(sh).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    corpus = shingled.filter(~F.col("is_bench")).select(
-        "doc_id", F.explode("sh").alias("s")
+    # distinct/explode/join stay JVM-side.  The doc_id%97 split runs
+    # BEFORE the UDF (pushed to the scan) so each branch shingles only
+    # its own subset — one ArrowEvalPython per branch, and the bench
+    # branch touches ~1% of rows.  explode() of an empty array emits
+    # nothing, which IS the >=5-token filter.
+    sh = F.array_distinct(T.word_shingles_pandas(5)(F.col("text")))
+    is_bench = F.col("doc_id") % 97 == 0
+    corpus = (
+        t.documents.filter(~is_bench)
+        .select("doc_id", F.explode(sh).alias("s"))
     )
     bench = (
-        shingled.filter(F.col("is_bench"))
-        .select(F.explode("sh").alias("s"))
+        t.documents.filter(is_bench)
+        .select(F.explode(sh).alias("s"))
         .distinct()
     )
     return (

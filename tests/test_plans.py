@@ -206,3 +206,27 @@ def test_quantization_has_no_shuffle(spark, sf_dir):
     # the corpus moves before it is compressed.
     plan = _plan(spark, sf_dir, "vector_quantize_int8")
     assert "Exchange" not in plan
+
+
+def test_repetition_filter_single_arrow_pass_no_shuffle(spark, sf_dir):
+    # all six repetition counts come from ONE ArrowEvalPython node and
+    # the whole query is a stateless map — zero exchanges.
+    plan = _plan(spark, sf_dir, "text_repetition_filter")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    # the benchmark shingle set broadcasts (corpus never shuffles for
+    # the join) and each branch shingles its own subset exactly once.
+    plan = _plan(spark, sf_dir, "text_decontaminate")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("ArrowEvalPython") == 2
+
+
+def test_training_order_has_no_global_sort(spark, sf_dir):
+    # the shuffle is hash-sharded, never a single range partition
+    # (a global ORDER BY would serialize the corpus through one task).
+    plan = _plan(spark, sf_dir, "sample_training_order")
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning" in plan
