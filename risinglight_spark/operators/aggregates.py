@@ -489,3 +489,33 @@ def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_statuses"),
         )
     )
+
+
+APPROX_PCT_ACCURACY = 10_000  # 1/accuracy = max rank error
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch layouts are engine-specific; bounded-error
+    # vs the exact percentile is pinned by
+    # tests/test_plans.py::test_approx_percentile_error_bound
+    doc="Approximate percentiles (Greenwald-Khanna sketch, rank error "
+    "<= 1/accuracy) — at extreme cardinality the sketch's O(1) "
+    "memory replaces the exact percentile's full sort; mergeable "
+    "across partitions like any partial aggregate.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = F.col("value")
+    return (
+        t.events.filter(v.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.approx_percentile(
+                v, F.lit(0.5), F.lit(APPROX_PCT_ACCURACY)
+            ).alias("p50_approx"),
+            F.approx_percentile(
+                v, F.lit(0.95), F.lit(APPROX_PCT_ACCURACY)
+            ).alias("p95_approx"),
+        )
+    )

@@ -448,3 +448,61 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter((F.col("n") >= 10) & (var > 1e-12) & (F.abs(z) > 2.0))
         .select("event_id", "user_id", "value", z.alias("z"))
     )
+
+
+EWMA_ALPHA = 0.1
+
+
+@register(
+    "events_ewma_user",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, len(vs)::BIGINT AS n,
+           round(list_reduce(vs,
+                 (acc, x) -> {1 - EWMA_ALPHA} * acc + {EWMA_ALPHA} * x),
+                 6) AS ewma
+    FROM ordered
+    """,
+    doc="Per-user exponentially weighted moving average — an "
+    "order-dependent recurrence no built-in window expresses, "
+    "implemented as applyInPandas over the user partition (one "
+    "Arrow batch per user group, vectorized fold inside).  The "
+    "DuckDB oracle replays the identical left fold with "
+    "list_reduce over the same (ts, event_id) order, seeded with "
+    "the first value — bit-identical IEEE operation order, rounded "
+    "to 6.  One shuffle on user_id; state is one float per user, "
+    "so it scales like any keyed aggregate.",
+)
+def events_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    alpha = EWMA_ALPHA
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = (1 - alpha) * acc + alpha * x
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(vals)],
+                "ewma": [acc],
+            }
+        )
+
+    return (
+        t.events.filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma, "user_id bigint, n bigint, ewma double")
+        # round JVM-side: F.round is HALF_UP like the oracle's round()
+        # (Python's round is banker's — diverges on exact ties)
+        .withColumn("ewma", F.round(F.col("ewma"), 6))
+    )

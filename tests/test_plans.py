@@ -230,3 +230,43 @@ def test_training_order_has_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_training_order")
     assert "rangepartitioning" not in plan
     assert "hashpartitioning" in plan
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    # the sketch's p50/p95 must land within the documented rank error
+    # of the exact percentile (generous absolute tolerance: the value
+    # at rank +- n/accuracy)
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in ENTRIES["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    # the guarantee is on RANK, not value: the returned sample's rank
+    # must be within n/accuracy (+1 slack — exact percentile
+    # interpolates between samples) of the target rank
+    from risinglight_spark.operators.aggregates import APPROX_PCT_ACCURACY
+    from risinglight_spark.tables import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(by_type)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for a, q in zip(approx[et], (0.5, 0.95)):
+            import bisect
+
+            lo = bisect.bisect_left(vals, a)
+            hi = bisect.bisect_right(vals, a)
+            target = q * (n - 1)
+            # a's rank interval must come within the error bound of target
+            err = max(lo - target, target - (hi - 1), 0)
+            assert err <= n / APPROX_PCT_ACCURACY + 1.5, (et, q, a, err, n)
