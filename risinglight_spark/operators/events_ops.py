@@ -506,3 +506,101 @@ def events_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (Python's round is banker's — diverges on exact ties)
         .withColumn("ewma", F.round(F.col("ewma"), 6))
     )
+
+
+@register(
+    "events_time_rollup",
+    oracle=f"""
+    SELECT date_trunc('month', ts) AS month,
+           CASE WHEN GROUPING(date_trunc('day', ts)) = 0
+                THEN date_trunc('day', ts) END AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS hour,
+           GROUPING(date_trunc('day', ts))::INT
+             + GROUPING(date_trunc('hour', ts))::INT AS lvl,
+           count(*) AS n, {fpsum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts),
+                     date_trunc('hour', ts))
+    HAVING GROUPING(date_trunc('month', ts)) = 0
+    """,
+    doc="Hypertable-style multi-granularity rollup: hour, day, and "
+    "month aggregates of the same measure in ONE pass (ROLLUP over "
+    "truncation levels — Spark expands to a single Expand+HashAgg, "
+    "one scan and one shuffle instead of three).  This is the batch "
+    "form of a continuous aggregate; at 100 TB the pass is "
+    "incremental per partition-day and coarser levels merge child "
+    "partials.",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pre = t.events.select(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    g = (
+        pre.rollup("month", "day", "hour")
+        .agg(
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.grouping("month").cast("int").alias("g_month"),
+            F.count("*").alias("n"),
+            fpsum(F.col("value")).alias("sum_value"),
+        )
+        .filter(F.col("g_month") == 0)
+    )
+    return g.select(
+        "month",
+        "day",
+        "hour",
+        (F.col("g_day") + F.col("g_hour")).alias("lvl"),
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT date_trunc('hour', ts) AS bar, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts),
+                                event_type
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts),
+                                event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bar, event_type,
+           max(CASE WHEN rn_open = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_close = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM ranked GROUP BY bar, event_type
+    """,
+    doc="OHLC bars per hour and type — the canonical time-series "
+    "downsample.  Spark side: min_by/max_by over the (ts, event_id) "
+    "total order gives open/close in the SAME single aggregation "
+    "pass as high/low (no rank window, one shuffle); the oracle "
+    "replays via rank windows since DuckDB arg_min rejects "
+    "composite keys.",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bar = F.date_trunc("hour", F.col("ts"))
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        t.events.filter(F.col("value").isNotNull())
+        .groupBy(bar.alias("bar"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
