@@ -38,6 +38,7 @@ HEADLINE_EXTRA = (
     "text_repetition_filter",
     "text_decontaminate",
     "text_line_dedup_c4",
+    "pipeline_pretraining_e2e",
 )
 
 

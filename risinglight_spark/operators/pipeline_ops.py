@@ -504,3 +504,131 @@ def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard", shard)
         .withColumn("pos_in_shard", F.row_number().over(w))
     )
+
+
+# -- flagship end-to-end pretraining corpus pipeline ------------------------
+
+E2E_MIN_QUALITY = 0.3
+E2E_MAX_DUP2 = 0.2
+
+
+def _e2e_oracle() -> str:
+    sh5 = T.word_shingles_sql("text", 5)
+    g2 = T.word_shingles_sql("text", 2)
+    dup2 = (
+        f"(CASE WHEN len({g2}) = 0 THEN 0.0 "
+        f"ELSE (len({g2}) - len(list_distinct({g2})))::DOUBLE / len({g2}) END)"
+    )
+    return f"""
+    WITH feats AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             {T.quality_score_sql("text")} AS q,
+             {T.fingerprint_sql("text")} AS fp,
+             {T.token_count_sql("text")} AS ws,
+             {dup2} AS dup2
+      FROM documents
+    ),
+    gated AS MATERIALIZED (
+      SELECT doc_id, source, text, q, fp, ws FROM feats
+      WHERE q >= {E2E_MIN_QUALITY} AND dup2 <= {E2E_MAX_DUP2}
+        AND doc_id % 97 <> 0
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct({sh5})) AS s
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM gated g, unnest(list_distinct({sh5.replace('text', 'g.text')})) AS u(s)
+      WHERE u.s IN (SELECT s FROM bench)
+    ),
+    clean AS (
+      SELECT * FROM gated
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    deduped AS (
+      SELECT * FROM clean
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    budgeted AS (
+      SELECT *, sum(ws) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)::BIGINT AS cum
+      FROM deduped
+    )
+    SELECT source, count(*) AS docs_kept, sum(ws)::BIGINT AS tokens_kept,
+           {fpsum_sql("q")} AS sum_quality
+    FROM budgeted WHERE cum <= {TOKEN_BUDGET_PER_SOURCE}
+    GROUP BY source
+    """
+
+
+@register(
+    "pipeline_pretraining_e2e",
+    oracle=_e2e_oracle(),
+    doc="The full pretraining-corpus build in one query: quality gate "
+    "+ within-doc repetition filter -> benchmark decontamination "
+    "(5-gram collision vs the held-out split, broadcast) -> exact "
+    "dedup (min-id per fingerprint) -> per-source token-budget fill "
+    "-> per-source rollup.  Stage order is the cost order: cheap "
+    "per-row gates run FIRST so the expensive shingle/dedup stages "
+    "see only survivors; the corpus is never shuffled until the "
+    "fingerprint dedup, and the only other wide stages are the "
+    "budget window (keyed by source) and the tiny final rollup.",
+)
+def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    c = F.col("text")
+    f = T.doc_features_pandas()(c).alias("f")
+    r = T.repetition_counts_pandas()(c).alias("r")
+    feats = t.documents.select("doc_id", "source", "text", f, r).select(
+        "doc_id", "source", "text", "f.q", "f.fp", "f.ws",
+        "r.n_g2", "r.dup_g2",
+    )
+    dup2 = F.when(F.col("n_g2") == 0, F.lit(0.0)).otherwise(
+        F.col("dup_g2").cast("double") / F.col("n_g2")
+    )
+    gated = feats.filter(
+        (F.col("q") >= E2E_MIN_QUALITY)
+        & (dup2 <= E2E_MAX_DUP2)
+        & (F.col("doc_id") % 97 != 0)
+    ).select("doc_id", "source", "text", "q", "fp", "ws")
+    # Materialize the survivors: the decontamination branch and the
+    # anti-join both read `gated`, and plan-level reuse does not
+    # dedupe Python stages — without this the two doc-feature UDFs
+    # re-score the whole corpus twice.  At cluster scale this is the
+    # post-gate corpus you'd write back to storage between stages.
+    gated = gated.persist()
+    gated.count()
+    sh5 = F.array_distinct(T.word_shingles_pandas(5)(c))
+    bench = (
+        t.documents.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(sh5).alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        gated.select("doc_id", F.explode(sh5).alias("s"))
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = gated.join(contaminated, "doc_id", "left_anti").drop("text")
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = deduped.withColumn(
+        "cum", F.sum("ws").over(w_src).cast("bigint")
+    ).filter(F.col("cum") <= TOKEN_BUDGET_PER_SOURCE)
+    return budgeted.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("ws").cast("bigint").alias("tokens_kept"),
+        fpsum(F.col("q")).alias("sum_quality"),
+    )
