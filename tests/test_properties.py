@@ -277,3 +277,48 @@ def test_repetition_counts_udf_matches_expression(spark, sf_dir):
     a = {r.doc_id: tuple(r)[1:] for r in expr_side.collect()}
     b = {r.doc_id: tuple(r)[1:] for r in udf_side.collect()}
     assert a == b
+
+
+def test_ewma_matches_pandas_ewm(spark, sf_dir):
+    # independent cross-check: our applyInPandas fold == pandas'
+    # ewm(adjust=False) recurrence (identical definition, different
+    # implementation)
+    import pandas as pd
+
+    from risinglight_spark.operators.events_ops import EWMA_ALPHA
+    from risinglight_spark.registry import collect
+    from risinglight_spark.tables import load
+
+    ours = {
+        r.user_id: r.ewma
+        for r in collect()["events_ewma_user"].fn(spark, sf_dir).collect()
+    }
+    pdf = (
+        load(spark, sf_dir, "events")
+        .filter("value IS NOT NULL")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    for uid, g in pdf.groupby("user_id"):
+        s = g.sort_values(["ts", "event_id"])["value"]
+        expect = s.ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+        assert abs(ours[uid] - expect) < 1e-6, (uid, ours[uid], expect)
+
+
+def test_training_order_positions_are_contiguous(spark, sf_dir):
+    # every doc appears exactly once; per-shard positions are exactly
+    # 1..n_shard (a valid, gap-free training order)
+    from collections import defaultdict
+
+    from risinglight_spark.registry import collect
+    from risinglight_spark.tables import load
+
+    rows = collect()["sample_training_order"].fn(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r.pos_in_shard)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
