@@ -366,3 +366,36 @@ def copy_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).orc(loc)
     return spark.read.orc(loc)
+
+
+@register(
+    "source_tbl_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="Custom source connector (Spark 4 Python DataSource API): "
+    "write nation as TPC-H .tbl (pipe-delimited, TRAILING pipe — "
+    "the format the reference's COPY ingests, "
+    "tests/sql/tpch/_create.slt) sharded into multiple files, read "
+    "it back via the rl_tbl connector whose partition planner maps "
+    "one split per file.  Round trip must be the identity.",
+)
+def source_tbl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.sources.tbl import register_tbl_source
+
+    register_tbl_source(spark)
+    t = Tables(spark, sf_dir)
+    loc = os.path.join(tempfile.mkdtemp(prefix="rl_tbl_"), "nation_tbl")
+    # trailing-pipe format: an empty last column makes the csv writer
+    # emit "...|" exactly; 2 shards exercise the per-file splits
+    t.nation.select(
+        "n_nationkey", "n_name", "n_regionkey", F.lit("").alias("_t")
+    ).repartition(2).write.mode("overwrite").options(
+        delimiter="|", emptyValue=""
+    ).csv(loc)
+    for f in os.listdir(loc):  # csv writer metadata is not tbl data
+        if f.startswith("_"):
+            os.remove(os.path.join(loc, f))
+    return (
+        spark.read.format("rl_tbl")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(loc)
+    )

@@ -270,3 +270,13 @@ def test_approx_percentile_error_bound(spark, sf_dir):
             # a's rank interval must come within the error bound of target
             err = max(lo - target, target - (hi - 1), 0)
             assert err <= n / APPROX_PCT_ACCURACY + 1.5, (et, q, a, err, n)
+
+
+def test_tbl_source_plans_one_split_per_file(spark, sf_dir):
+    # the custom connector's partition planner must map shard files to
+    # independent input splits (parallel scan), and parse the trailing
+    # pipe correctly
+    df = ENTRIES["source_tbl_roundtrip"].fn(spark, sf_dir)
+    assert df.rdd.getNumPartitions() >= 2
+    row = df.orderBy("n_nationkey").first()
+    assert row.n_nationkey == 0 and isinstance(row.n_name, str)
