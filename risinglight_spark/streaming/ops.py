@@ -362,3 +362,124 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(j, spark, "append")
+
+
+class _RangeProcessor:
+    """Per-user running (n, min, max) via the Spark 4 transformWithState
+    API — typed ValueState survives across micro-batches; TTL/timers
+    available but unused here."""
+
+
+def _make_range_processor():
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mn", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class RangeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("range", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.state.exists():
+                n, mn, mx = self.state.get()
+            else:
+                n, mn, mx = 0, None, None
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    n += int(len(vals))
+                    lo, hi = float(vals.min()), float(vals.max())
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+            self.state.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RangeProcessor()
+
+
+def _has_protobuf() -> bool:
+    # transformWithState's Python worker talks to the state server
+    # over protobuf; this container ships no google.protobuf, so the
+    # entry registers only where the dependency exists (the same
+    # custom-stateful capability is covered in-container by
+    # streaming_stateful_max / applyInPandasWithState).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws(fn):
+    if not _has_protobuf():
+        return fn
+    return register(
+        "streaming_transform_with_state",
+        oracle="""
+    SELECT user_id, count(value) AS n_events,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+        doc="Arbitrary stateful streaming via transformWithStateInPandas "
+    "(the Spark 4 successor to applyInPandasWithState): per-user "
+    "running (count, min, max) held in a typed ValueState.  With "
+    "AvailableNow the final state equals the batch aggregate "
+    "(oracle).  One ValueState row per user on the state-key "
+        "shuffle; the API adds typed composite state, timers, and TTL "
+        "for production unbounded streams.",
+    )(fn)
+
+
+@_register_tws
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithState requires the RocksDB state store (typed state
+    # with schema evolution lives outside the HDFS-backed default)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    sdf = _events_stream(spark, sf_dir)
+    out = (
+        sdf.filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_range_processor(),
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT, "
+                "min_value DOUBLE, max_value DOUBLE"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _run_to_table(out, spark, "update")
