@@ -502,3 +502,50 @@ def expr_array_library(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_smallest"
         ),
     )
+
+
+@register(
+    "expr_hash_json_library",
+    oracle="""
+    WITH j AS (
+      SELECT doc_id, source,
+             '{"id":' || doc_id || ',"src":"' || source
+               || '","tags":[1,2,' || (doc_id % 10) || ']}' AS payload
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           md5(payload) AS payload_md5,
+           sha256(source) AS src_sha256,
+           json_extract_string(payload, '$.src') AS src_back,
+           json_extract(payload, '$.tags[2]')::INT AS third_tag,
+           len(json_extract(payload, '$.tags')::JSON[])::INT AS n_tags
+    FROM j
+    """,
+    doc="Hash + JSON scalar library: md5/sha256 digests and nested "
+    "JSON path extraction (field, array index, array length) — all "
+    "JVM-side codegen.  The JSON payload is built with identical "
+    "string concatenation on both engines so digests and paths are "
+    "comparable bit-for-bit.",
+)
+def expr_hash_json_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    payload = F.concat(
+        F.lit('{"id":'), F.col("doc_id"),
+        F.lit(',"src":"'), F.col("source"),
+        F.lit('","tags":[1,2,'), F.col("doc_id") % 10, F.lit("]}"),
+    )
+    d = t.documents.filter(F.col("doc_id") < 300).select(
+        "doc_id", "source", payload.alias("payload")
+    )
+    return d.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.sha2(F.col("source"), 256).alias("src_sha256"),
+        F.get_json_object("payload", "$.src").alias("src_back"),
+        F.get_json_object("payload", "$.tags[2]").cast("int").alias(
+            "third_tag"
+        ),
+        F.json_array_length(F.get_json_object("payload", "$.tags")).cast(
+            "int"
+        ).alias("n_tags"),
+    )
