@@ -123,8 +123,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > gap_sec
+                # timestamp difference as an interval comparison: legal for
+                # both TIMESTAMP and TIMESTAMP_NTZ (cast-to-double is not)
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr(f"INTERVAL {gap_sec} SECOND")
             ),
             1,
         )
