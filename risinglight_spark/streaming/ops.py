@@ -50,7 +50,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixtures have shipped ts both as TIMESTAMP(NANOS) (read as int64
+    # nanos under legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS)
+    # (read natively); convert only in the legacy-int64 case, mirroring
+    # the batch loader in tables.load.
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with local tz); session tz is
+        # pinned UTC so this cast is value-preserving.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
 
 
 def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
