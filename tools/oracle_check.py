@@ -58,13 +58,22 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = sys.argv[1:]
+    first_n = None
+    if "--first" in argv:
+        i = argv.index("--first")
+        first_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
 
     from risinglight_spark.registry import collect
     from risinglight_spark.session import get_spark
 
     entries = collect()
+    if first_n is not None:
+        # Registry order — the prefix the driver's bounded gate verifies.
+        entries = dict(list(entries.items())[:first_n])
     spark = get_spark(app_name="oracle_check")
 
     con = duckdb.connect()
