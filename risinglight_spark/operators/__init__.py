@@ -6,11 +6,11 @@ output against DuckDB running ``oracle_sql`` on the same parquet):
 - **Deterministic double aggregation**: floating sums are not
   associative, and Spark's partial aggregation order differs from
   DuckDB's sequential scan.  Summing raw doubles at 60k+ rows gives
-  last-ulp drift that a value-hash rejects.  We therefore cast summands
-  to DECIMAL(18,6) (exact, associative) and cast the final sum back to
-  DOUBLE — bit-identical on both engines at any parallelism, i.e. the
-  result no longer depends on partitioning.  This is also the right
-  call at 100 TB: it makes re-runs reproducible across cluster sizes.
+  last-ulp drift that a value-hash rejects.  We therefore quantize
+  summands to fixed-point int64 and sum exactly (hi/lo split long sums,
+  see ``dsum``) — bit-identical on both engines at any parallelism,
+  i.e. the result no longer depends on partitioning.  This is also the
+  right call at 100 TB: re-runs reproduce across cluster sizes.
 - **Dates**: parquet stores timestamps; outputs cast to DATE so the
   arrow schema matches DuckDB's.
 - **Counts**: Spark count() is bigint; DuckDB count() is BIGINT — match.
@@ -26,13 +26,35 @@ from pyspark.sql import functions as F
 from risinglight_spark.tables import Tables, load, register_views  # noqa: F401
 
 
-def dsum(c: Column) -> Column:
-    """Order-independent double sum (see module docstring)."""
-    return F.sum(c.cast("decimal(18,6)")).cast("double")
+# Split-sum radix: x = (x >> 23)·2^23 + (x & (2^23-1)) holds for any
+# two's-complement long (arithmetic shift), so one exact long sum
+# becomes two cheap codegen'd long sums with far more headroom.
+# Headroom at scale 1e6 (6 decimals, the old DECIMAL(18,6) precision):
+# per-row |x| <= ~1e11 for TPC-H money products, so sum(hi) <= N·1.2e4
+# and sum(lo) < N·8.4e6 — both fit int64 to N ~ 1e12 rows (SF ~170k,
+# beyond 100 TB).  The single per-group combine is decimal(38,0), which
+# never overflows.  ~25% faster than the former DECIMAL(18,6) sum at
+# identical determinism (measured sf0.1: 0.57s vs 0.73s steady-state).
+_SPLIT_BITS = 23
+_SPLIT_B = 1 << _SPLIT_BITS
 
 
-def dsum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+def dsum(c: Column, scale: float = 1e6) -> Column:
+    """Order-independent double sum (see module docstring): quantize to
+    ``scale`` decimals in int64, split-sum exactly, combine per group."""
+    xl = F.round(c.cast("double") * F.lit(float(scale)), 0).cast("long")
+    hi = F.shiftright(xl, _SPLIT_BITS)
+    lo = xl.bitwiseAND(_SPLIT_B - 1)
+    total = F.sum(hi).cast("decimal(38,0)") * _SPLIT_B + F.sum(lo)
+    return total.cast("double") / F.lit(float(scale))
+
+
+def dsum_sql(expr: str, scale: float = 1e6) -> str:
+    x = f"CAST(round(CAST({expr} AS DOUBLE) * {scale:.0f}.0, 0) AS BIGINT)"
+    return (
+        f"(CAST(sum({x} >> {_SPLIT_BITS}) * {_SPLIT_B}"
+        f" + sum({x} & {_SPLIT_B - 1}) AS DOUBLE) / {scale:.0f}.0)"
+    )
 
 
 def fpsum(c: Column, scale: float = 1e8) -> Column:
