@@ -596,3 +596,100 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("doc_id", F.col("rank_key")).alias("keeper"),
         )
     )
+
+
+# -- substring containment dedup --------------------------------------------
+
+_SUB_MIN_TOKENS = 3  # containees need >= one token-3-shingle
+
+
+def _substring_oracle() -> str:
+    return rf"""
+    WITH j AS (
+      SELECT doc_id,
+             array_to_string({T.tokens_sql('text')}, ' ') AS jt,
+             len({T.tokens_sql('text')}) AS n
+      FROM documents
+    ), removed AS (
+      SELECT DISTINCT a.doc_id
+      FROM j a JOIN j b ON a.doc_id <> b.doc_id
+      WHERE a.n >= {_SUB_MIN_TOKENS}
+        AND contains(' ' || b.jt || ' ', ' ' || a.jt || ' ')
+        AND (length(b.jt) > length(a.jt)
+             OR (b.jt = a.jt AND b.doc_id < a.doc_id))
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+    """
+
+
+@register(
+    "dedup_substring_contained",
+    oracle=_substring_oracle(),
+    doc="Substring-containment dedup (RefinedWeb-style): drop any doc "
+    "whose token sequence appears contiguously inside a longer doc "
+    "(exact-duplicate ties keep the min doc_id).  Candidate generation "
+    "is an inverted-index join, not all-pairs: each candidate containee "
+    "contributes its single rarest shingle (min xxhash64 over token "
+    "3-gram shingles), containers post ALL their distinct shingles; "
+    "containment implies the containee's shingle set is a subset of "
+    "the container's, so the min-shingle posting join finds every true "
+    "pair (complete, then exactness restored by a contains() verify on "
+    "the joined pair).  Scale: postings are O(total tokens) rows of "
+    "(int64, int64), the join is keyed on shingle hash (AQE splits "
+    "skewed boilerplate shingles), and pads/texts travel only on "
+    "verified candidate pairs — never through the explode.  The oracle "
+    "is the definitional all-pairs cross join (fine at sf0.01).",
+)
+def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.select(
+            "doc_id", T.tokens(F.col("text")).alias("toks")
+        )
+        .withColumn("jt", F.array_join("toks", " "))
+        .withColumn("n", F.size("toks"))
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.col("n") - (_SUB_MIN_TOKENS - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(F.col("toks"), i, _SUB_MIN_TOKENS), " ")),
+    )
+    postings = (
+        docs.filter(F.col("n") >= _SUB_MIN_TOKENS)
+        .select(F.col("doc_id").alias("b_id"), F.explode(F.array_distinct(sh)).alias("sh"))
+    )
+    containees = docs.filter(F.col("n") >= _SUB_MIN_TOKENS).select(
+        F.col("doc_id").alias("a_id"), F.array_min(sh).alias("sh")
+    )
+    pairs = (
+        containees.join(postings, "sh")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.concat(F.lit(" "), "jt", F.lit(" ")).alias("a_pad"),
+        F.length("jt").alias("a_len"),
+        F.col("jt").alias("a_jt"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.concat(F.lit(" "), "jt", F.lit(" ")).alias("b_pad"),
+        F.length("jt").alias("b_len"),
+        F.col("jt").alias("b_jt"),
+    )
+    removed = (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(
+            F.contains(F.col("b_pad"), F.col("a_pad"))
+            & (
+                (F.col("b_len") > F.col("a_len"))
+                | ((F.col("b_jt") == F.col("a_jt")) & (F.col("b_id") < F.col("a_id")))
+            )
+        )
+        .select(F.col("a_id").alias("doc_id"))
+        .distinct()
+    )
+    return t.documents.join(removed, "doc_id", "left_anti").select("doc_id")

@@ -618,3 +618,66 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# -- sequential pattern detection (funnel regex over event streams) ----------
+
+PATTERN_SEQ = ("view", "click", "purchase")
+PATTERN_WINDOW_MIN = 30
+
+
+@register(
+    "events_pattern_seq",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3,
+             lead(ts, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_matches,
+           min(ts) AS first_match_at
+    FROM o
+    WHERE event_type = '{PATTERN_SEQ[0]}' AND e2 = '{PATTERN_SEQ[1]}'
+      AND e3 = '{PATTERN_SEQ[2]}'
+      AND t3 <= ts + INTERVAL {PATTERN_WINDOW_MIN} MINUTE
+    GROUP BY user_id
+    """,
+    doc=f"Sequential pattern detection (MATCH_RECOGNIZE-style): count, "
+    f"per user, strictly consecutive {' -> '.join(PATTERN_SEQ)} event "
+    f"runs completing within {PATTERN_WINDOW_MIN} minutes.  lead() "
+    "windows express the fixed-length pattern as a single per-user "
+    "sort — no self-joins, no per-row subqueries; ties broken by "
+    "event_id for a deterministic total order.  Scales as one "
+    "hash-partitioned sort per user shard; pattern length only widens "
+    "the projected lead columns, never adds passes.",
+)
+def events_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t.events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == PATTERN_SEQ[0])
+            & (F.col("e2") == PATTERN_SEQ[1])
+            & (F.col("e3") == PATTERN_SEQ[2])
+            & (
+                F.col("t3")
+                <= F.col("ts") + F.expr(f"INTERVAL {PATTERN_WINDOW_MIN} MINUTE")
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("ts").alias("first_match_at"),
+        )
+    )

@@ -639,3 +639,166 @@ def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+# -- BM25 ranked retrieval ---------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "stream")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 10
+
+
+def _bm25_oracle() -> str:
+    toks = T.tokens_sql("lower(text)")
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(tk, x -> x = '{t}'))::BIGINT AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (tf_{t} > 0)::BIGINT AS df_{t}" for t in BM25_TERMS
+    )
+    comps = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * {BM25_K1 + 1}) / (tf_{t} + {BM25_K1} *"
+        f" (1.0 - {BM25_B} + {BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {tf_cols},
+             len(tk)::BIGINT AS dl
+      FROM (SELECT doc_id, {toks} AS tk FROM documents)
+    ), stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl, {df_cols}
+      FROM base
+    )
+    SELECT doc_id, round({comps}, 6) AS score
+    FROM base, stats
+    WHERE {" + ".join("tf_" + t for t in BM25_TERMS)} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc=f"BM25 ranked retrieval for the fixed query {BM25_TERMS} "
+    f"(k1={BM25_K1}, b={BM25_B}): classic sparse lexical search over "
+    "the corpus.  One stateless pass computes per-doc term frequencies "
+    "as codegen'd array expressions (no explode, no per-term shuffle); "
+    "corpus statistics (N, avg doclen, per-term doc freq) reduce to a "
+    "single broadcast row; scoring + TakeOrdered top-k never "
+    "materializes a global sort.  Determinism: df/N/sum_dl are exact "
+    "integer aggregates, the per-doc score is a fixed-shape expression "
+    "tree over them (term components added in declaration order), and "
+    "the result is rounded to 6 decimals before the top-k tie-break "
+    "on doc_id — bit-identical at any parallelism.  At 100 TB the "
+    "stats row is a second scan of a 3-column projection; both scans "
+    "are shuffle-free.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tk = T.tokens(F.lower(F.col("text")))
+
+    def tf(term: str):
+        # NB: F.filter treats a 2-arg lambda as (element, index) — the
+        # term must be captured by closure, not by a default arg.
+        return F.size(F.filter(tk, lambda x: x == term)).cast("bigint")
+
+    base = t.documents.select(
+        "doc_id",
+        *[tf(term).alias(f"tf_{term}") for term in BM25_TERMS],
+        F.size(tk).cast("bigint").alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf_{term}") > 0).cast("bigint").alias(f"df_{term}")
+            for term in BM25_TERMS
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    comps = None
+    for term in BM25_TERMS:
+        tf, df = F.col(f"tf_{term}"), F.col(f"df_{term}")
+        idf = F.log(1.0 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        c = idf * (tf * (BM25_K1 + 1)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+        comps = c if comps is None else comps + c
+    any_tf = None
+    for term in BM25_TERMS:
+        any_tf = F.col(f"tf_{term}") if any_tf is None else any_tf + F.col(f"tf_{term}")
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(comps, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# -- overlapping chunking (RAG / context-window prep) ------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def _chunk_oracle() -> str:
+    toks = T.tokens_sql("text")
+    return f"""
+    WITH b AS (
+      SELECT doc_id, tk, len(tk) AS n
+      FROM (SELECT doc_id, {toks} AS tk FROM documents)
+      WHERE len(tk) > 0
+    ), u AS (
+      SELECT doc_id, n, tk, unnest(range(0, n, {CHUNK_STRIDE})) AS start
+      FROM b
+    )
+    SELECT doc_id,
+           (start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+           start::BIGINT AS start_tok,
+           len(list_slice(tk, start + 1, start + {CHUNK_TOKENS}))::BIGINT
+             AS n_chunk_tokens,
+           array_to_string(list_slice(tk, start + 1, start + {CHUNK_TOKENS}), ' ')
+             AS chunk_text
+    FROM u
+    """
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=_chunk_oracle(),
+    doc=f"Overlapping fixed-size chunking ({CHUNK_TOKENS}-token windows, "
+    f"stride {CHUNK_STRIDE}) — the RAG / embedding-prep primitive.  "
+    "Pure narrow transformation: sequence() generates chunk starts, "
+    "posexplode fans out ~n/stride rows per doc, slice+array_join "
+    "builds each window — all codegen'd, zero shuffles, linear "
+    "scale-out.  Chunk identity (doc_id, chunk_id) is a pure function "
+    "of the input, so incremental re-runs on new partitions produce "
+    "stable ids.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = (
+        t.documents.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") > 0)
+    )
+    exploded = base.select(
+        "doc_id",
+        "tk",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_id", "start"),
+    )
+    chunk = F.slice(F.col("tk"), F.col("start") + 1, CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
