@@ -39,6 +39,12 @@ HEADLINE_EXTRA = (
     "text_decontaminate",
     "text_line_dedup_c4",
     "pipeline_pretraining_e2e",
+    "dedup_substring_contained",
+    "dedup_incremental_batch",
+    "text_bm25_topk",
+    "text_chunk_overlap",
+    "events_pattern_seq",
+    "join_bloom_prefilter",
 )
 
 

@@ -630,8 +630,9 @@ def _substring_oracle() -> str:
     "whose token sequence appears contiguously inside a longer doc "
     "(exact-duplicate ties keep the min doc_id).  Candidate generation "
     "is an inverted-index join, not all-pairs: each candidate containee "
-    "contributes its single rarest shingle (min xxhash64 over token "
-    "3-gram shingles), containers post ALL their distinct shingles; "
+    "contributes its single globally-rarest token-3-gram shingle "
+    "(min document frequency — minimizing total posting fan-in), "
+    "containers post ALL their distinct shingles; "
     "containment implies the containee's shingle set is a subset of "
     "the container's, so the min-shingle posting join finds every true "
     "pair (complete, then exactness restored by a contains() verify on "
@@ -650,16 +651,33 @@ def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jt", F.array_join("toks", " "))
         .withColumn("n", F.size("toks"))
     )
-    sh = F.transform(
-        F.sequence(F.lit(1), F.col("n") - (_SUB_MIN_TOKENS - 1)),
-        lambda i: F.xxhash64(F.array_join(F.slice(F.col("toks"), i, _SUB_MIN_TOKENS), " ")),
-    )
+    # Shingle hashing via the shared Arrow-batched UDF (same rationale
+    # as minhash: Catalyst evaluates higher-order lambda chains
+    # interpreted, ~10x slower).  Lowercased shingles are fine for
+    # candidate generation: raw-token containment implies
+    # lowercase-shingle subset, so completeness is preserved and the
+    # raw-text contains() verify restores exactness.  Persisted because
+    # three plan branches (df counts, containee argmin, pair join)
+    # would otherwise recompute the UDF scan.
+    sh_arr = T.shingle_hashes_pandas(_SUB_MIN_TOKENS)(F.col("text"))
     postings = (
-        docs.filter(F.col("n") >= _SUB_MIN_TOKENS)
-        .select(F.col("doc_id").alias("b_id"), F.explode(F.array_distinct(sh)).alias("sh"))
+        t.documents.select(
+            F.col("doc_id").alias("b_id"),
+            F.explode(F.array_distinct(sh_arr)).alias("sh"),
+        )
+        .persist()
     )
-    containees = docs.filter(F.col("n") >= _SUB_MIN_TOKENS).select(
-        F.col("doc_id").alias("a_id"), F.array_min(sh).alias("sh")
+    # Candidate key per containee: its globally RAREST shingle (min
+    # document frequency, hash tiebreak).  Min-hash would anti-select —
+    # the minhash principle makes min-hash shingles agree across
+    # similar docs, concentrating candidates on common shingles; the
+    # rarest shingle minimizes sum(posting-list length) instead.
+    sh_df = postings.groupBy("sh").agg(F.count("*").alias("df"))
+    containees = (
+        postings.join(sh_df, "sh")
+        .groupBy(F.col("b_id").alias("a_id"))
+        .agg(F.min(F.struct("df", "sh")).alias("rarest"))
+        .select("a_id", F.col("rarest.sh").alias("sh"))
     )
     pairs = (
         containees.join(postings, "sh")
@@ -693,3 +711,56 @@ def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return t.documents.join(removed, "doc_id", "left_anti").select("doc_id")
+
+
+# -- incremental batch dedup (new shard vs existing corpus) ------------------
+
+_INCR_EXISTING_SOURCE = "src0"  # stands in for the already-ingested corpus
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH existing AS (
+      SELECT DISTINCT md5({T.normalized_text_sql("text")}) AS fp
+      FROM documents WHERE source = '{_INCR_EXISTING_SOURCE}'
+    ), new_docs AS (
+      SELECT doc_id, source, md5({T.normalized_text_sql("text")}) AS fp
+      FROM documents WHERE source <> '{_INCR_EXISTING_SOURCE}'
+    ), self_kept AS (
+      SELECT min(doc_id) AS doc_id FROM new_docs GROUP BY fp
+    )
+    SELECT n.doc_id, n.source
+    FROM new_docs n
+    WHERE n.doc_id IN (SELECT doc_id FROM self_kept)
+      AND n.fp NOT IN (SELECT fp FROM existing)
+    """,
+    doc="Incremental ingest dedup — the shape every production corpus "
+    "update runs: an incoming batch (sources != src0) dedups against "
+    "the already-ingested corpus (src0) AND within itself (keep min "
+    "doc_id per fingerprint), without ever re-shuffling the existing "
+    "corpus' documents.  Existing side reduces to a distinct-fingerprint "
+    "projection (at 100 TB: a pre-materialized fingerprint index read "
+    "from storage, not recomputed); the batch side shuffles once on "
+    "fingerprint for self-dedup and anti-joins the index on the same "
+    "key — AQE picks broadcast when the batch is small.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fp = T.fingerprint(F.col("text")).alias("fp")
+    existing = (
+        t.documents.filter(F.col("source") == _INCR_EXISTING_SOURCE)
+        .select(fp)
+        .distinct()
+    )
+    new_docs = t.documents.filter(
+        F.col("source") != _INCR_EXISTING_SOURCE
+    ).select("doc_id", "source", fp)
+    self_kept = (
+        new_docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        new_docs.join(self_kept, ["fp", "doc_id"], "left_semi")
+        .join(existing, "fp", "left_anti")
+        .select("doc_id", "source")
+    )

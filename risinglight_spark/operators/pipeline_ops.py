@@ -632,3 +632,46 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws").cast("bigint").alias("tokens_kept"),
         fpsum(F.col("q")).alias("sum_quality"),
     )
+
+
+# -- deterministic per-group top-k sampling ----------------------------------
+
+GROUP_SAMPLE_K = 20
+
+
+@register(
+    "sample_topk_per_group",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {T.char_hash_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, rn::BIGINT AS rn
+    FROM ranked WHERE rn <= {GROUP_SAMPLE_K}
+    """,
+    doc=f"Deterministic per-group sample: the {GROUP_SAMPLE_K} docs with "
+    "the smallest portable hash(doc_id) per language — a fixed-size "
+    "group-wise sample that is a pure function of doc_ids (re-runs and "
+    "cluster-size changes reproduce it exactly, unlike rand()-based "
+    "reservoirs).  One window shuffle keyed on lang; at extreme "
+    "group sizes swap row_number for a two-phase per-partition top-k "
+    "(map-local rank prune to k, then re-rank) — same result, shuffle "
+    "carries at most k rows per (partition, group).",
+)
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        T.char_hash(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn")
+        )
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+    )

@@ -125,6 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_chunk_overlap",
     "events_pattern_seq",
     "join_bloom_prefilter",
+    "dedup_incremental_batch",
+    "sample_topk_per_group",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
