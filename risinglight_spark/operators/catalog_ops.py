@@ -399,3 +399,98 @@ def source_tbl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .load(loc)
     )
+
+
+# -- Z-order clustered COPY --------------------------------------------------
+
+ZORDER_BITS = 12  # per-dimension resolution (4096 cells/dim)
+ZORDER_FILES = 8
+
+
+def _zorder_key_sql(xcol: str, ycol: str) -> str:
+    """Morton interleave of two pre-scaled ints (SQL expression —
+    codegen'd integer bit ops, no UDF)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(
+            f"shiftleft(shiftright({xcol}, {i}) & 1, {2 * i})"
+        )
+        terms.append(
+            f"shiftleft(shiftright({ycol}, {i}) & 1, {2 * i + 1})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_write_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders Z-order-clustered on (o_custkey, o_orderdate) and
+    return the output path.  Shared by the registered query and the
+    clustering-quality test."""
+    t = Tables(spark, sf_dir)
+    stats = t.orders.agg(
+        F.max("o_custkey").alias("max_ck"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("day_span"),
+        F.min("o_orderdate").alias("min_od"),
+    )
+    scaled = (
+        t.orders.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "zx",
+            (F.col("o_custkey") * (1 << ZORDER_BITS))
+            / (F.col("max_ck") + 1),
+        )
+        .withColumn(
+            "zy",
+            (
+                F.datediff(F.col("o_orderdate"), F.col("min_od"))
+                * (1 << ZORDER_BITS)
+            )
+            / (F.col("day_span") + 1),
+        )
+        .withColumn("zx", F.col("zx").cast("long"))
+        .withColumn("zy", F.col("zy").cast("long"))
+        .withColumn("zkey", F.expr(_zorder_key_sql("zx", "zy")))
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="rl_zorder_"), "orders_z")
+    (
+        scaled.drop("max_ck", "day_span", "min_od", "zx", "zy")
+        .repartitionByRange(ZORDER_FILES, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(loc)
+    )
+    return loc
+
+
+@register(
+    "copy_zorder_clustered",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           (CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0, 0)
+                 AS BIGINT)) AS DOUBLE) / 100.0) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Z-order clustered COPY: orders written sorted by the Morton "
+    "interleave of (o_custkey, o_orderdate-rank) — multi-dimensional "
+    "clustering so parquet min/max row-group pruning works for filters "
+    "on EITHER dimension (a linear sort only prunes its leading "
+    "column).  The interleave is a pure integer bit expression "
+    "(codegen'd, no UDF); the write is one range shuffle on the key.  "
+    "Read-back aggregate must equal the source (the oracle); "
+    "per-file span tightness is asserted in "
+    "tests/test_plans.py::test_zorder_clusters_both_dimensions.",
+)
+def copy_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loc = zorder_write_orders(spark, sf_dir)
+    back = spark.read.parquet(loc)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100.0, 0).cast(
+                    "long"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("total"),
+    )

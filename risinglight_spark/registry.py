@@ -127,6 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_bloom_prefilter",
     "dedup_incremental_batch",
     "sample_topk_per_group",
+    "copy_zorder_clustered",
+    "streaming_foreachbatch_upsert",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

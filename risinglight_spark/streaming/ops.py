@@ -494,3 +494,82 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return _run_to_table(out, spark, "update")
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, coalesce(value, 0.0) AS last_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), agg AS (
+      SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_events, l.last_value, a.last_ts
+    FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
+    """,
+    doc="foreachBatch CDC-style upsert sink — the incremental "
+    "materialized-view pattern: each micro-batch pre-aggregates per "
+    "key, then MERGEs into the keyed state table (counts add, "
+    "latest-by-(ts,event_id) wins), written copy-on-write and swapped "
+    "atomically per batch.  The merge is associative and commutative "
+    "across batches, so the final state equals the batch groupBy "
+    "(the oracle) for ANY batch slicing.  At scale: state is "
+    "one row per key, partitioned by key on storage; each batch "
+    "shuffles only its own pre-aggregated keys, and the join against "
+    "state is key-partitioned (never a full rewrite of untouched "
+    "partitions with a real MERGE-capable table format).",
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    sdf = _events_stream(spark, sf_dir).withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(0.0))
+    )
+    root = tempfile.mkdtemp(prefix="rl_upsert_")
+    state: dict[str, Any] = {"path": None, "n": 0}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        b = batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.max_by(
+                F.struct("value", "ts", "event_id"), F.struct("ts", "event_id")
+            ).alias("last"),
+        )
+        if state["path"] is not None:
+            prior = sess.read.parquet(state["path"])
+            b = (
+                prior.unionByName(b)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.max_by(
+                        F.col("last"), F.struct("last.ts", "last.event_id")
+                    ).alias("last"),
+                )
+            )
+        state["n"] += 1
+        nxt = os.path.join(root, f"state_{state['n']}")
+        b.write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+
+    q = (
+        sdf.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state["path"])
+        .select(
+            "user_id",
+            "n_events",
+            F.col("last.value").alias("last_value"),
+            F.col("last.ts").alias("last_ts"),
+        )
+    )

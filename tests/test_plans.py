@@ -313,3 +313,55 @@ def test_bloom_prefilter_prunes_probe_side(spark, sf_dir):
     bound = true_matches + (total - true_matches) * min(5 * fp + 0.02, 1.0)
     assert true_matches < total  # the filter has something to prune
     assert true_matches <= bound <= total
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir):
+    # Z-order must bound per-file spans in BOTH dimensions; a linear
+    # sort on custkey leaves the date dimension unclustered (full-range
+    # spans per file). Span fraction = per-file (max-min) / global range.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.operators.catalog_ops import (
+        ZORDER_FILES,
+        zorder_write_orders,
+    )
+    from risinglight_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    g = t.orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck_range"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("od_range"),
+    ).first()
+
+    def avg_spans(path):
+        back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        rows = (
+            back.groupBy("f")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("od"),
+            )
+            .collect()
+        )
+        n = len(rows)
+        return (
+            sum(r.ck for r in rows) / n / max(g.ck_range, 1),
+            sum(r.od for r in rows) / n / max(g.od_range, 1),
+        )
+
+    z_ck, z_od = avg_spans(zorder_write_orders(spark, sf_dir))
+    lin_loc = tempfile.mkdtemp(prefix="rl_lin_") + "/orders_lin"
+    (
+        t.orders.repartitionByRange(ZORDER_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lin_loc)
+    )
+    lin_ck, lin_od = avg_spans(lin_loc)
+    # linear: leading column clusters tightly, second dimension doesn't
+    assert lin_ck < 0.3 and lin_od > 0.85, (lin_ck, lin_od)
+    # z-order: BOTH dimensions bounded well below the unclustered span
+    assert z_ck < 0.65 and z_od < 0.65, (z_ck, z_od)
+    assert z_od < 0.8 * lin_od
