@@ -519,3 +519,47 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95_approx"),
         )
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), ranked AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Deterministic MODE aggregate: built-in mode() is tie-arbitrary "
+    "on both engines, so the portable formulation is two exact phases "
+    "— count per (group, value), then argmax by (count DESC, value "
+    "ASC).  Both shuffles carry pre-aggregated partials; the heavy "
+    "first phase combines map-side.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    counts = t.lineitem.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("l_quantity").alias("q"), F.col("cnt").alias("c")
+                ),
+                F.struct(F.col("cnt"), (-F.col("l_quantity")).alias("nq")),
+            ).alias("m")
+        )
+        .select(
+            "l_returnflag",
+            F.col("m.q").alias("mode_qty"),
+            F.col("m.c").alias("mode_count"),
+        )
+    )

@@ -699,17 +699,18 @@ def _bm25_oracle() -> str:
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    tk = T.tokens(F.lower(F.col("text")))
 
     def tf(term: str):
         # NB: F.filter treats a 2-arg lambda as (element, index) — the
         # term must be captured by closure, not by a default arg.
-        return F.size(F.filter(tk, lambda x: x == term)).cast("bigint")
+        return F.size(F.filter(F.col("tk"), lambda x: x == term)).cast("bigint")
 
     base = t.documents.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("tk")
+    ).select(
         "doc_id",
         *[tf(term).alias(f"tf_{term}") for term in BM25_TERMS],
-        F.size(tk).cast("bigint").alias("dl"),
+        F.size("tk").cast("bigint").alias("dl"),
     )
     stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -33,9 +33,11 @@ from pyspark.sql import functions as F
 
 from risinglight_spark.functions.vector import (
     cosine_distance,
+    dot,
     l2_distance,
     lit_vector,
     neg_inner_product,
+    norm,
 )
 from risinglight_spark.operators import Tables
 from risinglight_spark.registry import register
@@ -610,4 +612,86 @@ def ann_matryoshka_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cos_dist_16", "vec_id")
         .limit(10)
+    )
+
+
+
+# -- batch ANN top-k join (query set x corpus) -------------------------------
+
+BATCH_QUERIES = 10  # vec_id < 10 act as the query batch
+BATCH_TOPK = 3
+
+
+def _dot_pair_sql(a: str, b: str) -> str:
+    """Left-associated pairwise dot product (bit-matches the Spark
+    zip_with/aggregate fold — same guarantee dedup_embedding_cosine
+    relies on)."""
+    return "(0.0 + " + " + ".join(
+        f"CAST({a}[{i+1}] AS DOUBLE) * CAST({b}[{i+1}] AS DOUBLE)"
+        for i in range(DIM)
+    ) + ")"
+
+
+def _batch_topk_oracle() -> str:
+    dotp = _dot_pair_sql("q.embedding", "c.embedding")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+      FROM embeddings
+    ), s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ({dotp} / (q.nrm * c.nrm)) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ({dotp} / (q.nrm * c.nrm)) DESC, c.vec_id
+             ) AS rn
+      FROM e q, e c
+      WHERE q.vec_id < {BATCH_QUERIES} AND c.vec_id >= {BATCH_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn::BIGINT AS rn
+    FROM s WHERE rn <= {BATCH_TOPK}
+    """
+
+
+@register(
+    "ann_batch_topk_join",
+    oracle=_batch_topk_oracle(),
+    doc=f"Batch similarity-search join: every vector of a bounded query "
+    f"batch ({BATCH_QUERIES} queries) scores against the corpus and "
+    f"keeps its top-{BATCH_TOPK} cosine neighbors — the two-tower "
+    "retrieval shape.  The query batch broadcasts (bounded by "
+    "construction), the corpus scans exactly once with a codegen'd "
+    "dot-product expression, and ranking windows on query_id.  At "
+    "100 TB the corpus side is first bucket-pruned (ann_lsh_bucketed / "
+    "ann_ivf_probe) so the window ranks candidate sets, not the full "
+    "corpus; the exact-scoring join shape stays identical.",
+)
+def ann_batch_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = base.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = base.filter(F.col("vec_id") >= BATCH_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= BATCH_TOPK)
     )

@@ -129,6 +129,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_topk_per_group",
     "copy_zorder_clustered",
     "streaming_foreachbatch_upsert",
+    "ann_batch_topk_join",
+    "agg_mode_deterministic",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
