@@ -419,3 +419,27 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count_distinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key
+    FROM nation a JOIN nation b
+      ON nullif(a.n_nationkey % 7, 0) IS NOT DISTINCT FROM
+         nullif(b.n_nationkey % 7, 0)
+    """,
+    doc="Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing — the semantics SQL "
+    "dimension merges need for unknown keys.  Catalyst plans <=> as a "
+    "hash join key (null-safe equality is still hashable), so this "
+    "stays a keyed join, not a nested loop.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.nation.select(F.col("n_nationkey").alias("a_key"))
+    b = t.nation.select(F.col("n_nationkey").alias("b_key"))
+    cond = F.nullif(F.col("a_key") % 7, F.lit(0)).eqNullSafe(
+        F.nullif(F.col("b_key") % 7, F.lit(0))
+    )
+    return a.join(b, cond)

@@ -87,3 +87,33 @@ _sql(
     doc="EXCEPT ALL — bag difference (multiplicity subtraction), same "
     "one-shuffle shape as INTERSECT ALL.",
 )
+
+
+@register(
+    "setop_unpivot",
+    oracle="""
+    SELECT p_partkey, 'retail_cents' AS metric,
+           CAST(round(p_retailprice * 100, 0) AS BIGINT) AS val
+    FROM part WHERE p_partkey <= 100
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS val
+    FROM part WHERE p_partkey <= 100
+    """,
+    doc="UNPIVOT (wide -> long reshaping, Spark 4 SQL surface): part "
+    "measures become (metric, value) rows.  The oracle is the "
+    "definitional UNION ALL, which is also the portable fallback "
+    "and the logical plan Spark lowers UNPIVOT to (Expand) — one "
+    "narrow pass, no shuffle.",
+)
+def setop_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, metric, val FROM (
+          SELECT p_partkey,
+                 CAST(round(p_retailprice * 100, 0) AS BIGINT) AS retail_cents,
+                 CAST(p_size AS BIGINT) AS size
+          FROM part WHERE p_partkey <= 100
+        ) UNPIVOT (val FOR metric IN (retail_cents, size))
+        """
+    )

@@ -119,3 +119,41 @@ _sql(
     "value per outer row, NULL when empty — ref binder/select.rs:370-387 "
     "left-outer apply).",
 )
+
+
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT n_regionkey AS rk, n_nationkey AS src,
+         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                 ORDER BY n_nationkey) AS dst
+  FROM nation
+),
+walk(rk, node, depth) AS (
+  SELECT rk, src, 1 FROM edges e
+  WHERE NOT EXISTS (SELECT 1 FROM edges e2
+                    WHERE e2.dst = e.src AND e2.rk = e.rk)
+  UNION ALL
+  SELECT e.rk, e.dst, w.depth + 1
+  FROM walk w JOIN edges e
+    ON e.rk = w.rk AND e.src = w.node AND e.dst IS NOT NULL
+)
+SELECT rk, node, depth FROM walk
+"""
+
+
+@register(
+    "subquery_recursive_cte",
+    oracle=_RECURSIVE_WALK_SQL.replace("depth, 1", "depth, 1"),
+    doc="WITH RECURSIVE (Spark 4 recursive CTE): per-region chain walk "
+    "over a lead()-derived successor-edge list — the transitive-"
+    "closure shape (org charts, BOM explosions, dup-cluster closure).  "
+    "Each iteration is one keyed join of the frontier against the "
+    "edge table; Spark executes it as iterative union steps, the same "
+    "loop dedup_connected_components hand-rolls (that one needs "
+    "min-label aggregation per round, which recursive CTEs disallow).  "
+    "Identical SQL text runs on both engines.",
+)
+def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_WALK_SQL)

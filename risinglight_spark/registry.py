@@ -131,6 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_foreachbatch_upsert",
     "ann_batch_topk_join",
     "agg_mode_deterministic",
+    "subquery_recursive_cte",
+    "setop_unpivot",
+    "join_null_safe_eq",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
