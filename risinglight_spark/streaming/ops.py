@@ -573,3 +573,49 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("last.ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "streaming_chained_agg",
+    oracle="""
+    WITH q AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS q_start,
+             event_type, count(*) AS n15
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, q_start) AS hour_start, event_type,
+           CAST(sum(n15) AS BIGINT) AS n, count(*) AS n_quarters
+    FROM q
+    -- append-mode semantics: only windows CLOSED by the final
+    -- watermark (max event time - 30 min delay) are emitted; the tail
+    -- hour stays in state awaiting more data.
+    WHERE time_bucket(INTERVAL 1 HOUR, q_start) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="Chained stateful streaming aggregations (Spark 4: multiple "
+    "stateful operators in one query): 15-minute tumbling counts "
+    "roll up into hourly totals inside the SAME streaming query by "
+    "windowing on the window column itself — the pre-aggregation "
+    "cascade that cuts state and shuffle volume for high-cardinality "
+    "rollups (second stage sees 4 rows/hour/type, not raw events).  "
+    "Watermark propagates through the first aggregation.",
+)
+def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = _events_stream(spark, sf_dir)
+    s1 = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w1"), "event_type")
+        .agg(F.count("*").alias("n15"))
+    )
+    s2 = (
+        s1.groupBy(F.window(F.col("w1"), "1 hour").alias("w2"), "event_type")
+        .agg(F.sum("n15").alias("n"), F.count("*").alias("n_quarters"))
+        .select(
+            F.col("w2.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "n_quarters",
+        )
+    )
+    return _run_to_table(s2, spark, "append")
