@@ -681,3 +681,79 @@ def events_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_match_at"),
         )
     )
+
+
+# -- interval union (merge-overlaps) aggregation -----------------------------
+
+COVER_WIN_MIN = 10  # each event covers [ts, ts + 10 min)
+
+
+@register(
+    "events_interval_union",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL {COVER_WIN_MIN} MINUTE AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), grp AS (
+      SELECT user_id, s, e,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS g
+      FROM marked
+    )
+    SELECT user_id, count(DISTINCT g) AS n_intervals,
+           CAST(sum(span) AS BIGINT) AS covered_sec
+    FROM (
+      SELECT user_id, g,
+             date_diff('second', min(s), max(e)) AS span
+      FROM grp GROUP BY user_id, g
+    ) GROUP BY user_id
+    """,
+    doc=f"Interval-union aggregation (merge overlapping intervals): "
+    f"each event covers [ts, ts+{COVER_WIN_MIN}min); per user, merge "
+    "overlaps and report merged-interval count + total covered "
+    "seconds — the coverage/uptime analytic.  The classic sweep: "
+    "running max(end) over the start-ordered intervals marks gap "
+    "starts, a cumulative sum labels groups, two keyed aggregations "
+    "finish — one shuffle on user_id, no self-joins, no explode of "
+    "the timeline.",
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    iv = t.events.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {COVER_WIN_MIN} MINUTE")).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_new",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    )
+    grp = marked.withColumn(
+        "g",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grp.groupBy("user_id", "g").agg(
+        (
+            F.unix_timestamp(F.max("e")) - F.unix_timestamp(F.min("s"))
+        ).alias("span")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count_distinct("g").alias("n_intervals"),
+        F.sum("span").cast("bigint").alias("covered_sec"),
+    )
