@@ -45,6 +45,8 @@ HEADLINE_EXTRA = (
     "text_chunk_overlap",
     "events_pattern_seq",
     "join_bloom_prefilter",
+    "events_interval_union",
+    "pipeline_dataset_card",
 )
 
 

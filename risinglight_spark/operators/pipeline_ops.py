@@ -675,3 +675,66 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= GROUP_SAMPLE_K)
     )
+
+
+# -- dataset card ------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             {T.lang_id_sql('text')} AS lang_detected,
+             {T.quality_score_sql('text')} AS q,
+             md5({T.normalized_text_sql('text')}) AS fp,
+             {T.token_count_sql('text')} AS ws,
+             length(text)::BIGINT AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           count(DISTINCT fp) AS n_unique,
+           round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 8)
+             AS dup_frac,
+           ({fpsum_sql('q')} / count(*)) AS mean_quality,
+           count(DISTINCT lang_detected) AS n_langs,
+           round(count(*) FILTER (lang_detected = 'en')
+                 / CAST(count(*) AS DOUBLE), 8) AS en_frac
+    FROM feat GROUP BY source
+    """,
+    doc="Dataset card: the per-source corpus summary a training-data "
+    "release ships — doc/token/char counts, exact-dup fraction "
+    "(distinct fingerprints), mean quality, language spread.  One "
+    "Arrow feature pass (the same shared doc-features UDF every "
+    "pipeline stage uses) + one grouped aggregation with a distinct "
+    "count; everything downstream of the scan is pre-aggregated "
+    "map-side except the fingerprint distinct, which shuffles "
+    "(source, fp) pairs once.",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    f = T.doc_features_pandas()(F.col("text")).alias("f")
+    feat = t.documents.select(
+        "source", F.length("text").cast("bigint").alias("n_chars"), f
+    ).select(
+        "source", "n_chars", "f.lang_detected", "f.q", "f.fp", "f.ws"
+    )
+    return feat.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct("fp") / F.count("*").cast("double"), 8
+        ).alias("dup_frac"),
+        (fpsum(F.col("q")) / F.count("*")).alias("mean_quality"),
+        F.count_distinct("lang_detected").alias("n_langs"),
+        F.round(
+            F.count_if(F.col("lang_detected") == "en")
+            / F.count("*").cast("double"),
+            8,
+        ).alias("en_frac"),
+    )

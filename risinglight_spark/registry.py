@@ -134,6 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "subquery_recursive_cte",
     "setop_unpivot",
     "join_null_safe_eq",
+    "events_interval_union",
+    "pipeline_dataset_card",
+    "streaming_chained_agg",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
