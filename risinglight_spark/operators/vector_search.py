@@ -695,3 +695,91 @@ def ann_batch_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= BATCH_TOPK)
     )
+
+
+# -- covariance matrix (PCA / whitening prep) --------------------------------
+
+COV_DIMS = 8  # upper-triangle of the first 8 dims -> 36 output rows
+COV_SCALE = 1e6  # fixed-point quantization for exact cross-moments
+
+
+def _cov_oracle() -> str:
+    x = lambda i: f"CAST(embedding[{i+1}] AS DOUBLE)"
+    q = (
+        lambda e: f"CAST(round(({e}) * {COV_SCALE:.0f}.0, 0) AS BIGINT)"
+    )
+    rows = []
+    for i in range(COV_DIMS):
+        for j in range(i, COV_DIMS):
+            prod = q(f"{x(i)} * {x(j)}")
+            rows.append(
+                f"SELECT {i} AS i, {j} AS j,"
+                f" CAST(sum({prod}) AS DOUBLE) / {COV_SCALE:.0f}.0 AS sxy,"
+                f" CAST(sum({q(x(i))}) AS DOUBLE) / {COV_SCALE:.0f}.0 AS sx,"
+                f" CAST(sum({q(x(j))}) AS DOUBLE) / {COV_SCALE:.0f}.0 AS sy,"
+                f" count(*) AS n FROM embeddings"
+            )
+    inner = " UNION ALL ".join(rows)
+    return f"""
+    SELECT i, j, round((sxy - sx * sy / n) / (n - 1), 9) AS cov
+    FROM ({inner})
+    """
+
+
+@register(
+    "vector_covariance_matrix",
+    oracle=_cov_oracle(),
+    doc=f"Covariance matrix over the first {COV_DIMS} embedding "
+    "dimensions (upper triangle) — the aggregation PCA / whitening / "
+    "OPQ rotation estimation runs at corpus scale; the driver-side "
+    "eigendecomposition of the resulting k x k matrix is trivial.  "
+    "One scan computes all cross-moments as fixed-point int64 sums "
+    "(exact, partitioning-invariant) with map-side partials; output "
+    "size is k(k+1)/2 regardless of corpus size.  The oracle replays "
+    "the same quantized moments per pair.",
+)
+def vector_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def q(col):
+        return F.round(col * COV_SCALE, 0).cast("long")
+
+    x = [
+        F.element_at("embedding", i + 1).cast("double")
+        for i in range(COV_DIMS)
+    ]
+    aggs = []
+    for i in range(COV_DIMS):
+        for j in range(i, COV_DIMS):
+            aggs.append(F.sum(q(x[i] * x[j])).alias(f"sxy_{i}_{j}"))
+    for i in range(COV_DIMS):
+        aggs.append(F.sum(q(x[i])).alias(f"s_{i}"))
+    aggs.append(F.count("*").alias("n"))
+    m = t.embeddings.agg(*aggs)
+    pairs = []
+    for i in range(COV_DIMS):
+        for j in range(i, COV_DIMS):
+            pairs.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    (F.col(f"sxy_{i}_{j}").cast("double") / COV_SCALE).alias(
+                        "sxy"
+                    ),
+                    (F.col(f"s_{i}").cast("double") / COV_SCALE).alias("sx"),
+                    (F.col(f"s_{j}").cast("double") / COV_SCALE).alias("sy"),
+                    F.col("n").alias("n"),
+                )
+            )
+    exploded = m.select(
+        F.explode(F.array(*pairs)).alias("p")
+    ).select("p.i", "p.j", "p.sxy", "p.sx", "p.sy", "p.n")
+    return exploded.select(
+        "i",
+        "j",
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1),
+            9,
+        ).alias("cov"),
+    )

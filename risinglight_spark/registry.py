@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_interval_union",
     "pipeline_dataset_card",
     "streaming_chained_agg",
+    "vector_covariance_matrix",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
