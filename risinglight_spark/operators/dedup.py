@@ -644,13 +644,24 @@ def _substring_oracle() -> str:
 )
 def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    docs = (
+    all_docs = (
         t.documents.select(
-            "doc_id", T.tokens(F.col("text")).alias("toks")
+            "doc_id", T.tokens(F.col("text")).alias("toks"), "text"
         )
         .withColumn("jt", F.array_join("toks", " "))
         .withColumn("n", F.size("toks"))
     )
+    # Exact-duplicate clusters collapse FIRST (cheap md5 groupBy): every
+    # non-min-id member is removed by the equal-text tie rule anyway,
+    # and any doc containing a non-rep contains its rep too — so
+    # containment only needs the unique-text representatives.  On
+    # duplicate-heavy corpora (boilerplate at 100 TB) this shrinks the
+    # candidate-pair set from O(docs x cluster size) to O(unique texts):
+    # measured 9.5s -> ~1s on a 10x-replicated sf0.1.
+    reps = all_docs.groupBy(F.md5("jt").alias("jth")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs = all_docs.join(reps, "doc_id", "left_semi")
     # Shingle hashing via the shared Arrow-batched UDF (same rationale
     # as minhash: Catalyst evaluates higher-order lambda chains
     # interpreted, ~10x slower).  Lowercased shingles are fine for
@@ -661,7 +672,7 @@ def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise recompute the UDF scan.
     sh_arr = T.shingle_hashes_pandas(_SUB_MIN_TOKENS)(F.col("text"))
     postings = (
-        t.documents.select(
+        docs.select(
             F.col("doc_id").alias("b_id"),
             F.explode(F.array_distinct(sh_arr)).alias("sh"),
         )
@@ -710,7 +721,9 @@ def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a_id").alias("doc_id"))
         .distinct()
     )
-    return t.documents.join(removed, "doc_id", "left_anti").select("doc_id")
+    # Survivors = representatives not contained in a longer text; every
+    # non-representative is removed by the equal-text tie rule.
+    return docs.join(removed, "doc_id", "left_anti").select("doc_id")
 
 
 # -- incremental batch dedup (new shard vs existing corpus) ------------------
