@@ -365,3 +365,27 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir):
     # z-order: BOTH dimensions bounded well below the unclustered span
     assert z_ck < 0.65 and z_od < 0.65, (z_ck, z_od)
     assert z_od < 0.8 * lin_od
+
+
+_PIPELINE_SWEEP = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_substring_contained", "dedup_incremental_batch",
+    "ann_cosine_topk", "ann_batch_topk_join", "vector_l2_topk",
+    "text_bm25_topk", "text_chunk_overlap", "text_quality_scores",
+    "text_corpus_stats", "text_decontaminate", "text_line_dedup_c4",
+    "events_sessionization", "events_asof_join", "events_range_join",
+    "events_pattern_seq", "events_interval_union",
+    "pack_sequences", "sample_topk_per_group",
+    "pipeline_clean_corpus", "pipeline_dataset_card",
+    "join_bloom_prefilter", "agg_mode_deterministic",
+]
+
+
+@pytest.mark.parametrize("name", _PIPELINE_SWEEP)
+def test_no_cartesian_products_in_pipeline_ops(spark, sf_dir, name):
+    # Broadcast one-row stat joins plan as BroadcastNestedLoopJoin —
+    # fine.  A CartesianProduct anywhere means a join lost its keys and
+    # would explode at scale.
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
