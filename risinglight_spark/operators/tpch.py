@@ -57,9 +57,9 @@ def _sql_query(name: str, sql: str, doc: str, oracle: str | None = None) -> None
     register(name, oracle=oracle or sql, doc=doc)(fn)
 
 
-@register(
+_sql_query(
     "tpch_q1",
-    oracle=f"""
+    f"""
     SELECT l_returnflag, l_linestatus,
            {intsum_sql("l_quantity")} AS sum_qty,
            {fpsum_sql("l_extendedprice", 100)} AS sum_base_price,
@@ -82,35 +82,12 @@ def _sql_query(name: str, sql: str, doc: str, oracle: str | None = None) -> None
     "l_extendedprice / l_discount carry exactly 2 decimals -> fixed-point "
     "cents in int64 (sum_base_price headroom ~9.2e16 currency units, "
     "comfortably past the ~3e16 total of a 100 TB lineitem); the "
-    "discount/tax product terms need >= 4 decimals, where int64 fixed "
-    "point WOULD overflow near SF~30k — those two stay decimal(18,6) "
-    "sums (arbitrary headroom).  ~35% faster than all-decimal at equal "
-    "determinism.",
+    "discount/tax product terms need >= 4 decimals -> hi/lo split long "
+    "sums (see operators.dsum: exact to ~1e12 rows, ~25% faster than "
+    "the decimal path).  One SQL text runs on BOTH engines (the >> / & "
+    "split-sum operators are common dialect), so plan build is a "
+    "single parse instead of ~800 py4j Column calls.",
 )
-def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    li = t.lineitem.filter(F.col("l_shipdate") <= F.lit("2001-08-25").cast("date"))
-    ep, disc, tax, qty = (
-        F.col("l_extendedprice"),
-        F.col("l_discount"),
-        F.col("l_tax"),
-        F.col("l_quantity"),
-    )
-    rev = ep * (1 - disc)
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            intsum(qty).alias("sum_qty"),
-            fpsum(ep, 100).alias("sum_base_price"),
-            dsum(rev).alias("sum_disc_price"),
-            dsum(rev * (1 + tax)).alias("sum_charge"),
-            (intsum(qty) / F.count(qty)).alias("avg_qty"),
-            (fpsum(ep, 100) / F.count(ep)).alias("avg_price"),
-            (fpsum(disc, 100) / F.count(disc)).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
 
 
 _sql_query(
