@@ -757,3 +757,80 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("g").alias("n_intervals"),
         F.sum("span").cast("bigint").alias("covered_sec"),
     )
+
+
+# -- linear trend (exact-moment regression) ----------------------------------
+
+TREND_SCALE = 1e6
+
+
+@register(
+    "events_linear_trend",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(x * {TREND_SCALE:.0f}.0, 0) AS BIGINT)) AS DOUBLE)
+               / {TREND_SCALE:.0f}.0 AS sx,
+             CAST(sum(CAST(round(y * {TREND_SCALE:.0f}.0, 0) AS BIGINT)) AS DOUBLE)
+               / {TREND_SCALE:.0f}.0 AS sy,
+             CAST(sum(CAST(round(x * x * {TREND_SCALE:.0f}.0, 0) AS BIGINT)) AS DOUBLE)
+               / {TREND_SCALE:.0f}.0 AS sxx,
+             CAST(sum(CAST(round(x * y * {TREND_SCALE:.0f}.0, 0) AS BIGINT)) AS DOUBLE)
+               / {TREND_SCALE:.0f}.0 AS sxy
+      FROM (
+        SELECT event_type,
+               date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                 / 86400.0 AS x,
+               coalesce(value, 0.0) AS y
+        FROM events
+      )
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+             AS intercept
+    FROM m
+    """,
+    doc="Per-event-type linear trend (least-squares value ~ days since "
+    "epoch): the moments (n, Σx, Σy, Σx², Σxy) accumulate as exact "
+    "fixed-point int64 sums — partitioning-invariant like every other "
+    "deterministic aggregate here — and the slope/intercept close-form "
+    "evaluates per group.  One shuffle of 5-number partials per type; "
+    "regression over 100 TB costs exactly one scan.",
+)
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    x = (
+        F.unix_timestamp(F.col("ts"))
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ) / 86400.0
+    y = F.coalesce(F.col("value"), F.lit(0.0))
+
+    def xs(e):
+        return (
+            F.sum(F.round(e * TREND_SCALE, 0).cast("long")).cast("double")
+            / TREND_SCALE
+        )
+
+    m = t.events.select(
+        "event_type", x.alias("x"), y.alias("y")
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        xs(F.col("x")).alias("sx"),
+        xs(F.col("y")).alias("sy"),
+        xs(F.col("x") * F.col("x")).alias("sxx"),
+        xs(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "intercept"
+        ),
+    )

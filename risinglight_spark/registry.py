@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_dataset_card",
     "streaming_chained_agg",
     "vector_covariance_matrix",
+    "events_linear_trend",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
