@@ -322,3 +322,109 @@ def test_training_order_positions_are_contiguous(spark, sf_dir):
         by_shard[r.shard].append(r.pos_in_shard)
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_chunk_overlap_reconstructs_tokens(spark, sf_dir):
+    # chunks tile the token sequence: starts step by the stride, the
+    # last chunk reaches the end, and stitching chunk tokens back
+    # together (dropping each chunk's overlap prefix) rebuilds the doc
+    from risinglight_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from risinglight_spark.registry import collect
+    from risinglight_spark.tables import load
+
+    rows = collect()["text_chunk_overlap"].fn(spark, sf_dir).collect()
+    toks = {
+        r.doc_id: r.tk
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("tk"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = len(toks[doc_id])
+        assert [c.start_tok for c in chunks] == list(
+            range(0, n, CHUNK_STRIDE)
+        )
+        rebuilt = []
+        for c in chunks:
+            ct = c.chunk_text.split(" ") if c.chunk_text else []
+            assert len(ct) == c.n_chunk_tokens <= CHUNK_TOKENS
+            rebuilt.extend(ct[len(rebuilt) - c.start_tok :])
+        assert rebuilt == toks[doc_id], doc_id
+
+
+def test_interval_union_bounds(spark, sf_dir):
+    # merged coverage per user is bounded below by one window and above
+    # by n_events * window (no overlap double-counting)
+    from risinglight_spark.operators.events_ops import COVER_WIN_MIN
+    from risinglight_spark.registry import collect
+    from risinglight_spark.tables import load
+
+    rows = collect()["events_interval_union"].fn(spark, sf_dir).collect()
+    counts = {
+        r.user_id: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    win = COVER_WIN_MIN * 60
+    assert set(counts) == {r.user_id for r in rows}
+    for r in rows:
+        assert win <= r.covered_sec <= counts[r.user_id] * win, r
+        assert 1 <= r.n_intervals <= counts[r.user_id], r
+
+
+def test_bm25_scores_are_sane(spark, sf_dir):
+    # positive, bounded by sum of max idf * (k1+1), and sorted desc
+    import math
+
+    from risinglight_spark.operators.text_analysis import (
+        BM25_K1,
+        BM25_TERMS,
+    )
+    from risinglight_spark.registry import collect
+    from risinglight_spark.tables import load
+
+    rows = collect()["text_bm25_topk"].fn(spark, sf_dir).collect()
+    assert rows, "top-k must not be empty on this corpus"
+    n_docs = load(spark, sf_dir, "documents").count()
+    max_idf = math.log(1.0 + (n_docs - 0.5) / 0.5)
+    bound = len(BM25_TERMS) * max_idf * (BM25_K1 + 1)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= bound for s in scores), scores
+
+
+def test_covariance_matrix_is_consistent(spark, sf_dir):
+    # diagonal entries are variances (>= 0); matrix values match a
+    # numpy recomputation to quantization precision
+    import numpy as np
+
+    from risinglight_spark.operators.vector_search import COV_DIMS
+    from risinglight_spark.registry import collect
+    from risinglight_spark.tables import load
+
+    rows = collect()["vector_covariance_matrix"].fn(spark, sf_dir).collect()
+    emb = np.array(
+        [
+            r.embedding[:COV_DIMS]
+            for r in load(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    ref = np.cov(emb, rowvar=False)
+    for r in rows:
+        if r.i == r.j:
+            assert r.cov >= 0, r
+        assert abs(r.cov - ref[r.i][r.j]) < 1e-4, (r, ref[r.i][r.j])
