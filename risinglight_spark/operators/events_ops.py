@@ -834,3 +834,43 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, count(*) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY src)
+                 AS DOUBLE), 8) AS p
+    FROM o WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+    doc="Event-type transition matrix (Markov / Sankey counts): "
+    "consecutive per-user event pairs via lead(), then a grouped "
+    "count with a windowed row-normalization into transition "
+    "probabilities.  One per-user sort + one tiny (src,dst) "
+    "aggregation; the probability window runs over the k x k "
+    "aggregate, not the events.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t.events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = o.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("src")).cast("double"),
+            8,
+        ),
+    )

@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_chained_agg",
     "vector_covariance_matrix",
     "events_linear_trend",
+    "events_transition_matrix",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
