@@ -803,3 +803,75 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# -- per-doc TF-IDF keyword extraction ---------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+def _keywords_oracle() -> str:
+    toks = T.tokens_sql("lower(text)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfx AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT count(*) AS n FROM documents
+    ), s AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * ln(CAST(nn.n AS DOUBLE) / dfx.df), 9) AS tfidf
+      FROM tf, dfx, nn WHERE tf.term = dfx.term
+    )
+    SELECT doc_id, term, tfidf, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM s
+    ) WHERE rn <= {KEYWORDS_PER_DOC}
+    """
+
+
+@register(
+    "text_keywords_tfidf",
+    oracle=_keywords_oracle(),
+    doc=f"Per-document keyword extraction: top-{KEYWORDS_PER_DOC} terms "
+    "by tf-idf.  The inverted-index shape: explode terms (linear), "
+    "aggregate (doc, term) tf with map-side partials, derive document "
+    "frequency FROM the tf table (one more tiny shuffle on term — "
+    "never re-scanning text), join scores back keyed on term, rank "
+    "per doc.  Scores round to 9 decimals before the (score, term) "
+    "tie-break so ranking is engine-exact.  At 100 TB the df table is "
+    "vocabulary-sized (millions, not billions) and broadcastable.",
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nn = t.documents.agg(F.count("*").alias("n"))
+    s = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KEYWORDS_PER_DOC)
+    )

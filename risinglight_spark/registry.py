@@ -140,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "vector_covariance_matrix",
     "events_linear_trend",
     "events_transition_matrix",
+    "text_keywords_tfidf",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
