@@ -41,12 +41,57 @@ from pyspark.sql.window import Window
 
 from risinglight_spark.functions import text as T
 from risinglight_spark.operators import Tables, fpsum, fpsum_sql
-from risinglight_spark.operators.dedup import _jaccard_oracle, dedup_ngram_jaccard
+from risinglight_spark.operators.dedup import (
+    _jaccard_oracle,
+    _minhash_verified_oracle,
+    _simhash_oracle,
+    dedup_minhash_verified,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
 from risinglight_spark.registry import register
 
 # -- connected components ---------------------------------------------------
 
 CC_MAX_ROUNDS = 15
+
+
+def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: returns
+    (doc_id, component) for every vertex, component = min reachable id.
+    One keyed shuffle per round, O(diameter) rounds; localCheckpoint
+    cuts lineage.  Labels only ever decrease, so sum(component) is
+    strictly decreasing until the fixed point: an unchanged sum IS
+    convergence — one scalar agg per round, no compare join."""
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b"), F.col("doc_a")))
+    sym = sym.localCheckpoint()  # pairs plan is wide; evaluate once
+
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    prev_sum = None
+    for _ in range(CC_MAX_ROUNDS):
+        nbr_min = sym.join(labels, sym.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "component"
+        )
+        labels = (
+            nbr_min.unionAll(labels)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"label propagation did not converge in {CC_MAX_ROUNDS} rounds"
+    )
+
 
 
 @register(
@@ -86,36 +131,7 @@ CC_MAX_ROUNDS = 15
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b"), F.col("doc_a")))
-    sym = sym.localCheckpoint()  # pairs plan is wide; evaluate once
-
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-    )
-    # Labels only ever decrease (min-propagation), so sum(component) is
-    # strictly decreasing until the fixed point: an unchanged sum IS
-    # convergence.  One scalar agg per round — no compare join.
-    prev_sum = None
-    for _ in range(CC_MAX_ROUNDS):
-        nbr_min = sym.join(labels, sym.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "component"
-        )
-        labels = (
-            nbr_min.unionAll(labels)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(f"label propagation did not converge in {CC_MAX_ROUNDS} rounds")
+    labels = _propagate_min_labels(pairs)
 
     return (
         t.documents.select("doc_id")
@@ -737,4 +753,79 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double"),
             8,
         ).alias("en_frac"),
+    )
+
+
+# -- multi-signal ensemble dedup ---------------------------------------------
+
+
+@register(
+    "dedup_multi_signal",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_verified_oracle()}) mv
+      UNION
+      SELECT doc_a, doc_b FROM ({_simhash_oracle()}) sh
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, md5({T.normalized_text_sql('text')}) AS fp
+            FROM documents) a
+      JOIN (SELECT doc_id, md5({T.normalized_text_sql('text')}) AS fp
+            FROM documents) b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS keeper,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS survives
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    doc="Ensemble dedup — what production pipelines actually run: the "
+    "union of THREE pair signals (exact fingerprint, MinHash-LSH "
+    "verified Jaccard >= 0.5, SimHash hamming <= 3) forms one dup "
+    "graph; connected components assign every doc its min-id keeper.  "
+    "A doc is dropped if ANY signal links it (possibly transitively) "
+    "to a smaller-id doc.  Each signal keeps its own bucketed "
+    "candidate generation (never all-pairs); the union is a cheap "
+    "distinct over (a, b) int pairs; component closure reuses the "
+    "shared min-label propagation (O(diameter) rounds).",
+)
+def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fps = t.documents.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    exact = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    minhash = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    simhash = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = exact.unionAll(minhash).unionAll(simhash).distinct()
+    labels = _propagate_min_labels(pairs)
+    return (
+        t.documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper"),
+        )
+        .withColumn("survives", F.col("keeper") == F.col("doc_id"))
     )

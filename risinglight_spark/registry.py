@@ -141,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_linear_trend",
     "events_transition_matrix",
     "text_keywords_tfidf",
+    "dedup_multi_signal",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
