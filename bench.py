@@ -47,6 +47,7 @@ HEADLINE_EXTRA = (
     "join_bloom_prefilter",
     "events_interval_union",
     "pipeline_dataset_card",
+    "dedup_multi_signal",
 )
 
 
