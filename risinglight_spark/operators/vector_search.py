@@ -783,3 +783,133 @@ def vector_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cov"),
     )
+
+
+# -- ANN recall evaluation ---------------------------------------------------
+
+RECALL_K = 10
+
+
+def _bucket_pair_sql(col: str) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {_dot_sql(col, plane)} >= 0 THEN {2**p} ELSE 0 END)"
+        for p, plane in enumerate(PLANES)
+    ) + ")"
+
+
+def _recall_oracle() -> str:
+    dotp = _dot_pair_sql("q.embedding", "c.embedding")
+    cos = f"round(({dotp} / (q.nrm * c.nrm)), 9)"
+    base = f"""
+      SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+             {_bucket_pair_sql('embedding')} AS bucket
+      FROM embeddings
+    """
+    return f"""
+    WITH e AS MATERIALIZED ({base}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM e q, e c
+        WHERE q.vec_id < {BATCH_QUERIES} AND c.vec_id >= {BATCH_QUERIES}
+      ) WHERE rn <= {RECALL_K}
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM e q, e c
+        WHERE q.vec_id < {BATCH_QUERIES} AND c.vec_id >= {BATCH_QUERIES}
+          AND q.bucket = c.bucket
+      ) WHERE rn <= {RECALL_K}
+    )
+    SELECT x.query_id,
+           count(*) AS n_exact,
+           count(l.neighbor_id) AS n_hit,
+           round(count(l.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+             AS recall
+    FROM exact x LEFT JOIN lsh l
+      ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_recall_oracle(),
+    doc=f"Index-quality evaluation AS a query: recall@{RECALL_K} of the "
+    "LSH-bucketed ANN against the exact brute-force ranking, per query "
+    "vector — the operational metric you monitor when tuning "
+    "nlists/nprobe/planes at corpus scale.  Both rankings come from "
+    "the same single corpus scan (shared base projection), cosine "
+    "rounded to 9 decimals before tie-break so both engines rank "
+    "identically.  At 100 TB the exact arm runs on a held-out sample "
+    "only; the plan shape is unchanged.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = base.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = base.filter(F.col("vec_id") >= BATCH_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        9,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", cos.alias("cos_sim"),
+        "q_bucket", "c_bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    lsh = (
+        scored.filter(F.col("q_bucket") == F.col("c_bucket"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.alias("x")
+        .join(
+            lsh.alias("l"),
+            (F.col("x.query_id") == F.col("l.query_id"))
+            & (F.col("x.neighbor_id") == F.col("l.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("x.query_id").alias("query_id"))
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count(F.col("l.neighbor_id")).alias("n_hit"),
+            F.round(
+                F.count(F.col("l.neighbor_id"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_transition_matrix",
     "text_keywords_tfidf",
     "dedup_multi_signal",
+    "ann_recall_eval",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
