@@ -777,3 +777,55 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(existing, "fp", "left_anti")
         .select("doc_id", "source")
     )
+
+
+# -- MinHash candidate-quality evaluation ------------------------------------
+
+
+@register(
+    "dedup_minhash_eval",
+    oracle=f"""
+    WITH cand AS ({_minhash_oracle()}),
+    truth AS (SELECT doc_a, doc_b FROM ({_jaccard_oracle()}) t),
+    hit AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN truth t USING (doc_a, doc_b)
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)
+             AS precision_,
+           round((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
+             AS recall_
+    """,
+    doc="Candidate-quality evaluation AS a query: precision/recall of "
+    "the MinHash-LSH band candidates against exact word-3-gram "
+    "Jaccard >= 0.5 truth (itself computed via the inverted-index "
+    "join, never all-pairs).  The operational dial for choosing "
+    "bands x rows at corpus scale: more bands -> recall up, "
+    "precision down.  Single-row output; at 100 TB the truth arm "
+    "runs on a held-out sample with the same plan shape.",
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        cand.agg(F.count("*").alias("n_cand"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.col("n_cand").cast("double"), 6
+        ).alias("precision_"),
+        F.round(
+            F.col("n_hit") / F.col("n_truth").cast("double"), 6
+        ).alias("recall_"),
+    )

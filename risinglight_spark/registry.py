@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_keywords_tfidf",
     "dedup_multi_signal",
     "ann_recall_eval",
+    "dedup_minhash_eval",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
