@@ -525,3 +525,32 @@ def repetition_counts_pandas():
         )
 
     return _udf
+
+
+def bm25_tf_pandas(terms: tuple):
+    """Arrow-batched per-doc term frequencies + doc length for a fixed
+    term list (lowercased whitespace tokens).  Same rationale as
+    shingle_hashes_pandas: per-term interpreted array-filter lambdas
+    cost ~70us/doc/term; one vectorized pass is ~10x faster.  Counts
+    are exact integers, so oracle parity is unaffected (DuckDB replays
+    the list_filter formulation).
+    Tokenization caveat: Python \\s is unicode-aware vs Java's ASCII
+    \\s — identical on ASCII-spaced corpora (same caveat as every
+    text UDF here)."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = ", ".join(f"tf_{t}:bigint" for t in terms)
+
+    @pandas_udf(f"struct<{fields}, dl:bigint>")
+    def _udf(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            toks = [x for x in _WS.split(t.lower()) if x] if t else []
+            row = [toks.count(term) for term in terms]
+            row.append(len(toks))
+            rows.append(row)
+        return pd.DataFrame(
+            rows, columns=[f"tf_{t}" for t in terms] + ["dl"]
+        )
+
+    return _udf

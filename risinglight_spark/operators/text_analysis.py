@@ -699,19 +699,15 @@ def _bm25_oracle() -> str:
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-
-    def tf(term: str):
-        # NB: F.filter treats a 2-arg lambda as (element, index) — the
-        # term must be captured by closure, not by a default arg.
-        return F.size(F.filter(F.col("tk"), lambda x: x == term)).cast("bigint")
-
-    base = t.documents.select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("tk")
-    ).select(
+    # Arrow-batched tf pass (one vectorized scan; the interpreted
+    # array-filter formulation costs ~70us/doc/term — measured 36.7s
+    # vs ~4s on a 500k-doc corpus).
+    f = T.bm25_tf_pandas(BM25_TERMS)(F.col("text")).alias("f")
+    base = t.documents.select("doc_id", f).select(
         "doc_id",
-        *[tf(term).alias(f"tf_{term}") for term in BM25_TERMS],
-        F.size("tk").cast("bigint").alias("dl"),
-    )
+        *[F.col(f"f.tf_{term}").alias(f"tf_{term}") for term in BM25_TERMS],
+        F.col("f.dl").alias("dl"),
+    ).persist()  # stats arm + scoring arm both read it; one Arrow pass
     stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
