@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_multi_signal",
     "ann_recall_eval",
     "dedup_minhash_eval",
+    "streaming_custom_source",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

@@ -619,3 +619,57 @@ def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(s2, spark, "append")
+
+
+@register(
+    "streaming_custom_source",
+    oracle=f"""
+    SELECT r AS id, r * 0.5 AS value,
+           CAST(sum(r) OVER () AS BIGINT) AS id_sum
+    FROM range(0, 1000) t(r)
+    """,
+    doc="Custom streaming source via the Spark 4 Python DataSource "
+    "API (sources/ticker.py): offsets are row indexes, micro-batches "
+    "are exact offset ranges, and readBetweenOffsets replays any "
+    "committed batch — the recoverability contract of a real "
+    "connector.  The stream runs micro-batches until the source "
+    "drains (4 batches of <=300 rows), then the materialized sink "
+    "must equal the closed-form range (the oracle).",
+)
+def streaming_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from risinglight_spark.sources.ticker import (
+        TICKER_TOTAL,
+        TickerDataSource,
+    )
+
+    pin_semantics(spark)
+    try:
+        spark.dataSource.register(TickerDataSource)
+    except Exception:
+        pass  # already registered in this session
+    _SINK_SEQ[0] += 1
+    name = f"rl_ticker_sink_{_SINK_SEQ[0]}"
+    q = (
+        spark.readStream.format("rl_ticker")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table(name).count() >= TICKER_TOTAL:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    out = spark.table(name)
+    from pyspark.sql import Window
+
+    return out.select(
+        "id", "value", F.sum("id").over(Window.partitionBy()).alias("id_sum")
+    )
