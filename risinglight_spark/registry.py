@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "dedup_minhash_eval",
     "streaming_custom_source",
+    "streaming_custom_sink",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

@@ -14,7 +14,12 @@ streaming/ops.py).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 
 TICKER_TOTAL = 1000
 TICKER_BATCH = 300  # 4 micro-batches: 300+300+300+100
@@ -50,3 +55,67 @@ class TickerDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _TickerReader()
+
+
+# -- custom streaming SINK (write side of the connector contract) ------------
+
+
+class _FileCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class _FileStreamWriter(DataSourceStreamWriter):
+    """Transactional file sink: each task writes a staged file and
+    reports it in its commit message; commit() publishes the batch
+    MANIFEST atomically (rename), so readers only ever see fully
+    committed batches — the exactly-once sink contract."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        staged = os.path.join(
+            self.path, f"staged-{uuid.uuid4().hex}.csv"
+        )
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(f"{row.user_id},{row.n}\n")
+                n += 1
+        return _FileCommitMessage(staged, n)
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        manifest = os.path.join(self.path, f"manifest-{batchId}.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                [{"path": m.path, "n": m.n} for m in messages if m], f
+            )
+        os.rename(tmp, manifest)
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class FileSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rl_filesink"
+
+    def schema(self) -> str:
+        return "user_id BIGINT, n BIGINT"
+
+    def streamWriter(self, schema, overwrite):
+        return _FileStreamWriter(self.options)

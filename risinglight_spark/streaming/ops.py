@@ -673,3 +673,60 @@ def streaming_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "value", F.sum("id").over(Window.partitionBy()).alias("id_sum")
     )
+
+
+@register(
+    "streaming_custom_sink",
+    oracle="""
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    """,
+    doc="Custom streaming SINK via the Python DataSource API "
+    "(sources/ticker.py FileSinkDataSource): per-user event counts "
+    "stream into a transactional file sink — tasks stage files, "
+    "commit() publishes an atomic per-batch manifest (rename), "
+    "abort() discards staged output, so readers only see fully "
+    "committed batches.  The round trip (read manifests -> read "
+    "staged files) must equal the batch aggregate.  Completes the "
+    "connector quadrant: batch read (.tbl source), batch write "
+    "(COPY), streaming read (rl_ticker), streaming write (here).",
+)
+def streaming_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import tempfile
+
+    from risinglight_spark.sources.ticker import FileSinkDataSource
+
+    pin_semantics(spark)
+    try:
+        spark.dataSource.register(FileSinkDataSource)
+    except Exception:
+        pass
+    out_dir = tempfile.mkdtemp(prefix="rl_filesink_")
+    sdf = _events_stream(spark, sf_dir)
+    agg = sdf.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.format("rl_filesink")
+        .option("path", out_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rl_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    # read back through the committed manifests only
+    import glob
+    import os
+
+    manifests = sorted(glob.glob(os.path.join(out_dir, "manifest-*.json")))
+    files = []
+    for m in manifests[-1:]:  # complete mode: last batch is the full state
+        with open(m) as f:
+            files += [e["path"] for e in json.load(f)]
+    rows = []
+    for p in files:
+        with open(p) as f:
+            rows += [
+                (int(a), int(b))
+                for a, b in (ln.split(",") for ln in f.read().splitlines())
+            ]
+    return spark.createDataFrame(rows, "user_id BIGINT, n BIGINT")
