@@ -47,7 +47,9 @@ HEADLINE_EXTRA = (
     "join_bloom_prefilter",
     "events_interval_union",
     "pipeline_dataset_card",
-    "dedup_multi_signal",
+    # NOT in the headline: dedup_multi_signal / dedup_connected_components
+    # are iterative (O(diameter) rounds of materialized label joins) —
+    # correct but not a throughput-representative single-pass query.
 )
 
 
