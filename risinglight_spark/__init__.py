@@ -22,4 +22,4 @@ streaming/     Structured Streaming pipelines over the events table
 from risinglight_spark.session import get_spark
 
 __all__ = ["get_spark"]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -428,3 +428,29 @@ def test_covariance_matrix_is_consistent(spark, sf_dir):
         if r.i == r.j:
             assert r.cov >= 0, r
         assert abs(r.cov - ref[r.i][r.j]) < 1e-4, (r, ref[r.i][r.j])
+
+
+def test_concurrent_queries_match_serial(spark, sf_dir):
+    # one SparkSession serving parallel clients (the pgwire reality):
+    # 8 threads re-running a mixed workload must reproduce the serial
+    # results exactly — no cross-query state bleed (temp views, confs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from risinglight_spark.registry import collect
+
+    entries = collect()
+    names = [
+        "tpch_q6", "agg_hash_group", "join_semi", "window_row_number",
+        "text_token_counts", "dedup_exact", "events_tumbling_window",
+        "vector_l2_topk",
+    ]
+
+    def run(name):
+        df = entries[name].fn(spark, sf_dir)
+        return sorted(map(tuple, df.collect()))
+
+    serial = {n: run(n) for n in names}
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        futs = {n: ex.submit(run, n) for n in names * 2}
+    for n, f in futs.items():
+        assert f.result() == serial[n], n
