@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_eval",
     "streaming_custom_source",
     "streaming_custom_sink",
+    "streaming_interval_join_outer",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

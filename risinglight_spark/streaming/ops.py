@@ -730,3 +730,65 @@ def streaming_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for a, b in (ln.split(",") for ln in f.read().splitlines())
             ]
     return spark.createDataFrame(rows, "user_id BIGINT, n BIGINT")
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle=f"""
+    WITH horizon AS (SELECT max(ts) - INTERVAL 3 HOUR AS h FROM events)
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           c.value AS click_value
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_MIN} MINUTE
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+      AND p.ts <= (SELECT h FROM horizon)
+    """,
+    doc="Stream-stream LEFT OUTER interval join: every purchase emits — "
+    "matched to preceding clicks, or with NULLs once the watermark "
+    "proves no match can arrive (the harder outer-join protocol: "
+    "Spark holds left rows in state until eviction).  Unmatched "
+    "emission lags the watermark by an engine-internal eviction "
+    "bound, so the query analyzes the CLOSED horizon (purchases "
+    "older than max event time - 3h, comfortably past watermark "
+    "delay + join range): every retained left row is guaranteed "
+    "evicted and emitted, making the append output equal the plain "
+    "batch left join — no emission modeling in the oracle.  The "
+    "watermark still advances on the full stream (filter applied "
+    "above the watermark node).",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("h")
+    ).collect()[0].h
+    sdf = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    p = (
+        sdf.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") <= F.lit(horizon))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = sdf.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    j = p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {STREAM_JOIN_LOOKBACK_MIN} MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "click_value")
+    return _run_to_table(j, spark, "append")
