@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_custom_source",
     "streaming_custom_sink",
     "streaming_interval_join_outer",
+    "streaming_rocksdb_state",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

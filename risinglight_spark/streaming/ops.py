@@ -792,3 +792,45 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         "leftOuter",
     ).select("purchase_id", "click_id", "click_value")
     return _run_to_table(j, spark, "append")
+
+
+@register(
+    "streaming_rocksdb_state",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Windowed aggregation on the RocksDB state store provider — "
+    "the production state backend at scale: state lives off-heap / "
+    "on-disk per executor instead of the default HDFS-backed in-memory "
+    "map (which OOMs once keyed state exceeds executor heap, the "
+    "failure mode for billions of keys at 100 TB).  Changelog "
+    "checkpointing keeps commits incremental.  Results must be "
+    "backend-invariant — same oracle as any batch rollup.",
+)
+def streaming_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = _events_stream(spark, sf_dir)
+        agg = (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", "1 day").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("w.start").alias("day"), "event_type", "n"
+            )
+        )
+        return _run_to_table(agg, spark, "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
