@@ -511,3 +511,60 @@ _sql_query(
     "c_nationkey % 10 (no c_phone).  Uncorrelated scalar avg + NOT EXISTS "
     "anti join preserved.",
 )
+
+
+@register(
+    "tpch_refresh_rf1_rf2",
+    oracle="""
+    WITH inserted AS (
+      SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
+               AS o_orderkey,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    after AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM inserted
+    ),
+    survivors AS (
+      SELECT * FROM after WHERE o_orderkey % 97 != 0
+    )
+    SELECT count(*) AS n_orders,
+           (CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0, 0)
+                 AS BIGINT)) AS DOUBLE) / 100.0) AS total_price
+    FROM survivors
+    """,
+    doc="TPC-H refresh functions RF1/RF2 (the dbgen update streams: "
+    "insert a new order batch, delete by orderkey) run copy-on-write: "
+    "RF1 unions the insert batch (sampled keys shifted past max), RF2 "
+    "anti-filters the delete set, and the refreshed table aggregates "
+    "to the oracle.  At scale RF1 appends new parquet files (no "
+    "rewrite) and RF2 rewrites only files containing deleted keys "
+    "(min/max pruning finds them) — the copy-on-write DELETE "
+    "ddl_create_insert_delete already exercises.",
+)
+def tpch_refresh_rf1_rf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.orders.select("o_orderkey", "o_totalprice")
+    shift = base.agg((F.max("o_orderkey") + 1).alias("s"))
+    inserted = (
+        base.filter(F.col("o_orderkey") % 100 == 0)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("o_orderkey") + F.col("s")).alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+    after = base.unionByName(inserted)
+    survivors = after.filter(F.col("o_orderkey") % 97 != 0)
+    return survivors.agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100.0, 0)
+                .cast("long")
+            ).cast("double")
+            / 100.0
+        ).alias("total_price"),
+    )

@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_custom_sink",
     "streaming_interval_join_outer",
     "streaming_rocksdb_state",
+    "tpch_refresh_rf1_rf2",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

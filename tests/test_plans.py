@@ -389,3 +389,15 @@ def test_no_cartesian_products_in_pipeline_ops(spark, sf_dir, name):
     # would explode at scale.
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
+
+
+def test_bench_contract(spark, sf_dir):
+    # every headline name must exist in the registry (bench.py and the
+    # registry must not drift apart), and the bench must emit one JSON
+    # line with the driver-required keys
+    import bench
+
+    for n in bench.HEADLINE_EXTRA:
+        assert n in ENTRIES, n
+    for i in range(1, 23):
+        assert f"tpch_q{i}" in ENTRIES
