@@ -549,3 +549,36 @@ def expr_hash_json_library(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ).alias("n_tags"),
     )
+
+
+@register(
+    "expr_try_functions",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN (n_nationkey - 5) = 0 THEN NULL
+                ELSE CAST(n_nationkey AS DOUBLE) / (n_nationkey - 5)
+           END AS try_div,
+           TRY_CAST(n_name AS INTEGER) AS try_int,
+           TRY_CAST('2020-01-' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0')
+                    AS DATE) AS try_date
+    FROM nation
+    """,
+    doc="Error-safe try_* functions (Spark's ANSI-mode escape hatches): "
+    "try_divide -> NULL on zero, try_cast -> NULL on malformed input — "
+    "the semantics this engine pins globally (ANSI off) expressed "
+    "per-expression, so individual expressions stay total even under "
+    "ANSI sessions.  Oracle renders the CASE / TRY_CAST equivalents.",
+)
+def expr_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.nation.select(
+        "n_nationkey",
+        F.try_divide(
+            F.col("n_nationkey").cast("double"), F.col("n_nationkey") - 5
+        ).alias("try_div"),
+        F.expr("try_cast(n_name AS INT)").alias("try_int"),
+        F.expr(
+            "try_cast(concat('2020-01-', lpad(CAST(n_nationkey AS STRING),"
+            " 2, '0')) AS DATE)"
+        ).alias("try_date"),
+    )

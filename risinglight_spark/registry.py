@@ -149,6 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_interval_join_outer",
     "streaming_rocksdb_state",
     "tpch_refresh_rf1_rf2",
+    "expr_try_functions",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
