@@ -80,9 +80,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # registry (round 2 covered exactly the first 50 entries, in
 # registration order).  Rotate the highest-value still-unverified
 # queries to the front each round so the cumulative set of
-# driver-verified entries grows: round 2 proved relational / joins /
-# aggregates / window (old indices 0-49); round 3 fronts TPC-H and the
-# LLM-pipeline headliners; later rounds front the remainder.
+# driver-verified entries grows:
+#   r2 proved relational / joins / aggregates / first window block
+#      (the registration-order indices 0-49 of that round);
+#   r3 (this list's first 50): TPC-H q1-q22 + dedup + vector + text +
+#      pipeline + events headliners;
+#   r4 should move positions 50-99 (every r3 addition: bloom join,
+#      zorder, recursive CTE, ensemble dedup, eval queries, streaming
+#      custom source/sink/outer-join/RocksDB, RF1/RF2, ...) into the
+#      top 50, pushing the r3-verified block behind them;
+#   r5+ front the remainder (window frames, subquery, scalar
+#      libraries, setops, catalog/copy, mm, leftover events/text).
+# Check locally: python tools/oracle_check.py <sf0.01> --first 50.
 _PRIORITY: tuple[str, ...] = (
     # TPC-H flagship suite (22)
     *[f"tpch_q{i}" for i in range(1, 23)],
