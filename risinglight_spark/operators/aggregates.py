@@ -563,3 +563,38 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.c").alias("mode_count"),
         )
     )
+
+
+@register(
+    "agg_sketch_mergeable",
+    oracle=None,  # Datasketches HLL binaries have no DuckDB replay;
+    # error bound vs exact distinct pinned in
+    # tests/test_plans.py::test_mergeable_sketch_error_bound
+    doc="Mergeable-sketch workflow — THE pattern for distributed "
+    "distinct counting at 100 TB: each source shard aggregates its own "
+    "HLL sketch (hll_sketch_agg, one pass, bytes-sized state), then "
+    "sketches UNION (hll_union_agg) into the global estimate without "
+    "touching rows again.  Shard sketches are storable/reusable: "
+    "tomorrow's shard merges with yesterday's without rescanning "
+    "either — what exact count(DISTINCT) fundamentally cannot do.",
+)
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    shard = t.orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    per_shard = shard.select(
+        "o_orderpriority",
+        "n_rows",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct"),
+    )
+    merged = shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(
+        F.lit("__ALL__").alias("o_orderpriority"), "n_rows", "est_distinct"
+    )
+    return per_shard.unionByName(merged)

@@ -159,6 +159,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_rocksdb_state",
     "tpch_refresh_rf1_rf2",
     "expr_try_functions",
+    "agg_sketch_mergeable",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

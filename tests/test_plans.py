@@ -401,3 +401,31 @@ def test_bench_contract(spark, sf_dir):
         assert n in ENTRIES, n
     for i in range(1, 23):
         assert f"tpch_q{i}" in ENTRIES
+
+
+def test_mergeable_sketch_error_bound(spark, sf_dir):
+    # HLL estimates (per shard and merged) must come within the
+    # standard HLL error (~1.6% at default lgK=12; allow 5%) of exact
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.tables import Tables
+
+    rows = {
+        r.o_orderpriority: r.est_distinct
+        for r in ENTRIES["agg_sketch_mergeable"].fn(spark, sf_dir).collect()
+    }
+    t = Tables(spark, sf_dir)
+    exact = {
+        r.o_orderpriority: r.d
+        for r in t.orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("d"))
+        .collect()
+    }
+    exact["__ALL__"] = (
+        t.orders.select("o_custkey").distinct().count()
+    )
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (
+            k, est, exact[k],
+        )
