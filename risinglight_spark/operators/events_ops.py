@@ -874,3 +874,54 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ),
     )
+
+
+@register(
+    "events_watermark_lateness",
+    oracle="""
+    WITH arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events
+    ), lateness AS (
+      SELECT date_diff('second', ts, frontier) AS late_sec FROM arr
+    )
+    SELECT count(*) AS n_events,
+           count(*) FILTER (late_sec > 0) AS n_late,
+           count(*) FILTER (late_sec > 600) AS late_10m,
+           count(*) FILTER (late_sec > 1800) AS late_30m,
+           count(*) FILTER (late_sec > 3600) AS late_1h,
+           max(late_sec) AS max_late_sec
+    FROM lateness
+    """,
+    doc="Watermark-delay sizing report: treating arrival order as "
+    "event_id, each event's lateness = running event-time frontier "
+    "minus its timestamp; the histogram over candidate delays "
+    "(10 min / 30 min / 1 h) is exactly the data you need to choose "
+    "withWatermark() — the fraction of events a given delay would "
+    "drop.  The global running max is the one deliberately serial "
+    "window here (arrival order is a total order by definition); at "
+    "scale the same report runs per shard/hour and unions.",
+)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = t.events.select(
+        "ts", F.max("ts").over(w).alias("frontier")
+    )
+    late = arr.select(
+        (
+            F.unix_timestamp("frontier") - F.unix_timestamp("ts")
+        ).alias("late_sec")
+    )
+    return late.agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("late_sec") > 0).alias("n_late"),
+        F.count_if(F.col("late_sec") > 600).alias("late_10m"),
+        F.count_if(F.col("late_sec") > 1800).alias("late_30m"),
+        F.count_if(F.col("late_sec") > 3600).alias("late_1h"),
+        F.max("late_sec").alias("max_late_sec"),
+    )

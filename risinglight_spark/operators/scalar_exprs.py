@@ -582,3 +582,50 @@ def expr_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 2, '0')) AS DATE)"
         ).alias("try_date"),
     )
+
+
+@register(
+    "expr_higher_order_library",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(
+             list_transform([1, 2, 3], x -> x * n_nationkey), ',')
+             AS xformed,
+           array_to_string(
+             list_filter([1, 2, 3, 4], x -> x % 2 = 0), ',') AS evens,
+           len(list_filter([1, 2, 3], x -> x > n_nationkey)) > 0
+             AS any_gt,
+           len(list_filter([1, 2, 3], x -> x <= n_nationkey)) = 3
+             AS all_le,
+           list_sum(list_transform([1, 2, 3], x -> x * n_nationkey))
+             ::BIGINT AS agg_sum
+    FROM nation WHERE n_nationkey < 5
+    """,
+    doc="Higher-order array function library: transform / filter / "
+    "exists / forall / aggregate — Catalyst's lambda surface (the "
+    "reference has no array type at all; this is the Spark-native "
+    "expression vocabulary every pipeline op here builds on).  DuckDB "
+    "list_* equivalents replay each formula; arrays serialize to "
+    "strings for the order-insensitive compare.",
+)
+def expr_higher_order_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    arr = F.array(F.lit(1), F.lit(2), F.lit(3))
+    arr4 = F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))
+    k = F.col("n_nationkey")
+    return t.nation.filter(k < 5).select(
+        "n_nationkey",
+        F.array_join(F.transform(arr, lambda x: x * k), ",").alias(
+            "xformed"
+        ),
+        F.array_join(
+            F.filter(arr4, lambda x: x % 2 == 0), ","
+        ).alias("evens"),
+        F.exists(arr, lambda x: x > k).alias("any_gt"),
+        F.forall(arr, lambda x: x <= k).alias("all_le"),
+        F.aggregate(
+            F.transform(arr, lambda x: x * k),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("agg_sum"),
+    )

@@ -160,6 +160,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_refresh_rf1_rf2",
     "expr_try_functions",
     "agg_sketch_mergeable",
+    "expr_higher_order_library",
+    "events_watermark_lateness",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
