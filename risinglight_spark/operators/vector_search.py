@@ -913,3 +913,67 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# -- materialized bucket-partitioned ANN index -------------------------------
+
+_ANN_INDEX_CACHE: dict = {}
+
+
+def _build_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the embeddings once, hive-partitioned by LSH bucket id —
+    the materialized form of the 'at scale the bucketed table would be
+    written partitioned by bucket' design note.  Cached per
+    (session, sf_dir)."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    loc = _ANN_INDEX_CACHE.get(key)
+    if loc:
+        return loc
+    t = Tables(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="rl_annidx_") + "/emb_by_bucket"
+    (
+        t.embeddings.withColumn("bucket", lsh_bucket(F.col("embedding")))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(loc)
+    )
+    _ANN_INDEX_CACHE[key] = loc
+    return loc
+
+
+@register(
+    "ann_index_partitioned",
+    oracle=_lsh_oracle(),
+    doc="Materialized ANN index probe: the LSH-bucketed design written "
+    "to its at-scale physical form — embeddings hive-partitioned by "
+    "bucket id — so a query probes via DIRECTORY PRUNING (the scan's "
+    "PartitionFilters eliminate 63/64 of the index without reading a "
+    "footer), then exact cosine re-ranks inside the bucket.  Identical "
+    "results to the on-the-fly ann_lsh_bucketed (same oracle); "
+    "tests/test_plans.py asserts the partition filter reaches the "
+    "scan.  Build cost is one linear pass, amortized across every "
+    "subsequent query — this is what CREATE INDEX (ivfflat) means on "
+    "object storage.",
+)
+def ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loc = _build_ann_index(spark, sf_dir)
+    qbucket = 0
+    for p, plane in enumerate(PLANES):
+        s = 0.0
+        for a, b in zip(QUERY_VEC, plane):
+            s += a * b
+        qbucket += (1 if s >= 0 else 0) * (2**p)
+    back = spark.read.parquet(loc).filter(F.col("bucket") == qbucket)
+    return (
+        back.select(
+            "vec_id",
+            "label",
+            cosine_distance(F.col("embedding"), lit_vector(QUERY_VEC)).alias(
+                "cos_dist"
+            ),
+        )
+        .orderBy("cos_dist", "vec_id")
+        .limit(10)
+    )

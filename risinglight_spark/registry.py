@@ -162,6 +162,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_sketch_mergeable",
     "expr_higher_order_library",
     "events_watermark_lateness",
+    "ann_index_partitioned",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

@@ -429,3 +429,19 @@ def test_mergeable_sketch_error_bound(spark, sf_dir):
         assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (
             k, est, exact[k],
         )
+
+
+def test_ann_index_probe_prunes_partitions(spark, sf_dir):
+    # the materialized index probe must resolve the bucket via
+    # PartitionFilters (directory pruning), not a post-scan filter
+    from risinglight_spark.operators.vector_search import (
+        ann_index_partitioned,
+    )
+
+    df = ann_index_partitioned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert m, plan[:2000]
