@@ -163,6 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "expr_higher_order_library",
     "events_watermark_lateness",
     "ann_index_partitioned",
+    "dedup_minhash_index_materialized",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",

@@ -445,3 +445,30 @@ def test_ann_index_probe_prunes_partitions(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
     assert m, plan[:2000]
+
+
+def test_minhash_index_join_is_exchange_free(spark, sf_dir):
+    # both sides of the band pair-join read the same bucketed+sorted
+    # index table -> no Exchange (and no Sort) feeds the join
+    import re
+
+    from risinglight_spark.operators.dedup import (
+        dedup_minhash_index_materialized,
+    )
+
+    # at corpus scale the index can never broadcast; disable broadcast
+    # to surface the at-scale plan, which must join the bucketed table
+    # to itself without any shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup_minhash_index_materialized(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    m = re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan)
+    assert m, plan[:500]
+    below_join = plan[m.start():]
+    # the distinct() above the join exchanges its aggregate; the JOIN's
+    # subtree (printed below the join node) must not
+    assert "Exchange hashpartitioning" not in below_join, below_join[:3000]
