@@ -926,3 +926,113 @@ def dedup_minhash_index_materialized(
         )
         .distinct()
     )
+
+
+# -- incremental near-dup: batch probes the existing corpus ------------------
+
+
+def _incr_minhash_oracle() -> str:
+    hs = T.shingle_hashes_sql(f"({T.token_hashes_sql('text')})")
+    sig = "[" + ", ".join(
+        f"list_min(list_transform(hs, h -> ({PERM_A[j]} * h + {PERM_B[j]}) % {T.HASH_P}))"
+        for j in range(N_PERM)
+    ) + "]"
+    band_rows = "\n      UNION ALL\n".join(
+        "SELECT doc_id, source, sig, {b} AS band_id, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '-' || ".join(
+                f"sig[{b * ROWS_PER_BAND + r + 1}]::VARCHAR"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN n.sig[{j+1}] = e.sig[{j+1}] THEN 1 ELSE 0 END)"
+        for j in range(N_PERM)
+    )
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT doc_id, source, {hs} AS hs FROM documents
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, source, {sig} AS sig FROM hashed WHERE len(hs) > 0
+    ),
+    bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_existing,
+           (({matches}) / {float(N_PERM)}) AS est_sim
+    FROM bands n JOIN bands e
+      ON n.band_id = e.band_id AND n.key = e.key
+    WHERE n.source <> '{_INCR_EXISTING_SOURCE}'
+      AND e.source = '{_INCR_EXISTING_SOURCE}'
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_incr_minhash_oracle(),
+    doc="Incremental NEAR-dup ingest (completing the exact-match "
+    "dedup_incremental_batch): the incoming batch (sources != src0) "
+    "minhash-bands and probes the existing corpus' band signatures "
+    "(src0) for near-duplicate candidates.  At 100 TB the existing "
+    "side is the materialized band index "
+    "(dedup_minhash_index_materialized) read pre-bucketed from "
+    "storage — only the new batch hashes and shuffles; the corpus is "
+    "never rescanned or reshuffled on ingest.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sig = t.documents.select(
+        "doc_id",
+        "source",
+        T.minhash_sig_pandas(PERM_A, PERM_B)(F.col("text")).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    bands = sig.select(
+        "doc_id",
+        "source",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at(
+                                    F.col("sig"), b * ROWS_PER_BAND + r + 1
+                                ).cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "source", "sig", "bk.band_id", "bk.key").persist()
+    new = bands.filter(F.col("source") != _INCR_EXISTING_SOURCE).alias("n")
+    ex = bands.filter(F.col("source") == _INCR_EXISTING_SOURCE).alias("e")
+    matches = sum(
+        F.when(
+            F.element_at(F.col("n.sig"), j + 1)
+            == F.element_at(F.col("e.sig"), j + 1),
+            1,
+        ).otherwise(0)
+        for j in range(N_PERM)
+    )
+    return (
+        new.join(
+            ex,
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.key") == F.col("e.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("e.doc_id").alias("doc_existing"),
+            (matches / float(N_PERM)).alias("est_sim"),
+        )
+        .distinct()
+    )

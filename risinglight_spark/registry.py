@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_watermark_lateness",
     "ann_index_partitioned",
     "dedup_minhash_index_materialized",
+    "dedup_incremental_minhash",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
