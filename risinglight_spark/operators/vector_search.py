@@ -977,3 +977,52 @@ def ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cos_dist", "vec_id")
         .limit(10)
     )
+
+
+# -- multi-probe LSH ---------------------------------------------------------
+
+
+def _multiprobe_buckets() -> list:
+    qb = _lsh_qbucket()
+    return [qb] + [qb ^ (1 << p) for p in range(N_PLANES)]
+
+
+@register(
+    "ann_multiprobe",
+    oracle=f"""
+    SELECT vec_id, label,
+           {_cosine_sql('embedding', QUERY_VEC)} AS cos_dist
+    FROM embeddings
+    WHERE ({" + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', plane)} >= 0"
+        f" THEN {2**p} ELSE 0 END)"
+        for p, plane in enumerate(PLANES)
+    )}) IN ({", ".join(str(b) for b in _multiprobe_buckets())})
+    ORDER BY cos_dist, vec_id
+    LIMIT 10
+    """,
+    doc="Multi-probe LSH: the query probes its own bucket PLUS the "
+    f"{N_PLANES} Hamming-1 neighbor buckets (sign flips of one "
+    "hyperplane — the buckets near-misses fall into), trading "
+    f"{1 + N_PLANES}x candidate volume for recall without adding "
+    "hash tables.  The recall/cost dial between ann_lsh_bucketed "
+    "(1 bucket) and exact search (all buckets); with the "
+    "materialized index (ann_index_partitioned) each probed bucket "
+    "is one pruned directory.",
+)
+def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cand = t.embeddings.withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    ).filter(F.col("bucket").isin(_multiprobe_buckets()))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            cosine_distance(F.col("embedding"), lit_vector(QUERY_VEC)).alias(
+                "cos_dist"
+            ),
+        )
+        .orderBy("cos_dist", "vec_id")
+        .limit(10)
+    )

@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_index_partitioned",
     "dedup_minhash_index_materialized",
     "dedup_incremental_minhash",
+    "ann_multiprobe",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
