@@ -925,3 +925,63 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("late_sec") > 3600).alias("late_1h"),
         F.max("late_sec").alias("max_late_sec"),
     )
+
+
+@register(
+    "events_pareto_share",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, n,
+             sum(n) OVER (ORDER BY n DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+             count(*) OVER () AS n_users,
+             sum(n) OVER () AS total
+      FROM per_user
+    )
+    SELECT decile, count(*) AS n_users,
+           CAST(sum(n) AS BIGINT) AS events,
+           round(max(cum_share), 8) AS cum_share
+    FROM (
+      SELECT CAST(ceil(rk * 10.0 / n_users) AS INT) AS decile, n,
+             cum_n / CAST(total AS DOUBLE) AS cum_share
+      FROM ranked
+    )
+    GROUP BY decile
+    """,
+    doc="Pareto concentration report: users ranked by activity, "
+    "bucketed into deciles, with each decile's cumulative share of "
+    "all events — the who-generates-the-data skew profile that "
+    "decides salting/partitioning strategy before a pipeline runs.  "
+    "One per-user count, one ranked window over the (small) user "
+    "aggregate, one decile rollup — the wide stages all operate on "
+    "user-cardinality data, never raw events.",
+)
+def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), "user_id")
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.sum("n")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("n_users"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    binned = ranked.select(
+        F.ceil(F.col("rk") * 10.0 / F.col("n_users"))
+        .cast("int")
+        .alias("decile"),
+        "n",
+        (F.col("cum_n") / F.col("total").cast("double")).alias("cum_share"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").cast("bigint").alias("events"),
+        F.round(F.max("cum_share"), 8).alias("cum_share"),
+    )

@@ -871,3 +871,88 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KEYWORDS_PER_DOC)
     )
+
+
+# -- Zipf law fit ------------------------------------------------------------
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT t, count(*) AS freq FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS t
+        FROM documents
+      ) GROUP BY t
+    ), ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, t) AS rk
+      FROM tf
+    ), pts AS (
+      SELECT round(ln(CAST(rk AS DOUBLE)), 9) AS x,
+             round(ln(CAST(freq AS DOUBLE)), 9) AS y
+      FROM ranked
+    ), m AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(x * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(sum(CAST(round(y * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sy,
+             CAST(sum(CAST(round(x * x * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxx,
+             CAST(sum(CAST(round(x * y * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxy
+      FROM pts
+    )
+    SELECT n AS n_types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM m
+    """,
+    doc="Zipf-law fit: least-squares slope of log-frequency vs "
+    "log-rank over the corpus vocabulary (natural text ~ -1; strong "
+    "deviations flag synthetic/templated or boilerplate-heavy "
+    "corpora — a cheap generation-quality smell test).  Token counts "
+    "are exact; the log points quantize to fixed-point before the "
+    "moment sums (same determinism discipline as events_linear_trend); "
+    "the regression runs over vocabulary-sized data.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    tf = (
+        t.documents.select(
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "t"))
+        .alias("rk"),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
+    )
+
+    def xs(e):
+        return (
+            F.sum(F.round(e * 1e6, 0).cast("long")).cast("double") / 1e6
+        )
+
+    m = pts.agg(
+        F.count("*").alias("n"),
+        xs(F.col("x")).alias("sx"),
+        xs(F.col("y")).alias("sy"),
+        xs(F.col("x") * F.col("x")).alias("sxx"),
+        xs(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_types"), F.round(slope, 6).alias("zipf_slope")
+    )

@@ -166,6 +166,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_index_materialized",
     "dedup_incremental_minhash",
     "ann_multiprobe",
+    "events_pareto_share",
+    "text_zipf_fit",
     "ann_ivf_probe",
     "vector_group_centroid",
     "vector_normalize",
