@@ -598,3 +598,53 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__ALL__").alias("o_orderpriority"), "n_rows", "est_distinct"
     )
     return per_shard.unionByName(merged)
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           min(value) AS min_v, max(value) AS max_v,
+           (CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100000000.0, 0)
+                AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental aggregate maintenance (materialized-view merge): "
+    "the corpus is split into an already-aggregated BASE (first three "
+    "weeks) and a new DELTA batch (the rest); each side reduces to "
+    "per-key partial state (count / fixed-point sum / min / max), and "
+    "the states merge with a second tiny groupBy.  The oracle is the "
+    "full recompute — merged state must equal it exactly, which the "
+    "fixed-point sum guarantees.  At 100 TB this is the nightly-ETL "
+    "pattern: the base's state table is millions of rows where the "
+    "base itself is trillions, so each refresh costs O(delta) scan + "
+    "O(keys) merge instead of a full rescan; every state here "
+    "(count/sum/min/max, and HLL via agg_sketch_mergeable) is a "
+    "commutative monoid, so merges parallelize and re-order freely.",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("pn"),
+            F.sum(
+                F.round(F.col("value").cast("double") * 1e8, 0).cast("long")
+            ).alias("psum"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        )
+
+    base_state = state(t.events.filter(F.col("ts") < cutoff))
+    delta_state = state(t.events.filter(~(F.col("ts") < cutoff)))
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.min("pmin").alias("min_v"),
+            F.max("pmax").alias("max_v"),
+            (F.sum("psum").cast("double") / F.lit(1e8)).alias("sum_value"),
+        )
+    )

@@ -20,6 +20,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -443,3 +446,96 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("b_key") % 7, F.lit(0))
     )
     return a.join(b, cond)
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n,
+           (CAST(sum(CAST(round(CAST(e.value AS DOUBLE) * 100000000.0, 0)
+                AS BIGINT)) AS DOUBLE) / 100000000.0) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Salted shuffle join for skewed fact keys: the fact side gets "
+    "a uniform salt in [0,8), the dimension side is replicated 8x "
+    "(one copy per salt), and the join runs on (key, salt) — any hot "
+    "key's rows now land on 8 reducers instead of 1.  SHUFFLE_HASH "
+    "hint keeps it a shuffle join so the pattern is actually "
+    "exercised (a broadcast would make salting moot — and when the "
+    "dim fits in memory broadcast IS the better answer; salting is "
+    "for the big-big case).  This is the manual fallback when AQE's "
+    "skew-join split can't kick in (e.g. skew appears after a "
+    "map-side transform); the oracle is the unsalted join — identical "
+    "results, fixed-point sums making them hash-equal.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    t = Tables(spark, sf_dir)
+    fact = t.events.select(
+        "user_id",
+        "value",
+        F.pmod(F.hash("event_id"), F.lit(n_salt)).alias("salt"),
+    )
+    dim = (
+        t.customer.select("c_custkey", "c_mktsegment")
+        .crossJoin(
+            spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+        )
+        .hint("SHUFFLE_HASH")
+    )
+    joined = fact.join(
+        dim,
+        (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(
+                F.round(F.col("value").cast("double") * 1e8, 0).cast("long")
+            ).cast("double")
+            / F.lit(1e8)
+        ).alias("sum_value"),
+    )
+
+
+@register(
+    "join_dpp_partition_pruned",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY event_type
+    """,
+    doc="Dynamic partition pruning: the fact table is laid out "
+    "hive-partitioned by event_type (copy_partitioned_parquet's "
+    "layout), the dimension carries the selective filter, and "
+    "Catalyst turns the broadcast join's build-side keys into a "
+    "runtime PartitionFilter on the fact scan — only the matching "
+    "partition directories are read at all "
+    "(tests/test_plans.py::test_dpp_prunes_fact_partitions asserts "
+    "the dynamicpruningexpression reaches the scan).  At 100 TB "
+    "with date/tenant-partitioned facts this is the difference "
+    "between scanning two partitions and scanning the lake; the "
+    "filter value never needs to be known at plan time.",
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    loc = os.path.join(tempfile.mkdtemp(prefix="rl_dpp_"), "events_by_type")
+    t.events.write.mode("overwrite").partitionBy("event_type").parquet(loc)
+    fact = spark.read.parquet(loc)
+    dim = spark.createDataFrame(
+        [
+            ("view", 1),
+            ("click", 1),
+            ("error", 0),
+            ("signup", 0),
+            ("purchase", 0),
+        ],
+        "etype string, wanted int",
+    )
+    j = fact.join(
+        F.broadcast(dim.filter(F.col("wanted") == 1)),
+        fact.event_type == dim.etype,
+    )
+    return j.groupBy("event_type").agg(F.count("*").alias("n"))

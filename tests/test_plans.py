@@ -472,3 +472,36 @@ def test_minhash_index_join_is_exchange_free(spark, sf_dir):
     # the distinct() above the join exchanges its aggregate; the JOIN's
     # subtree (printed below the join node) must not
     assert "Exchange hashpartitioning" not in below_join, below_join[:3000]
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    # The dimension's filter must reach the hive-partitioned fact scan
+    # as a runtime dynamicpruningexpression PartitionFilter: only the
+    # two matching event_type directories are read.
+    df = ENTRIES["join_dpp_partition_pruned"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_salted_join_is_shuffle_hash_not_broadcast(spark, sf_dir):
+    # Salting only exercises its purpose under a shuffle join; the
+    # SHUFFLE_HASH hint must hold (broadcast would bypass the salt).
+    plan = _plan(spark, sf_dir, "join_salted_skew")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_state_is_small(spark, sf_dir):
+    # Both sides reduce to per-key partial state BEFORE the union+merge:
+    # the plan has partial aggregates under each scan branch, and the
+    # final merge groups the tiny state table, never raw rows.
+    plan = _plan(spark, sf_dir, "agg_incremental_merge")
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    assert "CartesianProduct" not in plan
+
+
+def test_variant_parse_stays_jvm_side(spark, sf_dir):
+    # parse_json/variant_get are Catalyst expressions — no Python
+    # worker (BatchEvalPython / ArrowEvalPython) in the plan.
+    plan = _plan(spark, sf_dir, "events_variant_json")
+    assert "EvalPython" not in plan
