@@ -47,9 +47,16 @@ HEADLINE_EXTRA = (
     "join_bloom_prefilter",
     "events_interval_union",
     "pipeline_dataset_card",
+    "events_variant_json",
+    "agg_incremental_merge",
+    "ml_logreg_train_step",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.
+    # join_salted_skew deliberately forces the shuffle-join fallback (a
+    # pattern demo; broadcast wins at this dim size), and
+    # join_dpp_partition_pruned's cost is its in-query partitioned
+    # write — neither is a throughput-representative read query.
 )
 
 

@@ -829,3 +829,76 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("survives", F.col("keeper") == F.col("doc_id"))
     )
+
+
+@register(
+    "ml_logreg_train_step",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN lang = 'en' THEN -1 ELSE 1 END AS s,
+             CAST(n_chars AS BIGINT) AS k1,
+             CAST(length(text) - length(replace(text, ' ', ''))
+                  AS BIGINT) AS k2
+      FROM documents
+    )
+    SELECT count(*) AS n,
+           CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(s) AS DOUBLE) / 2.0 AS grad_bias,
+           CAST(sum(s * k1) AS DOUBLE) / 2000.0 AS grad_len,
+           CAST(sum(s * k2) AS DOUBLE) / 200.0 AS grad_spaces,
+           -(CAST(sum(s) AS DOUBLE) / 2.0) / count(*) AS w_bias,
+           -(CAST(sum(s * k1) AS DOUBLE) / 2000.0) / count(*) AS w_len,
+           -(CAST(sum(s * k2) AS DOUBLE) / 200.0) / count(*) AS w_spaces
+    FROM f
+    """,
+    doc="Distributed ML training step as pure aggregation: one full-"
+    "batch gradient-descent step of a logistic-regression quality "
+    "classifier (label: lang='en'; features: bias, n_chars/1000, "
+    "space-count/100) from w=0.  At w=0 every per-row gradient is "
+    "(sigmoid(0)-y)*x = +-x/2, so the whole step reduces to signed "
+    "integer sums — computed exactly as longs, making the result "
+    "bit-identical to the oracle at any parallelism (the same "
+    "trick events_linear_trend uses for exact moments).  Later "
+    "steps add a sigmoid whose exp() would be quantized the same "
+    "fixed-point way.  The shape is the scale story: each GD step "
+    "over a 10^12-row corpus is ONE map-side-combined aggregate "
+    "(feature count x 8 bytes of state per partition), the pattern "
+    "MLlib/Photon-style distributed linear model training runs; "
+    "iterating = vector_kmeans_step's loop with this as the body.",
+)
+def ml_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    f = t.documents.select(
+        F.when(F.col("lang") == "en", -1).otherwise(1).alias("s"),
+        F.col("n_chars").cast("long").alias("k1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+        )
+        .cast("long")
+        .alias("k2"),
+    )
+    agg = f.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum("s").alias("s0"),
+        F.sum(F.col("s") * F.col("k1")).alias("s1"),
+        F.sum(F.col("s") * F.col("k2")).alias("s2"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("s0").cast("double") / 2.0).alias("grad_bias"),
+        (F.col("s1").cast("double") / 2000.0).alias("grad_len"),
+        (F.col("s2").cast("double") / 200.0).alias("grad_spaces"),
+        (-(F.col("s0").cast("double") / 2.0) / F.col("n")).alias("w_bias"),
+        (-(F.col("s1").cast("double") / 2000.0) / F.col("n")).alias(
+            "w_len"
+        ),
+        (-(F.col("s2").cast("double") / 200.0) / F.col("n")).alias(
+            "w_spaces"
+        ),
+    )

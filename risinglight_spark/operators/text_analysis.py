@@ -346,10 +346,21 @@ def _apply_merge(a: str, b: str):
     f"consume pairs — the classic distributed-BPE shape.",
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train_corpus(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank INT, merged_pair STRING, n BIGINT"
+    )
+
+
+def _bpe_train_corpus(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (merges, encoded_docs) where
+    merges is [(rank, "a b", count)] and encoded_docs keeps doc_id with
+    the token sequence after all merge rounds were applied."""
     t = Tables(spark, sf_dir)
     df = (
         t.documents.select(
-            T.tokens(T.normalized_text(F.col("text"))).alias("t")
+            "doc_id",
+            T.tokens(T.normalized_text(F.col("text"))).alias("t"),
         )
         .filter(F.size("t") >= 2)
         .localCheckpoint()
@@ -378,10 +389,39 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = top[0].pair.split(_SEP)
         merges.append((r + 1, a + " " + b, top[0].n))
         df = df.select(
-            _apply_merge(a, b)(F.col("t")).alias("t")
+            "doc_id", _apply_merge(a, b)(F.col("t")).alias("t")
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "rank INT, merged_pair STRING, n BIGINT"
+    return merges, df
+
+
+@register(
+    "text_bpe_encode",
+    oracle=None,  # merge table is data-derived; invariants in test_bpe.py
+    doc="BPE encode pass: apply the trained merge table to the corpus "
+    "and emit per-document token accounting (base whitespace tokens, "
+    "BPE tokens after merges, compression ratio, sequence "
+    "fingerprint).  The merge application is the same Arrow-batched "
+    "stateless map as training — embarrassingly parallel, no shuffle; "
+    "the merge table rides along as captured constants (broadcast-"
+    "sized: vocab is ~10^4-10^5 at production scale while the corpus "
+    "is 10^12 docs).  tests/test_bpe.py asserts the roundtrip "
+    "invariant (splitting every merged token on its internal spaces "
+    "reproduces the base token stream exactly) and monotonicity "
+    "(n_bpe_tokens <= n_base_tokens).  This is the op that turns the "
+    "corpus into what the trainer consumes; downstream pack_sequences "
+    "buckets these counts into fixed windows.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, enc = _bpe_train_corpus(spark, sf_dir)
+    base_n = F.size(F.flatten(F.transform("t", lambda x: F.split(x, " "))))
+    return enc.select(
+        "doc_id",
+        base_n.alias("n_base_tokens"),
+        F.size("t").alias("n_bpe_tokens"),
+        F.round(F.size("t").cast("double") / base_n, 6).alias(
+            "compression"
+        ),
+        F.md5(F.concat_ws("\x1e", "t")).alias("seq_fp"),
     )
 
 

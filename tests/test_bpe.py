@@ -36,3 +36,46 @@ def test_bpe_train_shape_and_determinism(spark, sf_dir):
     assert [r[0] for r in a] == list(range(1, N_BPE_MERGES + 1))
     assert len({r[1] for r in a}) == N_BPE_MERGES  # merges are distinct
     assert all(r[2] > 0 for r in a)
+
+
+def test_bpe_encode_roundtrip_and_monotonic(spark, sf_dir):
+    # Splitting every merged token on its internal spaces must
+    # reproduce the base whitespace token stream exactly (lossless),
+    # and merging can only shrink the sequence.
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.functions import text as T
+    from risinglight_spark.operators.text_analysis import _bpe_train_corpus
+    from risinglight_spark.tables import Tables
+
+    _, enc = _bpe_train_corpus(spark, sf_dir)
+    base = (
+        Tables(spark, sf_dir)
+        .documents.select(
+            "doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("b")
+        )
+        .filter(F.size("b") >= 2)
+    )
+    j = enc.join(base, "doc_id").select(
+        F.size("b").alias("nb"),
+        F.size("t").alias("nt"),
+        (
+            F.flatten(F.transform("t", lambda x: F.split(x, " ")))
+            == F.col("b")
+        ).alias("roundtrip_ok"),
+    )
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("roundtrip_ok"), 1).otherwise(0)).alias("bad"),
+        F.sum(F.when(F.col("nt") > F.col("nb"), 1).otherwise(0)).alias("grew"),
+    ).collect()[0]
+    assert agg.n > 0
+    assert agg.bad == 0
+    assert agg.grew == 0
+
+
+def test_bpe_encode_counts_match_registry_entry(spark, sf_dir):
+    df = collect()["text_bpe_encode"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.n_bpe_tokens <= r.n_base_tokens for r in rows)
+    assert all(0 < r.compression <= 1.0 for r in rows)
