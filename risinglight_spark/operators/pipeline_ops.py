@@ -629,11 +629,13 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = gated.join(contaminated, "doc_id", "left_anti").drop("text")
-    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    # keep-lowest-doc_id per fingerprint as min(struct): map-side
+    # combine collapses duplicates before the shuffle (vs a row_number
+    # window that shuffles every row then sorts each group)
     deduped = (
-        clean.withColumn("rn", F.row_number().over(w_fp))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        clean.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source", "q", "ws")).alias("m"))
+        .select("fp", "m.*")
     )
     w_src = (
         Window.partitionBy("source")

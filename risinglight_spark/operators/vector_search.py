@@ -420,8 +420,6 @@ def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n x k with k tiny — map-side, no replication of the corpus.",
 )
 def vector_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     t = Tables(spark, sf_dir)
     cents = t.embeddings.groupBy(F.col("label").alias("clabel")).agg(
         *[
@@ -446,11 +444,14 @@ def vector_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clabel",
         l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
     )
-    w = Window.partitionBy("vec_id", "label").orderBy("d", "clabel")
+    # argmin centroid per vector as min(struct(d, clabel)) — an
+    # aggregate with map-side combine (k rows in, 1 out per vector
+    # pre-shuffle) instead of a row_number window's shuffle+sort;
+    # lexicographic struct order = the same (d, clabel) tie-break
     assign = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", F.col("clabel").alias("new_label"))
+        dists.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("d", "clabel")).alias("m"))
+        .select("vec_id", "label", F.col("m.clabel").alias("new_label"))
     )
     return assign.groupBy(
         F.col("label").alias("old_label"), "new_label"
