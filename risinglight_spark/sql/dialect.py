@@ -216,7 +216,137 @@ def rewrite_query(sql: str) -> str:
     # name needs mapping)
     sql = re.sub(r"(?i)::\s*(bytea|blob)\b", "::BINARY", sql)
     sql = rewrite_vector(sql)
+    sql = rewrite_substring(sql)
     return sql
+
+
+_SUBSTR_TOKEN = re.compile(r"(?i)\bsubstr(?:ing)?\s*\(")
+
+
+def _scan_balanced(sql: str, open_paren: int) -> int:
+    """Index of the ')' matching sql[open_paren]=='(' (quote-aware)."""
+    depth = 0
+    i = open_paren
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _split_substr_args(inner: str) -> list[str] | None:
+    """Split a substring(...) argument list at top level: either
+    comma-separated, or the ANSI `s FROM a [FOR l]` keyword form."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    i, n = 0, len(inner)
+    kw_from = kw_for = -1
+    while i < n:
+        c = inner[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if inner[j] == "'":
+                    if j + 1 < n and inner[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(inner[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                parts.append("".join(cur))
+                cur = []
+                i += 1
+                continue
+            m = re.match(r"(?i)\b(from|for)\b", inner[i:])
+            if m and (i == 0 or not inner[i - 1].isalnum()):
+                if m.group(1).lower() == "from":
+                    kw_from = len(parts)
+                else:
+                    kw_for = len(parts)
+                parts.append("".join(cur))
+                cur = []
+                i += m.end()
+                continue
+        cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    if kw_from >= 0:
+        # s FROM a [FOR l] — parts align as [s, a] or [s, a, l]
+        if len(parts) not in (2, 3) or kw_from != 0 or (
+            len(parts) == 3 and kw_for != 1
+        ):
+            return None
+    elif len(parts) not in (2, 3):
+        return None
+    return [p.strip() for p in parts]
+
+
+def _substr_rl_spark_sql(s: str, a: str, length: str | None) -> str:
+    """Reference substring semantics (src/array/ops.rs:304-335) as a
+    Spark SQL expression: 1-based, negative start counts from the end,
+    negative length selects backwards, window clamped to the string.
+    Same formula as functions/scalar.py:substring_rl; matches plain
+    substring for start >= 1 and length >= 0."""
+    a64 = f"CAST(({a}) AS BIGINT)"
+    st = (
+        f"(CASE WHEN {a64} >= 0 THEN {a64} - 1 "
+        f"ELSE CAST(length({s}) AS BIGINT) + {a64} END)"
+    )
+    if length is None:
+        skip = f"greatest({st}, CAST(0 AS BIGINT))"
+        return f"substring({s}, CAST(least({skip} + 1, 2147483647) AS INT))"
+    en = f"({st} + CAST(({length}) AS BIGINT))"
+    skip = f"greatest(least({st}, {en}), CAST(0 AS BIGINT))"
+    take = f"greatest(greatest({st}, {en}) - {skip}, CAST(0 AS BIGINT))"
+    return (
+        f"substring({s}, CAST(least({skip} + 1, 2147483647) AS INT), "
+        f"CAST(least({take}, 2147483647) AS INT))"
+    )
+
+
+def rewrite_substring(sql: str) -> str:
+    """Rewrite every substring()/substr() call to the reference-exact
+    formula (innermost-first so nested calls compose)."""
+    m = _SUBSTR_TOKEN.search(sql)
+    if not m:
+        return sql
+    open_paren = sql.index("(", m.start())
+    close = _scan_balanced(sql, open_paren)
+    if close < 0:
+        return sql
+    inner = rewrite_substring(sql[open_paren + 1 : close])
+    args = _split_substr_args(inner)
+    if args is None:
+        repl = f"substring({inner})"
+    elif len(args) == 2:
+        repl = _substr_rl_spark_sql(args[0], args[1], None)
+    else:
+        repl = _substr_rl_spark_sql(args[0], args[1], args[2])
+    return sql[: m.start()] + repl + rewrite_substring(sql[close + 1 :])
 
 
 def _toplevel(sql: str) -> str:

@@ -24,8 +24,6 @@ SLT_DIR = "/root/reference/tests/sql"
 #   internal.slt          reference's contributor-list easter egg
 #   catalog.slt           \d metacommands expect the reference's exact
 #                         catalog layout (schema ids, pg_catalog rows)
-#   substring.slt         reference diverges from Spark for negative
-#                         start (covered by the substring_rl shim tests)
 #   timestamp.slt         BC-era timestamp literals (no Spark parse)
 #   window_function.slt   OVER () running semantics depend on scan
 #                         order — meaningless in a parallel engine;
@@ -77,6 +75,7 @@ SLT_FILES = [
     "stringconcat.slt",
     "repeat.slt",
     "replace.slt",
+    "substring.slt",
     "select.slt",
     "subquery.slt",
     "join_left_inner.slt",
