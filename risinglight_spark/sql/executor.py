@@ -23,15 +23,55 @@ import os
 import shutil
 import tempfile
 
+import re
+
 from risinglight_spark.sql.dialect import (
     _CREATE_INDEX_RE,
     _DELETE_RE,
+    _DROP_RE,
     _DROP_VIEW_RE,
     _PRAGMA_MAP,
     _PRAGMA_RE,
     rewrite_create_function,
     rewrite_ddl,
     rewrite_query,
+)
+
+# pg_catalog system tables in the reference's registration order —
+# their table ids are the list positions (catalog.slt expects
+# `0 pg_catalog 0 contributors` ... `0 pg_catalog 4 pg_stat`;
+# reference src/catalog/root.rs:219-246).
+PG_CATALOG_TABLES = (
+    "contributors",
+    "pg_tables",
+    "pg_indexes",
+    "pg_attribute",
+    "pg_stat",
+)
+
+# The reference's easter-egg system table: `select github_id from
+# pg_catalog.contributors` returns the project's public GitHub
+# contributor logins (reference src/executor/system_table_scan.rs:36-100,
+# sourced there from the public GitHub API; tests/sql/internal.slt).
+CONTRIBUTORS = (
+    "BaymaxHWY", "D2Lark", "FANNG1", "Fedomn", "GoGim1", "Gun9niR",
+    "JayiceZ", "Kikkon", "LiuYuHui", "MingjiHan99", "PsiACE",
+    "RinChanNOWWW", "SkyFan2002", "Sunt-ing", "Ted-Jiang",
+    "TennyZhuang", "WindowsXp-Beta", "XieJiann", "Y7n05h",
+    "adlternative", "alissa-tung", "arkbriar", "cadl", "caicancai",
+    "chaixuqing", "chowc", "danipozo", "eliasyaoyc", "ice1000",
+    "jetjinser", "kwannoel", "likg227", "lokax", "ludics",
+    "nanderstabel", "noneback", "pleiadesian", "rapiz1", "silver-ymz",
+    "skyzh", "st1page", "sundy-li", "tabVersion", "unconsolable",
+    "wangqiim", "wangrunji0408", "xiaguan", "xiaoyong-z", "xinchengxx",
+    "xxchan", "xzhseh", "yeya24", "yinfredyue", "yingjunwu",
+    "yuzi-neko", "zehaowei", "zzl200012",
+)
+
+_CREATE_INDEX_PARTS_RE = re.compile(
+    r"^\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*"
+    r"(?:using\s+\w+\s*)?\(([^)]*)\)",
+    re.I,
 )
 
 
@@ -44,6 +84,12 @@ class StatementExecutor:
         self.spark = spark
         self.scratch = scratch or tempfile.mkdtemp(prefix="rl_sql_")
         self.created: list[str] = []
+        # reference catalog-id emulation: the `postgres` schema assigns
+        # creation-ordinal ids to tables AND indexes from one counter
+        # (catalog.slt: table t -> 0, index i1 -> 1)
+        self.table_ids: dict[str, int] = {}
+        self.indexes: list[tuple[str, str, list[str], int]] = []
+        self._next_id = 0
         # reference INSERT semantics are permissive (string literals
         # into typed columns, e.g. type.slt dates); Spark 4 defaults
         # to ANSI store assignment
@@ -75,6 +121,17 @@ class StatementExecutor:
             snap.write.insertInto(t, overwrite=True)
             return "ok"
         if _CREATE_INDEX_RE.match(sql):
+            im = _CREATE_INDEX_PARTS_RE.match(sql)
+            if im:
+                name, table, cols = im.groups()
+                self.indexes.append(
+                    (
+                        name,
+                        table,
+                        [c.strip() for c in cols.split(",") if c.strip()],
+                        self._alloc_id(name),
+                    )
+                )
             return "ok"
         vm = _DROP_VIEW_RE.match(sql)
         if vm:
@@ -100,9 +157,118 @@ class StatementExecutor:
                 os.path.join(self.scratch, created), ignore_errors=True
             )
             self.created.append(created)
+            self._alloc_id(created)
+        dm2 = _DROP_RE.match(sql)
+        if dm2:
+            self.table_ids.pop(dm2.group(2), None)
         self.spark.sql(rewritten)
         return "ok"
 
     def execute_query(self, sql: str):
         """Reference-dialect query -> DataFrame."""
-        return self.spark.sql(rewrite_query(sql))
+        sql = rewrite_query(sql)
+        if re.search(r"(?i)\bpg_catalog\.contributors\b", sql):
+            self.spark.createDataFrame(
+                [(c,) for c in CONTRIBUTORS], "github_id STRING"
+            ).createOrReplaceTempView("rl_pgcat_contributors")
+            sql = re.sub(
+                r"(?i)\bpg_catalog\.contributors\b",
+                "rl_pgcat_contributors",
+                sql,
+            )
+        return self.spark.sql(sql)
+
+    # -- reference catalog emulation ---------------------------------------
+
+    def _alloc_id(self, name: str) -> int:
+        self.table_ids[name] = self._next_id
+        self._next_id += 1
+        return self.table_ids[name]
+
+    def metacommand(self, cmd: str, include_session_tables: bool = False):
+        """`\\dt` / `\\di` / `\\d <t>` / `\\stat <t> [cols]` as
+        DataFrames in the reference's output shape (catalog.slt:
+        `\\dt` -> (schema_id, schema, table_id, table); `\\di` ->
+        (..., index_id, index, indexed-column ordinals)).  With
+        ``include_session_tables`` the listing also covers session
+        tables this executor didn't create (the interactive shell's
+        pre-registered data views), ids continuing after ours."""
+        toks = cmd.split()
+        spark = self.spark
+        match toks:
+            case ["dt"]:
+                rows = [
+                    (0, "pg_catalog", i, t)
+                    for i, t in enumerate(PG_CATALOG_TABLES)
+                ]
+                seen = dict(self.table_ids)
+                if include_session_tables:
+                    nxt = self._next_id
+                    for t in sorted(
+                        x.name for x in spark.catalog.listTables()
+                    ):
+                        if t not in seen and not t.startswith("rl_pgcat_"):
+                            seen[t] = nxt
+                            nxt += 1
+                rows += [
+                    (1, "postgres", i, t)
+                    for t, i in sorted(seen.items(), key=lambda kv: kv[1])
+                ]
+                return spark.createDataFrame(
+                    rows,
+                    "schema_id INT, schemaname STRING, "
+                    "table_id INT, tablename STRING",
+                )
+            case ["di"]:
+                rows = []
+                for name, table, cols, idx_id in self.indexes:
+                    tcols = [
+                        c.name for c in spark.catalog.listColumns(table)
+                    ]
+                    ords = "[" + ",".join(
+                        str(tcols.index(c)) for c in cols if c in tcols
+                    ) + "]"
+                    rows.append(
+                        (
+                            1,
+                            "postgres",
+                            self.table_ids.get(table, -1),
+                            table,
+                            idx_id,
+                            name,
+                            ords,
+                        )
+                    )
+                return spark.createDataFrame(
+                    rows,
+                    "schema_id INT, schemaname STRING, table_id INT, "
+                    "tablename STRING, index_id INT, indexname STRING, "
+                    "columns STRING",
+                )
+            case ["d", table]:
+                rows = [
+                    (table, c.name, i + 1, c.dataType)
+                    for i, c in enumerate(spark.catalog.listColumns(table))
+                ]
+                return spark.createDataFrame(
+                    rows,
+                    "table_name STRING, column_name STRING, "
+                    "ordinal INT, data_type STRING",
+                )
+            case ["stat", table, *rest]:
+                cols = [c.name for c in spark.catalog.listColumns(table)]
+                if rest:
+                    cols = [c for c in cols if c in rest]
+                sel = ", ".join(
+                    f"count(distinct {c}) AS {c}_distinct" for c in cols
+                )
+                return spark.sql(
+                    f"SELECT '{table}' AS table_name, count(*) AS row_count"
+                    + (", " + sel if sel else "")
+                    + f" FROM {table}"
+                )
+            case _:
+                raise ValueError(
+                    rf"invalid command \{cmd} (try \dt, \di, \d <t>, "
+                    rf"\stat <t> [col], \q)"
+                )

@@ -67,46 +67,9 @@ class Shell:
         return sorted(t.name for t in self.spark.catalog.listTables())
 
     def command_to_df(self, cmd: str) -> DataFrame:
-        toks = cmd.split()
-        match toks:
-            case ["dt"]:
-                rows = [("postgres", t) for t in self._tables()]
-                return self.spark.createDataFrame(
-                    rows or [("postgres", None)],
-                    "schemaname STRING, tablename STRING",
-                ).filter("tablename IS NOT NULL")
-            case ["di"]:
-                # indexes are metadata-only (reference: the mem engine
-                # never consults its btrees); nothing persistent here
-                return self.spark.createDataFrame(
-                    [], "schemaname STRING, tablename STRING, indexname STRING"
-                )
-            case ["d", table]:
-                rows = [
-                    (table, c.name, i + 1, c.dataType)
-                    for i, c in enumerate(self.spark.catalog.listColumns(table))
-                ]
-                return self.spark.createDataFrame(
-                    rows, "table_name STRING, column_name STRING, "
-                    "ordinal INT, data_type STRING"
-                )
-            case ["stat", table, *rest]:
-                cols = [c.name for c in self.spark.catalog.listColumns(table)]
-                if rest:
-                    cols = [c for c in cols if c in rest]
-                sel = ", ".join(
-                    f"count(distinct {c}) AS {c}_distinct" for c in cols
-                )
-                return self.spark.sql(
-                    f"SELECT '{table}' AS table_name, count(*) AS row_count"
-                    + (", " + sel if sel else "")
-                    + f" FROM {table}"
-                )
-            case _:
-                raise ValueError(
-                    rf"invalid command \{cmd} (try \dt, \di, \d <t>, "
-                    rf"\stat <t> [col], \q)"
-                )
+        # shared with the slt runner (StatementExecutor.metacommand);
+        # the shell additionally lists its pre-registered data views
+        return self.ex.metacommand(cmd, include_session_tables=True)
 
     # -- execution ---------------------------------------------------------
 

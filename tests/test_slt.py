@@ -21,9 +21,6 @@ SLT_DIR = "/root/reference/tests/sql"
 # rewrites (DDL mapping, SQL-UDF -> Spark 4 native SQL UDF, DELETE ->
 # copy-on-write, blob literals -> X'..', PRAGMA -> SET, \stat ->
 # computed stats).  Excluded and why:
-#   internal.slt          reference's contributor-list easter egg
-#   catalog.slt           \d metacommands expect the reference's exact
-#                         catalog layout (schema ids, pg_catalog rows)
 #   timestamp.slt         BC-era timestamp literals (no Spark parse)
 #   window_function.slt   OVER () running semantics depend on scan
 #                         order — meaningless in a parallel engine;
@@ -95,6 +92,8 @@ SLT_FILES = [
     "select_star.slt",
     "type.slt",
     "vector.slt",
+    "catalog.slt",
+    "internal.slt",
     "vector_index.slt",
     "view.slt",
     "where.slt",

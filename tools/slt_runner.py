@@ -169,6 +169,20 @@ class SltRunner:
                     skipped += 1
                 continue
             # query
+            mc = re.match(r"^\s*\\(dt|di)\s*$", rec.sql.strip())
+            if mc:
+                rows = ex.metacommand(mc.group(1)).collect()
+                got = [[fmt_value(v) for v in row] for row in rows]
+                want = [
+                    ln.split() for ln in rec.expected if ln.strip() != ""
+                ]
+                if not _rows_match(sorted(got), sorted(want)):
+                    failures.append(
+                        f"{rec.sql.strip()[:120]}\n  got:  {got[:8]}"
+                        f"\n  want: {want[:8]}"
+                    )
+                checked += 1
+                continue
             sm = _STAT_RE.match(rec.sql.strip())
             if sm:
                 # `\stat t col` metacommand: the reference reports
