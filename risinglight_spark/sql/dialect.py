@@ -192,6 +192,12 @@ def rewrite_ddl(sql: str, scratch: str) -> tuple[str, str | None]:
     # VECTOR(n) is ARRAY<DOUBLE>, TEXT is STRING
     s = re.sub(r"\b(float|real)\b", "DOUBLE", s, flags=re.I)
     s = re.sub(r"\b(bytea|blob)\b", "BINARY", s, flags=re.I)
+    # reference TIMESTAMPTZ / TIMESTAMP WITH TIME ZONE -> Spark LTZ
+    # (bare TIMESTAMP resolves NTZ via spark.sql.timestampType)
+    s = re.sub(
+        r"(?i)\btimestamp\s+with\s+time\s+zone\b", "TIMESTAMP_LTZ", s
+    )
+    s = re.sub(r"(?i)\btimestamptz\b", "TIMESTAMP_LTZ", s)
     s = re.sub(r"\bvector\s*\(\s*\d+\s*\)", "ARRAY<DOUBLE>", s, flags=re.I)
     s = re.sub(r"\btext\b", "STRING", s, flags=re.I)
     s = s.rstrip().rstrip(";")
@@ -217,7 +223,84 @@ def rewrite_query(sql: str) -> str:
     sql = re.sub(r"(?i)::\s*(bytea|blob)\b", "::BINARY", sql)
     sql = rewrite_vector(sql)
     sql = rewrite_substring(sql)
+    sql = rewrite_era_literals(sql)
     return sql
+
+
+# reference timestamp literals allow era and offset suffixes in any
+# order ('1991-01-16 04:05:06 BC +08:00', '... +08:00 BC' — reference
+# src/types/timestamp.rs parse; tests/sql/timestamp.slt).  Spark parses
+# proleptic negative years natively, so 'Y BC' maps to year -(Y-1).
+_ERA_TS_RE = re.compile(
+    r"'(\d{4})-(\d{2}-\d{2} \d{2}:\d{2}:\d{2})"
+    r"((?:\s+(?:AD|BC|[+-]\d{2}:\d{2}))+)'"
+)
+
+
+def rewrite_era_literals(sql: str) -> str:
+    def fix(m: re.Match) -> str:
+        year, rest, tail = m.groups()
+        toks = tail.split()
+        y = int(year)
+        if any(t.upper() == "BC" for t in toks):
+            y = -(y - 1)
+        offs = [t for t in toks if t[0] in "+-"]
+        out = f"{y:05d}" if y < 0 else f"{y:04d}"
+        out += f"-{rest}"
+        if offs:
+            out += f" {offs[0]}"
+        return f"'{out}'"
+
+    return _ERA_TS_RE.sub(fix, sql)
+
+
+def _era_fmt(c, with_tz: bool):
+    """Render a timestamp column in the reference's display format:
+    'YYYY-MM-DD HH:MM:SS[.ffffff][ BC][ +00:00]' (proleptic year <= 0
+    displays as year 1-y with an era suffix).  Computed Spark-side
+    because Python datetimes cannot represent BC years at all."""
+    from pyspark.sql import functions as F
+
+    y = F.year(c)
+    disp = F.when(y <= 0, 1 - y).otherwise(y)
+    frac = F.date_format(c, "SSSSSS")
+    out = F.concat(
+        F.lpad(disp.cast("string"), 4, "0"),
+        F.lit("-"),
+        F.date_format(c, "MM-dd HH:mm:ss"),
+        F.when(frac != "000000", F.concat(F.lit("."), frac)).otherwise(
+            F.lit("")
+        ),
+        F.when(y <= 0, F.lit(" BC")).otherwise(F.lit("")),
+    )
+    if with_tz:
+        # session timezone is pinned UTC; the reference prints +00:00
+        out = F.concat(out, F.lit(" +00:00"))
+    return F.when(c.isNull(), F.lit(None)).otherwise(out)
+
+
+def reference_render_datetimes(df):
+    """Replace timestamp columns with reference-format strings (era
+    suffix for BC years) so results are collectable and display-exact."""
+    from pyspark.sql import types as T
+
+    if not any(
+        isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        for f in df.schema.fields
+    ):
+        return df
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, T.TimestampNTZType):
+            cols.append(_era_fmt(c, with_tz=False).alias(f.name))
+        elif isinstance(f.dataType, T.TimestampType):
+            cols.append(_era_fmt(c, with_tz=True).alias(f.name))
+        else:
+            cols.append(c)
+    return df.select(cols)
 
 
 _SUBSTR_TOKEN = re.compile(r"(?i)\bsubstr(?:ing)?\s*\(")

@@ -34,6 +34,7 @@ from risinglight_spark.sql.dialect import (
     _PRAGMA_RE,
     rewrite_create_function,
     rewrite_ddl,
+    rewrite_era_literals,
     rewrite_query,
 )
 
@@ -103,7 +104,17 @@ class StatementExecutor:
                 pass
         shutil.rmtree(self.scratch, ignore_errors=True)
 
+    def _pin_dialect_confs(self) -> None:
+        # the reference's TIMESTAMP is timezone-naive (TimestampNTZ;
+        # SURVEY §1.2), so `timestamp` literals/DDL/string-casts in
+        # dialect SQL must resolve NTZ.  Set per-statement (not at
+        # init) because registry queries pin the opposite default —
+        # see tables.pin_semantics.
+        self.spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+
     def execute_statement(self, sql: str) -> str:
+        self._pin_dialect_confs()
+        sql = rewrite_era_literals(sql)
         dm = _DELETE_RE.match(sql)
         if dm:
             t, cond = dm.group(1), dm.group(2)
@@ -166,6 +177,7 @@ class StatementExecutor:
 
     def execute_query(self, sql: str):
         """Reference-dialect query -> DataFrame."""
+        self._pin_dialect_confs()
         sql = rewrite_query(sql)
         if re.search(r"(?i)\bpg_catalog\.contributors\b", sql):
             self.spark.createDataFrame(

@@ -86,6 +86,9 @@ class Shell:
         return self.ex.execute_statement(sql)
 
     def render(self, df: DataFrame, max_rows: int = 200) -> str:
+        from risinglight_spark.sql.dialect import reference_render_datetimes
+
+        df = reference_render_datetimes(df)
         rows = df.take(max_rows + 1)
         truncated = len(rows) > max_rows
         rows = rows[:max_rows]

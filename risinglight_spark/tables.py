@@ -46,6 +46,10 @@ def pin_semantics(spark: SparkSession) -> None:
     casts, UTC timestamps."""
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # registry queries were authored under Spark's default LTZ
+    # timestamp type; the reference-dialect executor flips the session
+    # to NTZ, so re-pin here to stay immune to interleaving
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
 
 
 # Per-(session, sf_dir, table) DataFrame cache: parquet footer/schema

@@ -21,7 +21,6 @@ SLT_DIR = "/root/reference/tests/sql"
 # rewrites (DDL mapping, SQL-UDF -> Spark 4 native SQL UDF, DELETE ->
 # copy-on-write, blob literals -> X'..', PRAGMA -> SET, \stat ->
 # computed stats).  Excluded and why:
-#   timestamp.slt         BC-era timestamp literals (no Spark parse)
 #   window_function.slt   OVER () running semantics depend on scan
 #                         order — meaningless in a parallel engine;
 #                         covered order-pinned by window_running_sum
@@ -47,8 +46,6 @@ DIALECT_SKIPS: dict[str, tuple[str, ...]] = {
     ),
     # Spark rejects duplicate CTE names (reference allows shadowing)
     "cte.slt": ("cte as (select * from cte)",),
-    # BC-era timestamp literals don't exist in Spark's parser
-    "basic_test.slt": (" BC'",),
     # Deliberate divergence: reference does Rust-style integer division
     # (1/2 = 0); this engine follows SQL/DuckDB double division (0.5)
     "nullable_operator.slt": ("select x / y from t",),
@@ -94,6 +91,7 @@ SLT_FILES = [
     "vector.slt",
     "catalog.slt",
     "internal.slt",
+    "timestamp.slt",
     "vector_index.slt",
     "view.slt",
     "where.slt",

@@ -98,6 +98,7 @@ from risinglight_spark.sql.dialect import (  # noqa: E402,F401
     rewrite_ddl,
     rewrite_query,
     rewrite_vector,
+    reference_render_datetimes,
     translate_blob_literals,
 )
 from risinglight_spark.sql.executor import StatementExecutor  # noqa: E402
@@ -201,7 +202,9 @@ class SltRunner:
             if order_dependent(rec.sql, len(rec.expected)):
                 skipped += 1
                 continue
-            rows = ex.execute_query(rec.sql).collect()
+            rows = reference_render_datetimes(
+                ex.execute_query(rec.sql)
+            ).collect()
             got = [[fmt_value(v) for v in row] for row in rows]
             want = [ln.split() for ln in rec.expected if ln.strip() != ""]
             # single-column string results may contain spaces: don't split
