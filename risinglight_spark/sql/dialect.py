@@ -224,7 +224,47 @@ def rewrite_query(sql: str) -> str:
     sql = rewrite_vector(sql)
     sql = rewrite_substring(sql)
     sql = rewrite_era_literals(sql)
+    sql = rewrite_over_scan_order(sql)
     return sql
+
+
+# The reference's bare OVER () runs aggregates cumulatively in scan
+# order (tests/sql/window_function.slt: sum(a) OVER () yields 1,3,6 —
+# running, not whole-partition; SURVEY §2 aggregate-as-window).  Spark's
+# OVER () is the whole partition, so rewrite: materialize the scan
+# position (monotonically_increasing_id is ascending in scan order) and
+# pin the window to it with a running ROWS frame (ranking functions
+# take the bare ORDER BY — Spark rejects explicit frames for them).
+_OVER_EMPTY_RE = re.compile(r"(?i)((\w+)\s*\([^()]*\))\s+over\s*\(\s*\)")
+_SIMPLE_FROM_RE = re.compile(r"(?i)\bfrom\s+(\w+)\s*;?\s*$")
+_RANKING_FNS = {
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile",
+}
+
+
+def rewrite_over_scan_order(sql: str) -> str:
+    if not re.search(r"(?i)over\s*\(\s*\)", sql):
+        return sql
+    fm = _SIMPLE_FROM_RE.search(sql)
+    if not fm:
+        return sql  # only the simple single-table form is rewritable
+    t = fm.group(1)
+
+    def sub(m: re.Match) -> str:
+        if m.group(2).lower() in _RANKING_FNS:
+            return f"{m.group(1)} OVER (ORDER BY __rl_rid)"
+        return (
+            f"{m.group(1)} OVER (ORDER BY __rl_rid "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+
+    sql = _OVER_EMPTY_RE.sub(sub, sql)
+    return _SIMPLE_FROM_RE.sub(
+        f"FROM (SELECT *, monotonically_increasing_id() AS __rl_rid "
+        f"FROM {t})",
+        sql,
+    )
 
 
 # reference timestamp literals allow era and offset suffixes in any

@@ -69,6 +69,20 @@ CONTRIBUTORS = (
     "yuzi-neko", "zehaowei", "zzl200012",
 )
 
+def restore_dialect_confs(spark) -> None:
+    """Undo the session confs the dialect executor pins (see
+    _pin_dialect_confs) so batch/streaming code sharing the session
+    gets Spark defaults back."""
+    for k in (
+        "spark.sql.timestampType",
+        "spark.sql.leafNodeDefaultParallelism",
+    ):
+        try:
+            spark.conf.unset(k)
+        except Exception:
+            pass
+
+
 _CREATE_INDEX_PARTS_RE = re.compile(
     r"^\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*"
     r"(?:using\s+\w+\s*)?\(([^)]*)\)",
@@ -103,6 +117,7 @@ class StatementExecutor:
             except Exception:
                 pass
         shutil.rmtree(self.scratch, ignore_errors=True)
+        restore_dialect_confs(self.spark)
 
     def _pin_dialect_confs(self) -> None:
         # the reference's TIMESTAMP is timezone-naive (TimestampNTZ;
@@ -111,6 +126,11 @@ class StatementExecutor:
         # init) because registry queries pin the opposite default —
         # see tables.pin_semantics.
         self.spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        # insertion order must be recoverable (bare OVER () is a
+        # running aggregate in scan order — see rewrite_over_scan_order)
+        # so VALUES inserts must write one ordered file, not one file
+        # per local-relation slice
+        self.spark.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
 
     def execute_statement(self, sql: str) -> str:
         self._pin_dialect_confs()

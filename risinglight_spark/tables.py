@@ -50,6 +50,10 @@ def pin_semantics(spark: SparkSession) -> None:
     # timestamp type; the reference-dialect executor flips the session
     # to NTZ, so re-pin here to stay immune to interleaving
     spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
+    try:  # dialect executor pins single-slice VALUES writes; undo here
+        spark.conf.unset("spark.sql.leafNodeDefaultParallelism")
+    except Exception:
+        pass
 
 
 # Per-(session, sf_dir, table) DataFrame cache: parquet footer/schema

@@ -21,9 +21,6 @@ SLT_DIR = "/root/reference/tests/sql"
 # rewrites (DDL mapping, SQL-UDF -> Spark 4 native SQL UDF, DELETE ->
 # copy-on-write, blob literals -> X'..', PRAGMA -> SET, \stat ->
 # computed stats).  Excluded and why:
-#   window_function.slt   OVER () running semantics depend on scan
-#                         order — meaningless in a parallel engine;
-#                         covered order-pinned by window_running_sum
 #   tpch/                 covered with golden answers in
 #                         tests/test_tpch_slt.py
 # Statements that Spark's stricter analyzer rejects but the reference
@@ -92,6 +89,7 @@ SLT_FILES = [
     "catalog.slt",
     "internal.slt",
     "timestamp.slt",
+    "window_function.slt",
     "vector_index.slt",
     "view.slt",
     "where.slt",

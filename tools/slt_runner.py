@@ -114,11 +114,14 @@ class SltRunner:
         spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
 
     def cleanup(self) -> None:
+        from risinglight_spark.sql.executor import restore_dialect_confs
+
         for t in self.created:
             try:
                 self.spark.sql(f"DROP TABLE IF EXISTS {t}")
             except Exception:
                 pass
+        restore_dialect_confs(self.spark)
 
     def run_file(
         self, path: str, skip_patterns: tuple[str, ...] = ()
