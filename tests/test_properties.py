@@ -454,3 +454,44 @@ def test_concurrent_queries_match_serial(spark, sf_dir):
         futs = {n: ex.submit(run, n) for n in names * 2}
     for n, f in futs.items():
         assert f.result() == serial[n], n
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(text_st, i32_st, i32_st), min_size=1, max_size=32))
+def test_substring_sql_rewrite_matches_reference_formula(spark, cases):
+    # the dialect layer's textual substring rewrite (shell/pgwire/slt
+    # path) must agree with the same reference kernel the Column shim
+    # is tested against above
+    from risinglight_spark.sql.dialect import rewrite_substring
+
+    rows = [(i, s, b, c) for i, (s, b, c) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i INT, s STRING, b INT, c INT")
+    df.createOrReplaceTempView("subq_prop")
+    sql = rewrite_substring(
+        "SELECT i, substring(s, b, c) AS r FROM subq_prop"
+    )
+    got = {r.i: r.r for r in spark.sql(sql).collect()}
+    for i, (s, b, c) in enumerate(cases):
+        want = _substring_model(s, b, c)
+        assert got[i] == want, (s, b, c, got[i], want)
+
+
+def test_era_literal_rewrite_roundtrip(spark):
+    # BC literals -> proleptic negative years -> reference-format
+    # rendering must reproduce the original display text
+    from risinglight_spark.sql.dialect import (
+        reference_render_datetimes,
+        rewrite_era_literals,
+    )
+
+    cases = [
+        ("'1991-01-10 04:05:06 BC'", "1991-01-10 04:05:06 BC"),
+        ("'1991-01-09 04:05:06 AD'", "1991-01-09 04:05:06"),
+        ("'0001-12-31 23:59:59 BC'", "0001-12-31 23:59:59 BC"),
+    ]
+    for lit, want in cases:
+        sql = rewrite_era_literals(
+            f"SELECT CAST({lit} AS TIMESTAMP_NTZ) AS ts"
+        )
+        out = reference_render_datetimes(spark.sql(sql)).collect()[0].ts
+        assert out == want, (lit, out, want)
