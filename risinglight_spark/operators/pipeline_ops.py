@@ -904,3 +904,106 @@ def ml_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_spaces"
         ),
     )
+
+
+@register(
+    "pairs_contrastive_mining",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_a AS anchor, min(doc_b) AS positive
+      FROM ({_jaccard_oracle()}) jp
+      GROUP BY doc_a
+    ),
+    scored AS (
+      SELECT doc_id, source, {T.token_count_sql("text")} AS ws
+      FROM documents
+    ),
+    af AS (
+      SELECT p.anchor, p.positive, s.source, s.ws,
+             CAST(floor(s.ws / 8.0) AS INT) AS bkt
+      FROM pos p JOIN scored s ON s.doc_id = p.anchor
+    ),
+    cand AS (
+      SELECT a.anchor, a.positive, s.doc_id AS negative,
+             row_number() OVER (
+               PARTITION BY a.anchor
+               ORDER BY abs(s.ws - a.ws), s.doc_id
+             ) AS rn
+      FROM af a
+      JOIN scored s
+        ON s.source = a.source
+       AND CAST(floor(s.ws / 8.0) AS INT) = a.bkt
+       AND s.doc_id <> a.anchor AND s.doc_id <> a.positive
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({_jaccard_oracle()}) j2
+        WHERE (j2.doc_a = a.anchor AND j2.doc_b = s.doc_id)
+           OR (j2.doc_b = a.anchor AND j2.doc_a = s.doc_id)
+      )
+    )
+    SELECT anchor, positive, negative FROM cand WHERE rn = 1
+    """,
+    doc="Contrastive training-pair mining for embedding models: "
+    "anchors and positives come from near-dup pairs (word-3-gram "
+    "Jaccard >= 0.5 — known-similar-content pairs), and each anchor "
+    "gets a deterministic HARD negative: the closest-length document "
+    "from the same source that is NOT similar to it (length-matched "
+    "negatives are the standard trick to stop the model learning "
+    "'length' as the signal; the not-similar anti-join keeps false "
+    "negatives out).  Scale shape: the candidate join is keyed on "
+    "(source, length-bucket), never all-pairs — per-anchor "
+    "candidates are bounded by bucket occupancy, the same bounded-"
+    "bucket pattern as LSH dedup; every choice is a pure function of "
+    "the corpus (similarity pairs, token counts, id tiebreaks), so "
+    "pair sets reproduce bit-identically across cluster sizes.",
+)
+def pairs_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pos = (
+        pairs.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("positive"))
+        .withColumnRenamed("doc_a", "anchor")
+    )
+    scored = t.documents.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("ws")
+    )
+    af = pos.join(
+        scored.select(
+            F.col("doc_id").alias("anchor"),
+            "source",
+            "ws",
+            F.floor(F.col("ws") / 8).cast("int").alias("bkt"),
+        ),
+        "anchor",
+    )
+    cand = af.join(
+        scored.select(
+            F.col("doc_id").alias("negative"),
+            F.col("source").alias("nsource"),
+            F.col("ws").alias("nws"),
+        ),
+        (F.col("nsource") == F.col("source"))
+        & (F.floor(F.col("nws") / 8).cast("int") == F.col("bkt"))
+        & (F.col("negative") != F.col("anchor"))
+        & (F.col("negative") != F.col("positive")),
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    cand = cand.join(
+        sym.select(
+            F.col("doc_a").alias("anchor"), F.col("doc_b").alias("negative")
+        ),
+        ["anchor", "negative"],
+        "left_anti",
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.abs(F.col("nws") - F.col("ws")), "negative"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor", "positive", "negative")
+    )
