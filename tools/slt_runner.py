@@ -124,11 +124,16 @@ class SltRunner:
         restore_dialect_confs(self.spark)
 
     def run_file(
-        self, path: str, skip_patterns: tuple[str, ...] = ()
+        self,
+        path: str,
+        skip_patterns: tuple[str, ...] = (),
+        error_divergences: tuple[str, ...] = (),
     ) -> tuple[int, int, list[str]]:
         """Returns (n_checked, n_skipped, failures).  ``skip_patterns``
-        are substrings of statements known to be dialect-incompatible
-        (documented per-file in tests/test_slt.py)."""
+        are substrings of statements known to be dialect-incompatible;
+        ``error_divergences`` are substrings of `statement error`
+        blocks this engine deliberately accepts (both documented
+        per-file in tests/test_slt.py)."""
         import os
         import shutil
 
@@ -160,7 +165,28 @@ class SltRunner:
                 skipped += 1
                 continue
             if rec.kind == "statement_error":
-                skipped += 1
+                if any(p in rec.sql for p in error_divergences):
+                    # engine deliberately accepts what the reference
+                    # rejects (non-ANSI arithmetic, permissive casts) —
+                    # documented per-file in tests/test_slt.py
+                    skipped += 1
+                    continue
+                is_q = rec.sql.lstrip().lower().startswith(
+                    ("select", "with", "values")
+                )
+                try:
+                    if is_q:
+                        ex.execute_query(rec.sql).collect()
+                        outcome = "ok"
+                    else:
+                        outcome = ex.execute_statement(rec.sql)
+                except Exception:
+                    outcome = "error"
+                if outcome == "ok":
+                    failures.append(
+                        f"expected error, got success: {rec.sql.strip()[:120]}"
+                    )
+                checked += 1
                 continue
             if rec.kind == "statement":
                 # dialect semantics (copy-on-write DELETE, CREATE
