@@ -958,7 +958,16 @@ def ml_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pairs_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # the similarity pairs feed THREE plan branches (positives, the
+    # anchor-feature join, the false-negative anti-join); materialize
+    # the bounded pair set once or the inverted-index self-join
+    # re-executes per branch (measured by tools/shuffle_audit.py:
+    # 26 MB shuffle + 25 MB spill before, 2 MB and none after)
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     pos = (
         pairs.groupBy("doc_a")
         .agg(F.min("doc_b").alias("positive"))
