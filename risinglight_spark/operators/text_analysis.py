@@ -335,9 +335,97 @@ def _apply_merge(a: str, b: str):
     return merge
 
 
+
+def _bpe_oracle_ctes(n_rounds: int) -> str:
+    """Unrolled BPE training as chained DuckDB CTEs — the SQL replay of
+    _bpe_train_corpus.  Each document is a unit-delimited string
+    (every token wrapped chr(2)..chr(3); tokens are lowercased ASCII
+    words so the delimiters cannot collide).  Merge application is a
+    literal global replace of the adjacent unit pair — left-to-right
+    and non-overlapping, exactly the greedy Arrow merge's semantics,
+    because every match consumes whole delimited units.  Pair
+    counting, the (count DESC, pair ASC) argmax, and the chr(31) pair
+    separator all mirror the Spark loop token-for-token."""
+    toks = T.tokens_sql(T.normalized_text_sql("text"))
+    ctes = [
+        f"""docs0 AS (
+      SELECT doc_id,
+             chr(2) || array_to_string({toks}, chr(3) || chr(2)) || chr(3) AS s
+      FROM documents WHERE len({toks}) >= 2
+    )"""
+    ]
+    for r in range(n_rounds):
+        ctes.append(
+            f"""toks{r} AS (
+      SELECT doc_id,
+             str_split(trim(s, chr(2) || chr(3)), chr(3) || chr(2)) AS t
+      FROM docs{r}
+    )"""
+        )
+        ctes.append(
+            f"""pairs{r} AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || chr(31) || t[i + 1])) AS pair
+      FROM toks{r} WHERE len(t) >= 2
+    )"""
+        )
+        ctes.append(
+            f"""m{r + 1} AS (
+      SELECT str_split(pair, chr(31))[1] AS a,
+             str_split(pair, chr(31))[2] AS b, n
+      FROM (SELECT pair, count(*) AS n FROM pairs{r}
+            GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1)
+    )"""
+        )
+        ctes.append(
+            f"""docs{r + 1} AS (
+      SELECT d.doc_id,
+             replace(d.s,
+                     chr(2) || m.a || chr(3) || chr(2) || m.b || chr(3),
+                     chr(2) || m.a || ' ' || m.b || chr(3)) AS s
+      FROM docs{r} d CROSS JOIN m{r + 1} m
+    )"""
+        )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_train_oracle() -> str:
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r + 1} AS rank, a || ' ' || b AS merged_pair, "
+        f"CAST(n AS BIGINT) AS n FROM m{r + 1}"
+        for r in range(N_BPE_MERGES)
+    )
+    return f"""
+    {_bpe_oracle_ctes(N_BPE_MERGES)}
+    SELECT CAST(rank AS INT) AS rank, merged_pair, n FROM (
+      {unions}
+    )
+    """
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""
+    {_bpe_oracle_ctes(N_BPE_MERGES)},
+    final AS (
+      SELECT doc_id,
+             str_split(trim(s, chr(2) || chr(3)), chr(3) || chr(2)) AS t
+      FROM docs{N_BPE_MERGES}
+    )
+    SELECT doc_id,
+           CAST(len(str_split(array_to_string(t, ' '), ' ')) AS INT)
+             AS n_base_tokens,
+           CAST(len(t) AS INT) AS n_bpe_tokens,
+           round(CAST(len(t) AS DOUBLE)
+                 / len(str_split(array_to_string(t, ' '), ' ')), 6)
+             AS compression,
+           md5(array_to_string(t, chr(30))) AS seq_fp
+    FROM final
+    """
+
+
 @register(
     "text_bpe_train",
-    oracle=None,  # iterative argmax-per-round; verified by unit test
+    oracle=_bpe_train_oracle(),
     doc=f"BPE training loop: {N_BPE_MERGES} merge rounds over the "
     f"corpus.  Each round = one pair-count shuffle (map-side partials) "
     f"+ a 1-row argmax probe to the driver + a stateless Arrow-batched "
@@ -397,7 +485,7 @@ def _bpe_train_corpus(spark: SparkSession, sf_dir: str):
 
 @register(
     "text_bpe_encode",
-    oracle=None,  # merge table is data-derived; invariants in test_bpe.py
+    oracle=_bpe_encode_oracle(),
     doc="BPE encode pass: apply the trained merge table to the corpus "
     "and emit per-document token accounting (base whitespace tokens, "
     "BPE tokens after merges, compression ratio, sequence "
