@@ -230,10 +230,46 @@ def _pack_bins(pdf):
     return out[["source", "bin_id", "doc_id", "n_tokens"]]
 
 
+def _ffd_oracle() -> str:
+    """First-fit-decreasing replayed as a DuckDB recursive CTE: items
+    ranked (tokens DESC, doc_id) per source; each recursion step
+    places the next item into the first bin with room (list_position
+    over the remaining-capacity list) or opens a new bin — the exact
+    loop _pack_bins runs, advanced one item per source per step."""
+    toks = T.token_count_sql("text")
+    pos = "list_position(list_transform(f.rem, r -> i.sz <= r), true)"
+    return f"""
+    WITH RECURSIVE items AS (
+      SELECT source, doc_id, {toks} AS sz,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {toks} DESC, doc_id) AS rk
+      FROM documents WHERE {toks} > 0
+    ),
+    fit(source, rk, rem, bin_id) AS (
+      SELECT source, 0::BIGINT, []::BIGINT[], NULL::BIGINT
+      FROM (SELECT DISTINCT source FROM items)
+      UNION ALL
+      SELECT f.source, f.rk + 1,
+             CASE WHEN coalesce({pos}, 0) = 0
+                  THEN list_append(f.rem,
+                                   greatest({BIN_CAP_TOKENS} - i.sz, 0))
+                  ELSE f.rem[1:{pos} - 1]
+                       || [f.rem[{pos}] - i.sz]
+                       || f.rem[{pos} + 1:len(f.rem)]
+             END,
+             CASE WHEN coalesce({pos}, 0) = 0 THEN len(f.rem)::BIGINT
+                  ELSE {pos}::BIGINT - 1
+             END
+      FROM fit f JOIN items i ON i.source = f.source AND i.rk = f.rk + 1
+    )
+    SELECT f.source, f.bin_id, i.doc_id, CAST(i.sz AS BIGINT) AS n_tokens
+    FROM fit f JOIN items i ON i.source = f.source AND i.rk = f.rk
+    """
+
+
 @register(
     "pack_greedy_bins",
-    oracle=None,  # sequential first-fit is not SQL-expressible;
-    # invariants pinned in tests/test_properties.py
+    oracle=_ffd_oracle(),
     doc=f"First-fit-decreasing bin packing of documents into "
     f"{BIN_CAP_TOKENS}-token training bins, per source shard via "
     f"applyInPandas (grouped Arrow batches).  Unlike pack_sequences' "
