@@ -1036,3 +1036,142 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup = k-means-cluster the
+# embedding space, then pairwise-cosine ONLY within a cluster and drop
+# all but one representative of each near-dup neighborhood.  Different
+# candidate generator from the hyperplane-LSH variant above: clusters
+# are learned cells (here: exact centroids of the label groups + one
+# argmin reassignment — the deterministic equivalent of a trained
+# k-means), so candidates are semantic neighbors rather than
+# hash-collision neighbors.
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.4  # same synthetic-corpus scale as COS_THRESHOLD above
+
+
+def _sem_centroid_sql() -> str:
+    cols = ", ".join(
+        f"(CAST(sum(CAST(round(CAST(embedding[{i+1}] AS DOUBLE) * 1e14, 0)"
+        f" AS BIGINT)) AS DOUBLE) / 1e14 / count(*)) AS c{i}"
+        for i in range(DIM)
+    )
+    return f"SELECT label AS cell, {cols} FROM embeddings GROUP BY label"
+
+
+def _sem_dist_sql() -> str:
+    return "sqrt(0.0 + " + " + ".join(
+        f"(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        f"*(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        for i in range(DIM)
+    ) + ")"
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH cents AS MATERIALIZED ({_sem_centroid_sql()}),
+    d AS (
+      SELECT e.vec_id, c.cell, {_sem_dist_sql()} AS d
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, (array_agg(cell ORDER BY d, cell))[1] AS cell
+      FROM d GROUP BY vec_id
+    ),
+    e2 AS MATERIALIZED (
+      SELECT e.vec_id, a.cell, e.embedding,
+             {_emb_norm_sql('e.embedding')} AS nrm
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ({_emb_pair_dot_sql('a.embedding', 'b.embedding')}
+             / (a.nrm * b.nrm)) >= {SEM_TAU}
+    )
+    SELECT e2.vec_id, e2.cell,
+           (dr.vec_id IS NOT NULL) AS is_dropped
+    FROM e2 LEFT JOIN dropped dr ON e2.vec_id = dr.vec_id
+    """
+
+
+@register(
+    "dedup_semdedup",
+    oracle=_semdedup_oracle(),
+    doc=f"SemDeDup semantic dedup: embeddings are assigned to their "
+    "nearest cluster centroid (exact fixed-point means -> broadcast "
+    "argmin, the trained-k-means stand-in), cosine is computed only "
+    "within a cell, and any vector with a lower-id neighbor at cos >= "
+    f"{SEM_TAU} is dropped.  Scale: the pair join is cell-partitioned "
+    "(sum of per-cell squares, never corpus^2); cells at 100 TB come "
+    "from vector_kmeans_train and the pair stage caps per-cell size "
+    "by splitting hot cells (AQE skew join).",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.functions.vector import l2_distance
+    from risinglight_spark.operators.vector_search import (
+        _centroid_cols_sql,  # noqa: F401  (doc parity)
+    )
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    cents = (
+        t.embeddings.groupBy(F.col("label").alias("cell"))
+        .agg(
+            *[
+                (
+                    F.sum(
+                        F.round(
+                            F.col("embedding").getItem(i).cast("double")
+                            * 1e14,
+                            0,
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(1e14)
+                    / F.count("*")
+                ).alias(f"c{i}")
+                for i in range(DIM)
+            ]
+        )
+        .select(
+            "cell",
+            F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("cvec"),
+        )
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell",
+            l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    base = e.join(assign, "vec_id").select(
+        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dropped = (
+        a.hint("shuffle_hash")
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return base.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("hit"), F.lit(False)).alias("is_dropped"),
+    )

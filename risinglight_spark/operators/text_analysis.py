@@ -1085,3 +1085,103 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_types"), F.round(slope, 6).alias("zipf_slope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring: the KenLM-style perplexity quality filter one rung
+# up from text_unigram_logprob — conditional P(w2 | w1) with add-one
+# smoothing, trained on the corpus itself in one pass.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_list_sql(toks: str) -> str:
+    return (
+        f"list_transform(range(1, len({toks})),"
+        f" i -> {toks}[i] || chr(1) || {toks}[i+1])"
+    )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {T.tokens_sql(T.normalized_text_sql("text"))} AS t
+      FROM documents
+    ),
+    big AS MATERIALIZED (
+      SELECT doc_id, unnest({_bigram_list_sql("t")}) AS bg FROM toks
+    ),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    bfreq AS MATERIALIZED (
+      SELECT bg, count(*) AS nbg FROM big GROUP BY bg
+    ),
+    cfreq AS MATERIALIZED (
+      SELECT split_part(bg, chr(1), 1) AS w1, count(*) AS nc
+      FROM big GROUP BY split_part(bg, chr(1), 1)
+    )
+    SELECT d.doc_id, count(*) AS n_bigrams,
+           ({fpsum_sql(
+               "round(-ln((f.nbg + 1.0)"
+               " / (c.nc + (SELECT v FROM vocab))), 10)", 1000000)}
+            / count(*)) AS avg_neg_logprob
+    FROM big d
+    JOIN bfreq f USING (bg)
+    JOIN cfreq c ON split_part(d.bg, chr(1), 1) = c.w1
+    GROUP BY d.doc_id
+    """,
+    doc="Bigram-LM negative log-likelihood per document (add-one "
+    "smoothed P(w2|w1), model trained on the corpus in the same job): "
+    "the distributed KenLM-perplexity stand-in for quality filtering. "
+    "Three token-keyed shuffles (bigram counts, context counts, doc "
+    "rollup), all with map-side partials; the model tables join "
+    "broadcast at real vocab sizes.  ln rounded to 10 dp then "
+    "fixed-point summed -> partition-order independent.",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    toks = T.tokens(T.normalized_text(F.col("text")))
+    n = F.size(toks)
+    sep = F.lit("\x01")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), sep, F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = t.documents
+    big = docs.select("doc_id", F.explode(bigrams).alias("bg")).localCheckpoint()
+    vocab = (
+        docs.select(F.explode(toks).alias("tok")).distinct().count()
+    )
+    bfreq = big.groupBy("bg").agg(F.count("*").alias("nbg"))
+    w1 = F.substring_index(F.col("bg"), "\x01", 1)
+    cfreq = (
+        big.select(w1.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("nc"))
+    )
+    neg_ln = F.round(
+        -F.log(
+            (F.col("nbg") + F.lit(1.0))
+            / (F.col("nc") + F.lit(float(vocab)))
+        ),
+        10,
+    )
+    return (
+        big.join(bfreq, "bg")
+        .withColumn("w1", w1)
+        .join(cfreq, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (fpsum(neg_ln, 1e6) / F.count("*")).alias("avg_neg_logprob"),
+        )
+    )

@@ -1027,3 +1027,127 @@ def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cos_dist", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round k-means training (the full IVF index build loop, not just
+# one assignment step).  Reference parity: the ivfflat index the planner
+# targets (planner/rules/plan.rs:405-475) is built by exactly this Lloyd
+# iteration; `vector_kmeans_step` above verifies one round, this trains
+# K_TRAIN cells for TRAIN_ROUNDS rounds from a deterministic seed.
+# ---------------------------------------------------------------------------
+
+K_TRAIN = 8
+TRAIN_ROUNDS = 3
+
+
+def _kmeans_cent_aggs() -> list[Column]:
+    """Fixed-point exact per-cluster means (order-independent, so the
+    'model' is bit-identical at any parallelism — and in DuckDB)."""
+    return [
+        (
+            F.sum(
+                F.round(
+                    F.col("embedding").getItem(i).cast("double") * 1e14, 0
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1e14)
+            / F.count("*")
+        ).alias(f"c{i}")
+        for i in range(DIM)
+    ]
+
+
+def _kmeans_cent_sql(assign_cte: str) -> str:
+    cols = ", ".join(
+        f"(CAST(sum(CAST(round(CAST(e.embedding[{i+1}] AS DOUBLE) * 1e14, 0)"
+        f" AS BIGINT)) AS DOUBLE) / 1e14 / count(*)) AS c{i}"
+        for i in range(DIM)
+    )
+    return (
+        f"SELECT a.cluster, {cols} FROM embeddings e"
+        f" JOIN {assign_cte} a USING (vec_id) GROUP BY a.cluster"
+    )
+
+
+def _kmeans_dist_sql() -> str:
+    return "sqrt(0.0 + " + " + ".join(
+        f"(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        f"*(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        for i in range(DIM)
+    ) + ")"
+
+
+def _kmeans_train_oracle() -> str:
+    ctes = [f"a0 AS (SELECT vec_id, vec_id % {K_TRAIN} AS cluster FROM embeddings)"]
+    for r in range(1, TRAIN_ROUNDS + 1):
+        ctes.append(f"c{r} AS MATERIALIZED ({_kmeans_cent_sql(f'a{r-1}')})")
+        ctes.append(
+            f"d{r} AS (SELECT e.vec_id, c.cluster AS ccl,"
+            f" {_kmeans_dist_sql()} AS d"
+            f" FROM embeddings e CROSS JOIN c{r} c)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT vec_id,"
+            f" (array_agg(ccl ORDER BY d, ccl))[1] AS cluster,"
+            f" round(min(d), 10) AS d FROM d{r} GROUP BY vec_id)"
+        )
+    from risinglight_spark.operators import fpsum_sql
+
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT cluster, count(*) AS n,"
+        f" {fpsum_sql('d', 1e6)} AS inertia"
+        f" FROM a{TRAIN_ROUNDS} GROUP BY cluster"
+    )
+
+
+@register(
+    "vector_kmeans_train",
+    oracle=_kmeans_train_oracle(),
+    doc=f"Full k-means training loop (IVF index build): {K_TRAIN} cells, "
+    f"{TRAIN_ROUNDS} Lloyd rounds from a deterministic vec_id % "
+    f"{K_TRAIN} seed.  Each round = exact fixed-point centroid means "
+    "(groupBy with map-side partials) + broadcast argmin reassignment "
+    "(min(struct(dist, cell)) aggregate, never a window sort).  The "
+    "model state that crosses rounds is K x DIM doubles — driver-side "
+    "tiny regardless of corpus size, so 100 TB training is R linear "
+    "scans; in production each round's assignment would be "
+    "checkpointed to cut lineage.  Oracle: the identical rounds "
+    "unrolled as DuckDB CTEs (same fold order, bit-identical).",
+)
+def vector_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    assign = e.select(
+        "vec_id", (F.col("vec_id") % K_TRAIN).alias("cluster")
+    )
+    for _ in range(TRAIN_ROUNDS):
+        cents = (
+            e.join(assign, "vec_id")
+            .groupBy("cluster")
+            .agg(*_kmeans_cent_aggs())
+            .select(
+                F.col("cluster").alias("ccl"),
+                F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("cvec"),
+            )
+        )
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "ccl",
+            l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "ccl")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.ccl").alias("cluster"),
+                F.round(F.col("m.d"), 10).alias("d"),
+            )
+        )
+    return assign.groupBy("cluster").agg(
+        F.count("*").alias("n"), fpsum(F.col("d"), 1e6).alias("inertia")
+    )
