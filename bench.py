@@ -50,6 +50,9 @@ HEADLINE_EXTRA = (
     "events_variant_json",
     "agg_incremental_merge",
     "ml_logreg_train_step",
+    "dedup_semdedup",
+    "text_bigram_lm_score",
+    "events_type_islands",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

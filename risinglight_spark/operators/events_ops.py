@@ -1020,3 +1020,61 @@ def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "events_type_islands",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    marked AS (
+      SELECT *, (CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END) AS is_new
+      FROM ordered
+    ),
+    islands AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM marked
+    )
+    SELECT user_id, island_id::BIGINT AS island_id,
+           min(event_type) AS event_type,
+           count(*) AS run_len,
+           min(ts) AS valid_from, max(ts) AS valid_to
+    FROM islands GROUP BY user_id, island_id
+    """,
+    doc="Gaps-and-islands: collapse consecutive runs of the same "
+    "event_type per user into [valid_from, valid_to] intervals — the "
+    "SCD2 history-building primitive (each island is one dimension "
+    "version).  Same single-exchange shape as sessionization: one "
+    "shuffle+sort per user partition feeds the lag marker, the "
+    "cumulative island id, and the final rollup.",
+)
+def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.count("*").alias("run_len"),
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+    )

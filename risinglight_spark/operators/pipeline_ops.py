@@ -1052,3 +1052,86 @@ def pairs_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("anchor", "positive", "negative")
     )
+
+
+# -- PageRank over the near-dup graph ---------------------------------------
+# Iterative link analysis on the same undirected Jaccard-pair graph the
+# connected-components pass uses: within a dup cluster, PageRank ranks
+# the "most central" variant (the one sharing content with most
+# siblings) — a principled canonical-document pick, and the classic
+# distributed iterative-algorithm shape (scatter contributions, gather
+# by destination) beyond simple label propagation.
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    from risinglight_spark.operators import fpsum_sql
+
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({_jaccard_oracle()}) j)",
+        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg"
+        " FROM sym GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "edges AS MATERIALIZED (SELECT s.src, s.dst, d.deg"
+        " FROM sym s JOIN deg d USING (src))",
+        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT e.dst AS node,"
+            f" (1.0 - {PR_DAMP}) / (SELECT n FROM nn)"
+            f" + {PR_DAMP} * {fpsum_sql('r.r / e.deg', 1e12)} AS r"
+            f" FROM edges e JOIN r{k-1} r ON e.src = r.node"
+            f" GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT r{PR_ITERS}.node AS doc_id, d.deg AS deg,"
+        f" round(r{PR_ITERS}.r, 12) AS pagerank"
+        f" FROM r{PR_ITERS} JOIN deg d ON r{PR_ITERS}.node = d.src"
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank ({PR_ITERS} power iterations, damping {PR_DAMP}) over "
+    "the undirected word-3-gram Jaccard near-dup graph.  Each round is "
+    "one edge-keyed join (contributions r/deg scattered to neighbors) "
+    "+ one destination-keyed aggregate with map-side partials; "
+    "per-node sums are fixed-point quantized (1e-12) so ranks are "
+    "bit-identical at any parallelism — and replayable in DuckDB as "
+    "unrolled CTEs.  At 100 TB the edge list is the shuffled asset "
+    "(partition by src once, reuse across rounds); rank state is "
+    "O(nodes), rebroadcast each round.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = sym.join(deg, "src").localCheckpoint()
+    n = edges.select("src").distinct().count()
+    r = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges.join(r, edges["src"] == r["node"]).select(
+            F.col("dst"), (F.col("r") / F.col("deg")).alias("c")
+        )
+        r = contrib.groupBy("dst").agg(
+            (
+                F.lit((1.0 - PR_DAMP) / n)
+                + F.lit(PR_DAMP) * fpsum(F.col("c"), 1e12)
+            ).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return r.join(deg, r["node"] == deg["src"]).select(
+        F.col("node").alias("doc_id"),
+        F.col("deg"),
+        F.round(F.col("r"), 12).alias("pagerank"),
+    )
