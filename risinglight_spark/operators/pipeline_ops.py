@@ -1113,9 +1113,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from risinglight_spark.operators import fpsum
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    # Checkpoint the (tiny) edge list once: every downstream consumer
+    # (degrees, init ranks, per-round joins, final report) reuses it
+    # instead of re-running the Jaccard pair mining.
+    sym = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = sym.join(deg, "src").localCheckpoint()
+    edges = sym.join(deg, "src")
     n = edges.select("src").distinct().count()
     r = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
