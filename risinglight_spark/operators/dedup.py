@@ -1175,3 +1175,96 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.coalesce(F.col("hit"), F.lit(False)).alias("is_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level duplicate n-gram spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): find word 8-grams that
+# occur more than once ACROSS the whole corpus and report, per document,
+# how much of it is built from corpus-repeated spans.  This is the
+# substring-level signal that survives document-level dedup — boilerplate
+# headers, license blocks, templated text.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # words per span (the paper dedupes 50-token spans; same shape)
+
+
+def _span_grams_sql() -> str:
+    # Lambda variable is `g`, NOT `i`: char_hash_sql's own inner
+    # list_transform binds `i`, which would shadow the gram index.
+    toks = "t"
+    parts = " || ' ' || ".join(
+        f"{toks}[g+{k}]" if k else f"{toks}[g]" for k in range(SPAN_N)
+    )
+    return (
+        f"(CASE WHEN len(t) >= {SPAN_N} THEN"
+        f" list_transform(generate_series(1, len(t) - {SPAN_N - 1}),"
+        f" g -> {T.char_hash_sql(f'({parts})')})"
+        f" ELSE [] END)"
+    )
+
+
+@register(
+    "dedup_duplicate_ngram_spans",
+    oracle=f"""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id, {T.tokens_sql(T.normalized_text_sql("text"))} AS t
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, unnest({_span_grams_sql()}) AS gh FROM docs
+    ),
+    freq AS (
+      SELECT gh, count(*) AS n_occ FROM grams GROUP BY gh
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+           count(DISTINCT CASE WHEN n_occ > 1 THEN gh END) AS n_dup_distinct,
+           round(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                 / count(*), 10) AS dup_frac
+    FROM grams g JOIN freq USING (gh)
+    GROUP BY g.doc_id
+    """,
+    doc=f"Corpus-repeated {SPAN_N}-gram spans per document "
+    "(substring-level dedup signal, Lee et al. 2022): hash every word "
+    f"{SPAN_N}-gram (64-bit portable hash — ~8 B/span shuffled, never "
+    "the text), count occurrences corpus-wide, and roll up the "
+    "repeated-span fraction per doc.  Two shuffles, both with map-side "
+    "partials: the gram-hash count and the doc rollup; the frequency "
+    "join is gram-keyed (at 100 TB the singleton mass is pruned "
+    "map-side by a bloom/semi-join on the >1 keys before the join).  "
+    "Docs shorter than the span width produce no grams and drop out "
+    "on both engines.",
+)
+def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("t")
+    )
+    toks = F.col("t")
+    n = F.size(toks)
+    gram = lambda i: T.char_hash(  # noqa: E731
+        F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(k)) for k in range(SPAN_N)]
+        )
+    )
+    grams_arr = F.when(
+        n >= SPAN_N,
+        F.transform(F.sequence(F.lit(1), n - (SPAN_N - 1)), gram),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = docs.select("doc_id", F.explode(grams_arr).alias("gh")).localCheckpoint()
+    freq = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
+    dup = F.when(F.col("n_occ") > 1, 1)
+    return (
+        grams.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(dup).alias("n_dup_grams"),
+            F.count_distinct(
+                F.when(F.col("n_occ") > 1, F.col("gh"))
+            ).alias("n_dup_distinct"),
+            F.round(F.count(dup) / F.count("*"), 10).alias("dup_frac"),
+        )
+    )

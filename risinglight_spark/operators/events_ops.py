@@ -1078,3 +1078,66 @@ def events_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.max("ts").alias("valid_to"),
     )
+
+
+# -- SCD Type-2 dimension build from a change log ----------------------------
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)::BIGINT AS version,
+           event_type AS status,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM changes
+    """,
+    doc="Slowly-changing-dimension Type-2 history build from the event "
+    "log: collapse consecutive same-status events per user (lag "
+    "compare), then open a versioned validity interval per change "
+    "(valid_from = change ts, valid_to = next change, NULL = current). "
+    "The standard warehouse dimension-maintenance op.  One shuffle on "
+    "user_id; both window passes reuse the same (user, ts, event_id) "
+    "sort order so Catalyst plans a single sort.  Ties break on "
+    "event_id — deterministic on both engines.",
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t.events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

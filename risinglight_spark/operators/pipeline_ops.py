@@ -1142,3 +1142,157 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg"),
         F.round(F.col("r"), 12).alias("pagerank"),
     )
+
+
+# -- temperature-scaled mixture (UniMax / multilingual-T5 style) -------------
+
+TEMP_POW_NOTE = 0.5  # alpha = 1/2 via sqrt: IEEE-exact on both engines
+
+
+@register(
+    "mix_temperature_resample",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, sum({T.token_count_sql("text")})::BIGINT AS tokens
+      FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT source, tokens,
+             tokens::DOUBLE / (sum(tokens) OVER ())::BIGINT AS share
+      FROM per_source
+    ),
+    q AS (
+      SELECT source, tokens, share,
+             CAST(round(sqrt(share) * 10000000000.0, 0) AS BIGINT) AS qi
+      FROM shares
+    )
+    SELECT source, tokens, round(share, 10) AS share,
+           round(qi::DOUBLE / (sum(qi) OVER ())::BIGINT, 10) AS temp_share,
+           round((qi::DOUBLE / (sum(qi) OVER ())::BIGINT) / share, 10)
+               AS boost
+    FROM q
+    """,
+    doc="Temperature-scaled source mixture (alpha=0.5, the "
+    "multilingual-T5 / UniMax recipe): per-source token share, "
+    "share^alpha renormalized to the sampling mix, and the resulting "
+    "up/down-sampling boost.  alpha=1/2 is computed as sqrt — IEEE "
+    "correctly-rounded on both engines, so no transcendental drift — "
+    "and the renormalizing total sums fixed-point int64 (exact at any "
+    "partitioning).  One map-side-combined rollup; the share windows "
+    "run over K source rows — metadata, not data.",
+)
+def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per = t.documents.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).alias("tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(w)
+    qi = F.round(F.sqrt(share) * 1e10, 0).cast("long")
+    q = per.select("source", "tokens", share.alias("share"), qi.alias("qi"))
+    temp_share = F.col("qi").cast("double") / F.sum("qi").over(w)
+    return q.select(
+        "source",
+        "tokens",
+        F.round(F.col("share"), 10).alias("share"),
+        F.round(temp_share, 10).alias("temp_share"),
+        F.round(temp_share / F.col("share"), 10).alias("boost"),
+    )
+
+
+# -- kNN classifier evaluation over the embedding corpus ---------------------
+
+KNN_K = 5
+KNN_TEST_MOD = 5  # vec_id % 5 == 0 -> held-out test split
+_VOTE_RADIX = 1024  # argmax key packing: (K - votes) * radix + label
+
+
+def _knn_oracle() -> str:
+    from risinglight_spark.operators.vector_search import DIM
+
+    sq = " + ".join(
+        f"(CAST(a.embedding[{i+1}] AS DOUBLE) - CAST(b.embedding[{i+1}] AS DOUBLE))"
+        f" * (CAST(a.embedding[{i+1}] AS DOUBLE) - CAST(b.embedding[{i+1}] AS DOUBLE))"
+        for i in range(DIM)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS test_id, a.label AS true_label,
+             b.label AS nn_label,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY sqrt(0.0 + {sq}), b.vec_id
+             ) AS rn
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id % {KNN_TEST_MOD} = 0 AND b.vec_id % {KNN_TEST_MOD} <> 0
+    ),
+    votes AS (
+      SELECT test_id, true_label, nn_label, count(*) AS v
+      FROM pairs WHERE rn <= {KNN_K}
+      GROUP BY test_id, true_label, nn_label
+    ),
+    pred AS (
+      SELECT test_id, true_label,
+             min(({KNN_K} - v) * {_VOTE_RADIX} + nn_label) % {_VOTE_RADIX}
+                 AS predicted
+      FROM votes GROUP BY test_id, true_label
+    )
+    SELECT true_label AS label, count(*) AS n_test,
+           sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)::BIGINT
+               AS n_correct,
+           round(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                 / count(*), 10) AS accuracy
+    FROM pred GROUP BY true_label
+    """
+
+
+@register(
+    "ml_knn_eval",
+    oracle=_knn_oracle(),
+    doc=f"kNN classifier evaluation (k={KNN_K}, exact L2) on the "
+    "labeled embedding corpus: deterministic hash split (vec_id % "
+    f"{KNN_TEST_MOD}), each test vector scores against the train side "
+    "in one scan with a codegen'd distance fold, majority vote with a "
+    "portable integer argmax key — per-label accuracy out.  The test "
+    "batch broadcasts (bounded by construction); ranking windows on "
+    "test_id.  At 100 TB the train side is LSH/IVF bucket-pruned "
+    "first (ann_lsh_bucketed shape) — the scoring join and vote "
+    "rollup are unchanged.  Ties break on (distance, vec_id): "
+    "bit-identical doubles on both engines, so the ranking is too.",
+)
+def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.functions.vector import l2_distance
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    test = emb.filter(F.col("vec_id") % KNN_TEST_MOD == 0).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") % KNN_TEST_MOD != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("nn_label"),
+    )
+    d = l2_distance(F.col("t_emb"), F.col("c_emb"))
+    w = Window.partitionBy("test_id").orderBy("dist", "train_id")
+    top = (
+        train.crossJoin(F.broadcast(test))
+        .select("test_id", "true_label", "nn_label", "train_id", d.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = top.groupBy("test_id", "true_label", "nn_label").agg(
+        F.count("*").alias("v")
+    )
+    key = (F.lit(KNN_K) - F.col("v")) * _VOTE_RADIX + F.col("nn_label")
+    pred = votes.groupBy("test_id", "true_label").agg(
+        (F.min(key) % _VOTE_RADIX).alias("predicted")
+    )
+    correct = F.when(F.col("predicted") == F.col("true_label"), 1)
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n_test"),
+        F.count(correct).cast("bigint").alias("n_correct"),
+        F.round(F.count(correct) / F.count("*"), 10).alias("accuracy"),
+    )

@@ -1190,3 +1190,187 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (fpsum(neg_ln, 1e6) / F.count("*")).alias("avg_neg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by how much more likely its hashed-unigram bag is under a target
+# distribution than under the raw-corpus distribution.  The hashed
+# feature space (fixed bucket count) is what makes this O(corpus) at
+# 100 TB: the "model" is one tiny bucket table, never a vocabulary.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+DSIR_TARGET_LANG = "en"  # the target distribution: English docs
+
+
+@register(
+    "text_dsir_importance",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, {T.char_hash_sql("tok")} % {DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest({T.tokens_sql(T.normalized_text_sql("text"))}) AS tok
+        FROM documents
+      )
+    ),
+    b AS (
+      SELECT bucket,
+             count(*) AS nr,
+             count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS nt
+      FROM toks GROUP BY bucket
+    ),
+    lrs AS (
+      SELECT bucket,
+             round(ln((nt + 1.0) / (sum(nt) OVER () + {DSIR_BUCKETS})), 10)
+           - round(ln((nr + 1.0) / (sum(nr) OVER () + {DSIR_BUCKETS})), 10)
+               AS lr
+      FROM b
+    ),
+    scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             ({fpsum_sql("lr", 1000000)} / count(*)) AS avg_log_ratio
+      FROM toks t JOIN lrs USING (bucket)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, avg_log_ratio,
+           (avg_log_ratio > 0.0) AS keep
+    FROM scored
+    """,
+    doc="DSIR importance weights: hashed-unigram bag features "
+    f"({DSIR_BUCKETS} buckets, portable polynomial hash), add-one "
+    "smoothed log-likelihood ratio of target (lang='en') vs raw "
+    "corpus per bucket, doc score = mean per-token log ratio.  The "
+    "bucket model is a fixed-size table built in one grouped pass "
+    "(map-side partials) and BROADCAST back for scoring — at 100 TB "
+    "the second pass is a stateless map + per-doc rollup, no "
+    "vocabulary-sized shuffle ever.  ln rounded to 10 dp then "
+    "fixed-point summed: partition-order independent.",
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (T.char_hash(F.col("tok")) % DSIR_BUCKETS).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    b = toks.groupBy("bucket").agg(
+        F.count("*").alias("nr"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("nt"),
+    )
+    w = Window.partitionBy()
+    lr = F.round(
+        F.log((F.col("nt") + F.lit(1.0)) / (F.sum("nt").over(w) + DSIR_BUCKETS)),
+        10,
+    ) - F.round(
+        F.log((F.col("nr") + F.lit(1.0)) / (F.sum("nr").over(w) + DSIR_BUCKETS)),
+        10,
+    )
+    lrs = b.select("bucket", lr.alias("lr"))
+    scored = (
+        toks.join(F.broadcast(lrs), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (fpsum(F.col("lr"), 1e6) / F.count("*")).alias("avg_log_ratio"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_log_ratio",
+        (F.col("avg_log_ratio") > 0.0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus unigram distribution — the
+# data-mixing diagnostic: which sources are distributionally furthest
+# from the blend they feed (drives mixture re-weighting decisions).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_kl_source_divergence",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT source,
+             unnest({T.tokens_sql(T.normalized_text_sql("text"))}) AS tok
+      FROM documents
+    ),
+    st AS MATERIALIZED (
+      SELECT source, tok, count(*) AS n_st FROM toks GROUP BY source, tok
+    ),
+    tc AS (
+      SELECT tok, sum(n_st)::BIGINT AS n_t FROM st GROUP BY tok
+    ),
+    j AS (
+      SELECT st.source, st.n_st, tc.n_t,
+             sum(st.n_st) OVER (PARTITION BY st.source)::BIGINT AS t_s,
+             sum(st.n_st) OVER ()::BIGINT AS t_all
+      FROM st JOIN tc USING (tok)
+    ),
+    terms AS (
+      SELECT source, n_st, t_s,
+             (n_st::DOUBLE / t_s)
+             * (round(ln(n_st::DOUBLE / t_s), 10)
+                - round(ln(n_t::DOUBLE / t_all), 10)) AS term
+      FROM j
+    )
+    SELECT source, sum(n_st)::BIGINT AS n_tokens, count(*) AS vocab_used,
+           {fpsum_sql("term", 10000000000)} AS kl_nats
+    FROM terms GROUP BY source
+    """,
+    doc="KL(source ‖ corpus) over exact unigram distributions: "
+    "per-(source, token) counts (one token-keyed shuffle with map-side "
+    "partials), corpus marginals by a second rollup of the SAME count "
+    "table (never rescans tokens), per-source totals as window sums "
+    "over the count table.  The token-keyed model join broadcasts at "
+    "real vocab sizes.  Output is K source rows.  ln rounded to 10 dp, "
+    "p*lnΔ products fixed-point summed — partition-order independent.",
+)
+def text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "source",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("n_st"))
+    tc = st.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    j = (
+        st.join(tc, "tok")
+        .withColumn("t_s", F.sum("n_st").over(ws))
+        .withColumn("t_all", F.sum("n_st").over(wall))
+    )
+    p_s = F.col("n_st").cast("double") / F.col("t_s")
+    p_c = F.col("n_t").cast("double") / F.col("t_all")
+    term = p_s * (F.round(F.log(p_s), 10) - F.round(F.log(p_c), 10))
+    return (
+        j.select("source", "n_st", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_st").alias("n_tokens"),
+            F.count("*").alias("vocab_used"),
+            fpsum(F.col("term"), 1e10).alias("kl_nats"),
+        )
+    )

@@ -834,3 +834,30 @@ def streaming_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+
+
+@register(
+    "streaming_dropdup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming dedup with bounded state via "
+    "dropDuplicatesWithinWatermark: unlike plain dropDuplicates "
+    "(state grows with the key universe forever), state for a key is "
+    "evicted once the watermark passes its event time — the only "
+    "streaming-dedup API whose state is O(keys per horizon), i.e. the "
+    "one that survives an unbounded 100 TB ingest.  Duplicates "
+    "arriving within the delay of each other are guaranteed dropped; "
+    "re-emission after the horizon is the accepted trade.  The "
+    "fixture's delay (60 days) exceeds the data's 30-day span, so the "
+    "run is exactly DISTINCT and the oracle can hash-verify it.",
+)
+def streaming_dropdup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sdf = _events_stream(spark, sf_dir)
+    dedup = (
+        sdf.withWatermark("ts", "60 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(dedup, spark, "append")
