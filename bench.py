@@ -53,6 +53,13 @@ HEADLINE_EXTRA = (
     "dedup_semdedup",
     "text_bigram_lm_score",
     "events_type_islands",
+    "text_dsir_importance",
+    "text_kl_source_divergence",
+    "dedup_duplicate_ngram_spans",
+    "ml_knn_eval",
+    "events_scd2_history",
+    "graph_triangle_count",
+    "vector_pca_power_iteration",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

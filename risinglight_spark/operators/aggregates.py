@@ -648,3 +648,60 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("psum").cast("double") / F.lit(1e8)).alias("sum_value"),
         )
     )
+
+
+# -- heavy hitters via a mergeable Misra-Gries sketch ------------------------
+
+MG_COUNTERS = 64  # counters per shard sketch
+
+
+def _mg_partition(batches):
+    """Batched Misra-Gries over one partition: exact counts accumulate
+    until the table exceeds MG_COUNTERS, then the (M+1)-th largest
+    count is subtracted from every counter (dropping non-positive) —
+    the classic decrement step, amortized per Arrow batch.  Undercount
+    per partition is bounded by n_p / (MG_COUNTERS + 1)."""
+    import pandas as pd
+
+    counters: dict = {}
+    for pdf in batches:
+        for k, c in pdf["user_id"].value_counts().items():
+            counters[k] = counters.get(k, 0) + int(c)
+        if len(counters) > MG_COUNTERS:
+            vals = sorted(counters.values(), reverse=True)
+            d = vals[MG_COUNTERS]
+            counters = {k: v - d for k, v in counters.items() if v - d > 0}
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series(list(counters), dtype="int64"),
+            "est": pd.Series(list(counters.values()), dtype="int64"),
+        }
+    )
+
+
+@register(
+    "agg_heavy_hitters_sketch",
+    oracle=None,  # sketch contents are cutoff-dependent; bound tested
+    doc=f"Heavy hitters via mergeable Misra-Gries sketches "
+    f"({MG_COUNTERS} counters/shard): each partition summarizes "
+    "locally in one Arrow pass (no shuffle of raw rows), the partial "
+    "sketches merge by key-summing — the same merge-without-rescan "
+    "contract as agg_sketch_mergeable, for top-k instead of "
+    "cardinality.  Guarantee (asserted in tests/test_plans.py): "
+    "estimates never overcount, undercount is <= n/(M+1), and every "
+    "key with true count > n/(M+1) survives the merge.  At 100 TB the "
+    "shuffle carries <= M rows per shard, independent of data size — "
+    "the constant-memory answer to 'top users' on an unbounded "
+    "stream.  Deterministic: partition contents and batch order are "
+    "fixed by the parquet layout.",
+)
+def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    partials = ev.mapInPandas(_mg_partition, "user_id BIGINT, est BIGINT")
+    # No top-k cut here: the survival guarantee is about PRESENCE in the
+    # merged sketch — a hot key's merged estimate can rank below colder
+    # keys' (undercount is per-shard), so truncation could evict it.
+    # Output stays bounded at <= M rows per shard regardless of data.
+    return partials.groupBy("user_id").agg(F.sum("est").alias("est_count"))

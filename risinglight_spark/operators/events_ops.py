@@ -1141,3 +1141,47 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# -- debounce / rate limiting -------------------------------------------------
+
+DEBOUNCE_SEC = 300  # suppress same-user same-type events within 5 minutes
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM ordered
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL {DEBOUNCE_SEC} SECOND
+    """,
+    doc=f"Debounce / rate-limit: suppress repeat (user, type) events "
+    f"arriving within {DEBOUNCE_SEC}s of the previously KEPT-or-seen "
+    "event — the burst-collapse pass upstream of alerting and billing "
+    "pipelines.  (Lag-based variant: gap measured to the previous raw "
+    "event; the strict token-bucket needs running state — that shape "
+    "is streaming_stateful_max.)  One shuffle on (user, type); the "
+    "filter is a per-row window compare, no self-joins.",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        t.events.select("event_id", "user_id", "event_type", "ts")
+        .withColumn("prev_ts", prev)
+        .filter(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts") - F.col("prev_ts")
+                > F.expr(f"INTERVAL {DEBOUNCE_SEC} SECOND")
+            )
+        )
+        .drop("prev_ts")
+    )

@@ -1296,3 +1296,58 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(correct).cast("bigint").alias("n_correct"),
         F.round(F.count(correct) / F.count("*"), 10).alias("accuracy"),
     )
+
+
+# -- triangle counting on the near-dup graph ---------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED ({_jaccard_oracle()}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    members AS (
+      SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT doc_id, count(*) AS n_triangles FROM members GROUP BY doc_id
+    """,
+    doc="Per-node triangle counts on the near-dup graph (clustering-"
+    "coefficient numerator — distinguishes tight dup cliques from "
+    "chains that transitive closure alone can't tell apart).  Edges "
+    "are the exact-Jaccard pairs kept in canonical a<b form, so each "
+    "triangle appears exactly once as x<y<z: two edge-keyed self-joins "
+    "(wedge build + closing-edge check), then a per-node rollup.  "
+    "O(Σ deg²) wedges, never all-pairs; at 100 TB the standard "
+    "degree-ordered orientation (already canonical here) keeps wedge "
+    "fan-out bounded by the max out-degree, and the closing-edge join "
+    "stays keyed on (a, b).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+        "left_semi",
+    )
+    members = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionAll(tri.select(F.col("y").alias("doc_id")))
+        .unionAll(tri.select(F.col("z").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))

@@ -1151,3 +1151,139 @@ def vector_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.groupBy("cluster").agg(
         F.count("*").alias("n"), fpsum(F.col("d"), 1e6).alias("inertia")
     )
+
+
+# -- PCA top component via power iteration -----------------------------------
+
+PCA_DIMS = 8
+PCA_ITERS = 3
+PCA_SCALE = 1e6
+
+
+def _pca_oracle() -> str:
+    x = lambda i: f"CAST(embedding[{i+1}] AS DOUBLE)"  # noqa: E731
+    q = lambda e: f"CAST(round(({e}) * {PCA_SCALE:.0f}.0, 0) AS BIGINT)"  # noqa: E731
+    moms = [
+        f"CAST(sum({q(f'{x(i)} * {x(j)}')}) AS DOUBLE) / {PCA_SCALE:.0f}.0"
+        f" AS m_{i}_{j}"
+        for i in range(PCA_DIMS)
+        for j in range(i, PCA_DIMS)
+    ]
+    sums = [
+        f"CAST(sum({q(x(i))}) AS DOUBLE) / {PCA_SCALE:.0f}.0 AS s_{i}"
+        for i in range(PCA_DIMS)
+    ]
+    cov = [
+        f"(m_{min(i, j)}_{max(i, j)} - s_{i} * s_{j} / n) / (n - 1)"
+        f" AS c_{i}_{j}"
+        for i in range(PCA_DIMS)
+        for j in range(PCA_DIMS)
+    ]
+    v0 = ", ".join(
+        f"1.0 / sqrt({PCA_DIMS}.0) AS v{k}" for k in range(PCA_DIMS)
+    )
+    # Each round: dot products against c (rejoined every round — w carries
+    # only nm + v, so no ambiguous column names), then normalize.
+    its = []
+    for r in range(1, PCA_ITERS + 1):
+        dots = ", ".join(
+            " + ".join(f"c.c_{j}_{k} * v{k}" for k in range(PCA_DIMS))
+            + f" AS u{j}"
+            for j in range(PCA_DIMS)
+        )
+        nrm = " + ".join(f"u{k} * u{k}" for k in range(PCA_DIMS))
+        norm_cols = ", ".join(f"u{k} / nm AS v{k}" for k in range(PCA_DIMS))
+        its.append(
+            f"i{r} AS (SELECT {dots} FROM c, w{r-1}),\n"
+            f"    n{r} AS (SELECT *, sqrt({nrm}) AS nm FROM i{r}),\n"
+            f"    w{r} AS (SELECT nm, {norm_cols} FROM n{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS dim, round(v{k}, 9) AS component,"
+        f" round(nm, 9) AS eigenvalue FROM w{PCA_ITERS}"
+        for k in range(PCA_DIMS)
+    )
+    return f"""
+    WITH m AS (
+      SELECT {", ".join(moms)}, {", ".join(sums)}, count(*) AS n
+      FROM embeddings
+    ),
+    c AS (SELECT {", ".join(cov)}, n FROM m),
+    w0 AS (SELECT {v0}),
+    {",".join(its)}
+    {union}
+    """
+
+
+@register(
+    "vector_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc=f"Top principal component of the first {PCA_DIMS} embedding "
+    f"dims via {PCA_ITERS} power iterations: ONE distributed scan "
+    "computes every cross-moment as an exact fixed-point int64 sum "
+    "(map-side partials, partitioning-invariant — cf. "
+    "vector_covariance_matrix); the k x k covariance assembles from "
+    "bounded metadata and iterates DRIVER-side in explicitly ordered "
+    "double arithmetic (left-folded dot products, so DuckDB's "
+    "unrolled-CTE replay is bit-identical).  That division of labor "
+    "IS the 100 TB design: data-scale work is the single moment scan; "
+    "the eigen-solve is O(k^2) per step regardless of corpus size.  "
+    "Output: component vector + Rayleigh eigenvalue estimate.",
+)
+def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def q(col):
+        return F.round(col * PCA_SCALE, 0).cast("long")
+
+    x = [
+        F.element_at("embedding", i + 1).cast("double")
+        for i in range(PCA_DIMS)
+    ]
+    aggs = [
+        F.sum(q(x[i] * x[j])).alias(f"m_{i}_{j}")
+        for i in range(PCA_DIMS)
+        for j in range(i, PCA_DIMS)
+    ]
+    aggs += [F.sum(q(x[i])).alias(f"s_{i}") for i in range(PCA_DIMS)]
+    aggs.append(F.count("*").alias("n"))
+    row = t.embeddings.agg(*aggs).collect()[0]
+
+    n = row["n"]
+    s = [row[f"s_{i}"] / PCA_SCALE for i in range(PCA_DIMS)]
+    cov = [
+        [
+            (row[f"m_{min(i, j)}_{max(i, j)}"] / PCA_SCALE - s[i] * s[j] / n)
+            / (n - 1)
+            for j in range(PCA_DIMS)
+        ]
+        for i in range(PCA_DIMS)
+    ]
+    import math
+
+    v = [1.0 / math.sqrt(float(PCA_DIMS))] * PCA_DIMS
+    nm = 0.0
+    for _ in range(PCA_ITERS):
+        # Left-folded dot products and norm — the exact operation order
+        # the oracle's unrolled SQL uses.
+        u = []
+        for j in range(PCA_DIMS):
+            acc = cov[j][0] * v[0]
+            for k in range(1, PCA_DIMS):
+                acc = acc + cov[j][k] * v[k]
+            u.append(acc)
+        nrm = u[0] * u[0]
+        for k in range(1, PCA_DIMS):
+            nrm = nrm + u[k] * u[k]
+        nm = math.sqrt(nrm)
+        v = [uk / nm for uk in u]
+
+    out = spark.createDataFrame(
+        [(k, v[k], nm) for k in range(PCA_DIMS)],
+        "dim INT, component DOUBLE, eigenvalue DOUBLE",
+    )
+    return out.select(
+        "dim",
+        F.round("component", 9).alias("component"),
+        F.round("eigenvalue", 9).alias("eigenvalue"),
+    )

@@ -505,3 +505,61 @@ def test_variant_parse_stays_jvm_side(spark, sf_dir):
     # worker (BatchEvalPython / ArrowEvalPython) in the plan.
     plan = _plan(spark, sf_dir, "events_variant_json")
     assert "EvalPython" not in plan
+
+
+def test_dsir_model_join_broadcasts(spark, sf_dir):
+    # The 512-row bucket model must broadcast back onto the token
+    # stream: a shuffle of the exploded tokens for a fixed-size model
+    # would be the 100 TB killer.
+    plan = _plan(spark, sf_dir, "text_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_test_batch_broadcasts(spark, sf_dir):
+    # The held-out test split is the bounded side of the scoring join:
+    # it must broadcast so the train corpus scans in place.
+    plan = _plan(spark, sf_dir, "ml_knn_eval")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_ngram_span_join_is_keyed(spark, sf_dir):
+    # The gram-frequency join must be keyed on the 8-byte gram hash
+    # (shuffle carries hashes, never text), not a cartesian.
+    plan = _plan(spark, sf_dir, "dedup_duplicate_ngram_spans")
+    assert "CartesianProduct" not in plan
+    assert "text" not in plan.split("Exchange", 1)[-1].split("Scan", 1)[0]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # lag-filter + row_number + lead share one (user_id) shuffle: all
+    # three windows collapse onto the same partitioning/sort spec.
+    plan = _plan(spark, sf_dir, "events_scd2_history")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_heavy_hitters_sketch_bounds(spark, sf_dir):
+    # Misra-Gries contract: never overcount; undercount <= n/(M+1);
+    # every key with true count > n/(M+1) is present after the merge.
+    from risinglight_spark.operators.aggregates import MG_COUNTERS
+    from risinglight_spark.tables import load
+
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in ENTRIES["agg_heavy_hitters_sketch"].fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    true = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    n = sum(true.values())
+    bound = n / (MG_COUNTERS + 1)
+    for k, e in est.items():
+        assert e <= true[k], f"overcount for {k}"
+        assert true[k] - e <= bound, f"undercount bound violated for {k}"
+    top = {k for k, v in true.items() if v > bound}
+    missing = top - set(est)
+    assert not missing, f"hot keys missing from sketch: {missing}"
