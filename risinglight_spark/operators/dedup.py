@@ -1189,30 +1189,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_N = 8  # words per span (the paper dedupes 50-token spans; same shape)
 
 
-def _span_grams_sql() -> str:
-    # Lambda variable is `g`, NOT `i`: char_hash_sql's own inner
-    # list_transform binds `i`, which would shadow the gram index.
-    toks = "t"
-    parts = " || ' ' || ".join(
-        f"{toks}[g+{k}]" if k else f"{toks}[g]" for k in range(SPAN_N)
-    )
-    return (
-        f"(CASE WHEN len(t) >= {SPAN_N} THEN"
-        f" list_transform(generate_series(1, len(t) - {SPAN_N - 1}),"
-        f" g -> {T.char_hash_sql(f'({parts})')})"
-        f" ELSE [] END)"
-    )
-
-
 @register(
     "dedup_duplicate_ngram_spans",
     oracle=f"""
-    WITH docs AS MATERIALIZED (
-      SELECT doc_id, {T.tokens_sql(T.normalized_text_sql("text"))} AS t
+    WITH hashed AS MATERIALIZED (
+      SELECT doc_id, ({T.token_hashes_sql("text")}) AS th
       FROM documents
     ),
     grams AS MATERIALIZED (
-      SELECT doc_id, unnest({_span_grams_sql()}) AS gh FROM docs
+      SELECT doc_id, unnest({T.shingle_hashes_sql("th", SPAN_N)}) AS gh
+      FROM hashed
     ),
     freq AS (
       SELECT gh, count(*) AS n_occ FROM grams GROUP BY gh
@@ -1228,32 +1214,23 @@ def _span_grams_sql() -> str:
     """,
     doc=f"Corpus-repeated {SPAN_N}-gram spans per document "
     "(substring-level dedup signal, Lee et al. 2022): hash every word "
-    f"{SPAN_N}-gram (64-bit portable hash — ~8 B/span shuffled, never "
-    "the text), count occurrences corpus-wide, and roll up the "
-    "repeated-span fraction per doc.  Two shuffles, both with map-side "
-    "partials: the gram-hash count and the doc rollup; the frequency "
-    "join is gram-keyed (at 100 TB the singleton mass is pruned "
-    "map-side by a bloom/semi-join on the >1 keys before the join).  "
-    "Docs shorter than the span width produce no grams and drop out "
-    "on both engines.",
+    f"{SPAN_N}-gram (8-byte portable shingle hash — the hash shuffles, "
+    "never the text), count occurrences corpus-wide, and roll up the "
+    "repeated-span fraction per doc.  Hashing is the shared Arrow "
+    "shingle path (functions/text.py — Catalyst evaluates the "
+    "char-fold lambdas interpreted, measured ~6x slower).  Two "
+    "shuffles, both with map-side partials: the gram-hash count and "
+    "the doc rollup; the frequency join is gram-keyed (at 100 TB the "
+    "singleton mass is pruned map-side by a bloom/semi-join on the >1 "
+    "keys before the join).  Docs shorter than the span width produce "
+    "no grams and drop out on both engines.",
 )
 def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    docs = t.documents.select(
-        "doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("t")
-    )
-    toks = F.col("t")
-    n = F.size(toks)
-    gram = lambda i: T.char_hash(  # noqa: E731
-        F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(k)) for k in range(SPAN_N)]
-        )
-    )
-    grams_arr = F.when(
-        n >= SPAN_N,
-        F.transform(F.sequence(F.lit(1), n - (SPAN_N - 1)), gram),
-    ).otherwise(F.array().cast("array<bigint>"))
-    grams = docs.select("doc_id", F.explode(grams_arr).alias("gh")).localCheckpoint()
+    grams = t.documents.select(
+        "doc_id",
+        F.explode(T.shingle_hashes_pandas(SPAN_N)(F.col("text"))).alias("gh"),
+    ).localCheckpoint()
     freq = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
     dup = F.when(F.col("n_occ") > 1, 1)
     return (
