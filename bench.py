@@ -60,6 +60,8 @@ HEADLINE_EXTRA = (
     "events_scd2_history",
     "graph_triangle_count",
     "vector_pca_power_iteration",
+    "ml_naive_bayes_langid",
+    "vector_pq_encode",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

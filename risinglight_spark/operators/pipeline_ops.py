@@ -1360,3 +1360,138 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("doc_id")))
     )
     return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+# -- naive Bayes language classifier (train + predict + evaluate) ------------
+
+NB_BUCKETS = 256  # hashed-unigram feature space bounds the model size
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, {T.char_hash_sql("tok")} % {NB_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest({T.tokens_sql(T.normalized_text_sql("text"))}) AS tok
+        FROM documents
+      )
+    ),
+    model AS MATERIALIZED (
+      SELECT lang AS m_lang, bucket, count(*) AS n_lb,
+             sum(count(*)) OVER (PARTITION BY lang)::BIGINT AS t_l
+      FROM toks GROUP BY lang, bucket
+    ),
+    priors AS (
+      SELECT lang AS p_lang,
+             round(ln(count(*)::DOUBLE
+                      / (sum(count(*)) OVER ())::BIGINT), 10) AS logprior
+      FROM (SELECT DISTINCT doc_id, lang FROM toks) GROUP BY lang
+    ),
+    scores AS (
+      SELECT t.doc_id, t.lang AS true_lang, m.m_lang AS cand,
+             any_value(p.logprior)
+             + {fpsum_sql(
+                 f"round(ln((m.n_lb + 1.0) / (m.t_l + {NB_BUCKETS})), 10)",
+                 1000000)} AS score
+      FROM toks t
+      JOIN model m USING (bucket)
+      JOIN priors p ON p.p_lang = m.m_lang
+      GROUP BY t.doc_id, t.lang, m.m_lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand ASC) AS rn
+      FROM scores
+    )
+    SELECT true_lang AS lang, count(*) AS n_docs,
+           sum(CASE WHEN predicted = true_lang THEN 1 ELSE 0 END)::BIGINT
+               AS n_correct,
+           round(sum(CASE WHEN predicted = true_lang THEN 1 ELSE 0 END)
+                 / count(*), 10) AS accuracy
+    FROM pred WHERE rn = 1 GROUP BY true_lang
+    """,
+    doc="Multinomial naive Bayes language classifier, trained AND "
+    f"evaluated in one job: hashed-unigram features ({NB_BUCKETS} "
+    "buckets), add-one smoothed per-language bucket likelihoods, "
+    "document scores as prior + summed log-likelihood per candidate "
+    "language, argmax prediction, per-language accuracy out.  The "
+    "model is (langs x buckets) rows — fixed size, broadcast for "
+    "scoring like the DSIR model; the candidate fan-out multiplies "
+    "the token stream by |langs| (bounded, 5 here) before the doc "
+    "rollup.  ln rounded to 10 dp + fixed-point sums: bit-identical "
+    "scores, so the argmax (ties to lexically-first language) "
+    "replays exactly on both engines.",
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (T.char_hash(F.col("tok")) % NB_BUCKETS).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    wl = Window.partitionBy("lang")
+    model = (
+        toks.groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_lb"))
+        .withColumn("t_l", F.sum("n_lb").over(wl))
+        .select(F.col("lang").alias("m_lang"), "bucket", "n_lb", "t_l")
+    )
+    docs = toks.select("doc_id", "lang").distinct()
+    wall = Window.partitionBy()
+    priors = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("lang").alias("p_lang"),
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    / F.sum("n_docs").over(wall)
+                ),
+                10,
+            ).alias("logprior"),
+        )
+    )
+    loglik = F.round(
+        F.log(
+            (F.col("n_lb") + F.lit(1.0)) / (F.col("t_l") + NB_BUCKETS)
+        ),
+        10,
+    )
+    scores = (
+        toks.join(F.broadcast(model), "bucket")
+        .join(F.broadcast(priors), F.col("p_lang") == F.col("m_lang"))
+        .groupBy(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("m_lang").alias("cand"),
+        )
+        .agg(
+            (F.any_value(F.col("logprior")) + fpsum(loglik, 1e6)).alias(
+                "score"
+            )
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", (F.col("cand") == F.col("true_lang")).alias("ok"))
+    )
+    correct = F.when(F.col("ok"), 1)
+    return pred.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.count(correct).cast("bigint").alias("n_correct"),
+        F.round(F.count(correct) / F.count("*"), 10).alias("accuracy"),
+    )

@@ -1287,3 +1287,137 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("component", 9).alias("component"),
         F.round("eigenvalue", 9).alias("eigenvalue"),
     )
+
+
+# -- product quantization (PQ encode + reconstruction error) -----------------
+
+PQ_SUB = 4  # subspaces
+PQ_SDIM = DIM // PQ_SUB  # dims per subspace
+PQ_CODES = 4  # codewords per subspace (seeded from label % PQ_CODES)
+
+
+def _pq_oracle() -> str:
+    cb_cols = ", ".join(
+        f"(CAST(sum(CAST(round(CAST(embedding[{i+1}] AS DOUBLE) * 1e14, 0)"
+        f" AS BIGINT)) AS DOUBLE) / 1e14 / count(*)) AS c{i}"
+        for i in range(DIM)
+    )
+    sub_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, "
+        + ", ".join(f"CAST(embedding[{s * PQ_SDIM + d + 1}] AS DOUBLE) AS x{d}"
+                    for d in range(PQ_SDIM))
+        + " FROM embeddings"
+        for s in range(PQ_SUB)
+    )
+    cb_arms = " UNION ALL ".join(
+        f"SELECT {s} AS s, code, "
+        + ", ".join(f"c{s * PQ_SDIM + d} AS k{d}" for d in range(PQ_SDIM))
+        + " FROM cb"
+        for s in range(PQ_SUB)
+    )
+    d2 = "0.0 + " + " + ".join(
+        f"(v.x{d} - k.k{d})*(v.x{d} - k.k{d})" for d in range(PQ_SDIM)
+    )
+    code_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS code{s}"
+        for s in range(PQ_SUB)
+    )
+    return f"""
+    WITH cb AS MATERIALIZED (
+      SELECT label % {PQ_CODES} AS code, {cb_cols}
+      FROM embeddings GROUP BY label % {PQ_CODES}
+    ),
+    subs AS MATERIALIZED ({sub_arms}),
+    books AS MATERIALIZED ({cb_arms}),
+    scored AS (
+      SELECT v.vec_id, v.s,
+             (array_agg(k.code ORDER BY ({d2}), k.code))[1] AS code,
+             min({d2}) AS d2
+      FROM subs v JOIN books k USING (s)
+      GROUP BY v.vec_id, v.s
+    )
+    SELECT vec_id, {code_cols},
+           round(sqrt(CAST(sum(CAST(round(d2 * 10000000000.0, 0)
+                      AS BIGINT)) AS DOUBLE) / 10000000000.0), 8)
+               AS recon_err
+    FROM scored GROUP BY vec_id
+    """
+
+
+@register(
+    "vector_pq_encode",
+    oracle=_pq_oracle(),
+    doc=f"Product quantization: {PQ_SUB} subspaces x {PQ_CODES} "
+    "codewords (codebook = fixed-point subvector means seeded from "
+    "label % codes — the deterministic stand-in for a trained "
+    "codebook; vector_kmeans_train is the training loop), each vector "
+    "encoded as its per-subspace nearest codeword with the exact "
+    "reconstruction error.  PQ is how billion-scale ANN indexes "
+    "compress vectors 32x (64 floats -> 4 codes): the codebook "
+    "broadcasts (16 rows), encoding is one scan with codegen'd "
+    "distance chains, and the argmin is an order-pinned aggregate — "
+    "no window, no shuffle of raw vectors.  Sub-distances are "
+    "fixed-point summed so the reported error is partition-order "
+    "independent.",
+)
+def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    means = [
+        (
+            F.sum(
+                F.round(
+                    F.col("embedding").getItem(i).cast("double") * 1e14, 0
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1e14)
+            / F.count("*")
+        ).alias(f"c{i}")
+        for i in range(DIM)
+    ]
+    cb = t.embeddings.groupBy(
+        (F.col("label") % PQ_CODES).alias("code")
+    ).agg(*means)
+    books = None
+    for s in range(PQ_SUB):
+        arm = cb.select(
+            F.lit(s).alias("s"),
+            "code",
+            *[
+                F.col(f"c{s * PQ_SDIM + d}").alias(f"k{d}")
+                for d in range(PQ_SDIM)
+            ],
+        )
+        books = arm if books is None else books.unionAll(arm)
+    stack_args = ", ".join(
+        f"{s}, slice(embedding, {s * PQ_SDIM + 1}, {PQ_SDIM})"
+        for s in range(PQ_SUB)
+    )
+    subs = t.embeddings.select(
+        "vec_id",
+        F.expr(f"stack({PQ_SUB}, {stack_args}) AS (s, sv)"),
+    )
+    d2 = F.lit(0.0)
+    for d in range(PQ_SDIM):
+        diff = F.element_at("sv", d + 1).cast("double") - F.col(f"k{d}")
+        d2 = d2 + diff * diff
+    scored = (
+        subs.join(F.broadcast(books), "s")
+        .select("vec_id", "s", F.col("code"), d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("code")))
+            .getField("code")
+            .alias("code"),
+            F.min("d2").alias("d2"),
+        )
+    )
+    code_cols = [
+        F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"code{s}")
+        for s in range(PQ_SUB)
+    ]
+    from risinglight_spark.operators import fpsum
+
+    return scored.groupBy("vec_id").agg(
+        *code_cols,
+        F.round(F.sqrt(fpsum(F.col("d2"), 1e10)), 8).alias("recon_err"),
+    )

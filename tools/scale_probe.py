@@ -21,10 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
+# Per-table key shifts.  TPC-H foreign keys shift with the SAME stride
+# as the primary key they reference, so replica k is a self-contained
+# copy of the star schema: join cardinalities stay exactly linear in
+# the replication factor (shifting only primary keys would cross-match
+# replicas and inflate joins quadratically).  nation/region stay single
+# (true dimensions).
+_S = 10_000_000
 SHIFTS = {
-    "documents": ("doc_id", 1_000_000_000),
-    "embeddings": ("vec_id", 10_000_000),
-    "events": ("event_id", 1_000_000_000),
+    "documents": [("doc_id", 1_000_000_000)],
+    "embeddings": [("vec_id", _S)],
+    "events": [("event_id", 1_000_000_000)],
+    "orders": [("o_orderkey", _S), ("o_custkey", _S)],
+    "lineitem": [("l_orderkey", _S), ("l_partkey", _S), ("l_suppkey", _S)],
+    "customer": [("c_custkey", _S)],
+    "part": [("p_partkey", _S)],
+    "supplier": [("s_suppkey", _S)],
 }
 
 
@@ -38,11 +50,12 @@ def build_replica(spark, factor: int) -> str:
     for t in TABLES:
         df = load(spark, BASE, t)
         if t in SHIFTS:
-            key, stride = SHIFTS[t]
-            parts = [
-                df.withColumn(key, F.col(key) + F.lit(k * stride))
-                for k in range(factor)
-            ]
+            parts = []
+            for k in range(factor):
+                p = df
+                for key, stride in SHIFTS[t]:
+                    p = p.withColumn(key, F.col(key) + F.lit(k * stride))
+                parts.append(p)
             rep = parts[0]
             for p in parts[1:]:
                 rep = rep.unionAll(p)
