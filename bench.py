@@ -62,6 +62,8 @@ HEADLINE_EXTRA = (
     "vector_pca_power_iteration",
     "ml_naive_bayes_langid",
     "vector_pq_encode",
+    "search_hybrid_rrf",
+    "ann_pq_adc_topk",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

@@ -1374,3 +1374,102 @@ def text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             fpsum(F.col("term"), 1e10).alias("kl_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical ranking fused with dense vector ranking
+# by reciprocal-rank fusion — the standard two-channel search stack
+# (sparse + dense) with the standard training-free fusion rule.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the canonical RRF dampening constant
+RRF_TOPK = 10
+
+
+def _hybrid_oracle() -> str:
+    from risinglight_spark.operators.vector_search import (
+        QUERY_VEC,
+        _cosine_sql,
+    )
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM ({_bm25_oracle()})
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos_dist, vec_id) AS vec_rank
+      FROM (
+        SELECT vec_id, {_cosine_sql('embedding', QUERY_VEC)} AS cos_dist
+        FROM embeddings
+        ORDER BY cos_dist, vec_id
+        LIMIT {BM25_TOPK}
+      )
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.vec_rank,
+             round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + d.vec_rank), 0.0), 10)
+                 AS rrf_score
+      FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_hybrid_oracle(),
+    doc=f"Hybrid search: BM25 top-{BM25_TOPK} (sparse channel) and "
+    f"cosine top-{BM25_TOPK} (dense channel, shared doc_id = vec_id "
+    "key) fused by reciprocal-rank fusion (k=60) — the training-free "
+    "two-tower + lexical stack.  Each channel's candidate set is "
+    "bounded top-k, so ranking windows and the full-outer fusion join "
+    "run on k rows regardless of corpus size; the corpus is scanned "
+    "once per channel (lexical: Arrow tf pass; dense: codegen cosine + "
+    "TakeOrdered).  1/(k+rank) is exact in doubles — the fused order "
+    "replays bit-identically.",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from risinglight_spark.functions.vector import cosine_distance, lit_vector
+    from risinglight_spark.operators.vector_search import QUERY_VEC
+
+    t = Tables(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score"), "doc_id")
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    dense_base = (
+        t.embeddings.select(
+            "vec_id",
+            cosine_distance(F.col("embedding"), lit_vector(QUERY_VEC)).alias(
+                "cos_dist"
+            ),
+        )
+        .orderBy("cos_dist", "vec_id")
+        .limit(BM25_TOPK)
+    )
+    wd = Window.orderBy("cos_dist", "vec_id")
+    dense = dense_base.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).alias("vec_rank"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+            10,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(RRF_TOPK)

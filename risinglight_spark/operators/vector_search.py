@@ -1296,6 +1296,65 @@ PQ_SDIM = DIM // PQ_SUB  # dims per subspace
 PQ_CODES = 4  # codewords per subspace (seeded from label % PQ_CODES)
 
 
+def _pq_codebook(t: Tables):
+    """Codebook: per (label %% codes) fixed-point subvector means —
+    c0..c63 columns, PQ_CODES rows."""
+    means = [
+        (
+            F.sum(
+                F.round(
+                    F.col("embedding").getItem(i).cast("double") * 1e14, 0
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1e14)
+            / F.count("*")
+        ).alias(f"c{i}")
+        for i in range(DIM)
+    ]
+    return t.embeddings.groupBy(
+        (F.col("label") % PQ_CODES).alias("code")
+    ).agg(*means)
+
+
+def _pq_codes(t: Tables, cb) -> DataFrame:
+    """Encode: (vec_id, s, code, d2) — per-subspace nearest codeword
+    with its squared sub-distance; codebook broadcasts."""
+    books = None
+    for s in range(PQ_SUB):
+        arm = cb.select(
+            F.lit(s).alias("s"),
+            "code",
+            *[
+                F.col(f"c{s * PQ_SDIM + d}").alias(f"k{d}")
+                for d in range(PQ_SDIM)
+            ],
+        )
+        books = arm if books is None else books.unionAll(arm)
+    stack_args = ", ".join(
+        f"{s}, slice(embedding, {s * PQ_SDIM + 1}, {PQ_SDIM})"
+        for s in range(PQ_SUB)
+    )
+    subs = t.embeddings.select(
+        "vec_id",
+        F.expr(f"stack({PQ_SUB}, {stack_args}) AS (s, sv)"),
+    )
+    d2 = F.lit(0.0)
+    for d in range(PQ_SDIM):
+        diff = F.element_at("sv", d + 1).cast("double") - F.col(f"k{d}")
+        d2 = d2 + diff * diff
+    return (
+        subs.join(F.broadcast(books), "s")
+        .select("vec_id", "s", F.col("code"), d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("code")))
+            .getField("code")
+            .alias("code"),
+            F.min("d2").alias("d2"),
+        )
+    )
+
+
 def _pq_oracle() -> str:
     cb_cols = ", ".join(
         f"(CAST(sum(CAST(round(CAST(embedding[{i+1}] AS DOUBLE) * 1e14, 0)"
@@ -1362,55 +1421,8 @@ def _pq_oracle() -> str:
 )
 def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    means = [
-        (
-            F.sum(
-                F.round(
-                    F.col("embedding").getItem(i).cast("double") * 1e14, 0
-                ).cast("long")
-            ).cast("double")
-            / F.lit(1e14)
-            / F.count("*")
-        ).alias(f"c{i}")
-        for i in range(DIM)
-    ]
-    cb = t.embeddings.groupBy(
-        (F.col("label") % PQ_CODES).alias("code")
-    ).agg(*means)
-    books = None
-    for s in range(PQ_SUB):
-        arm = cb.select(
-            F.lit(s).alias("s"),
-            "code",
-            *[
-                F.col(f"c{s * PQ_SDIM + d}").alias(f"k{d}")
-                for d in range(PQ_SDIM)
-            ],
-        )
-        books = arm if books is None else books.unionAll(arm)
-    stack_args = ", ".join(
-        f"{s}, slice(embedding, {s * PQ_SDIM + 1}, {PQ_SDIM})"
-        for s in range(PQ_SUB)
-    )
-    subs = t.embeddings.select(
-        "vec_id",
-        F.expr(f"stack({PQ_SUB}, {stack_args}) AS (s, sv)"),
-    )
-    d2 = F.lit(0.0)
-    for d in range(PQ_SDIM):
-        diff = F.element_at("sv", d + 1).cast("double") - F.col(f"k{d}")
-        d2 = d2 + diff * diff
-    scored = (
-        subs.join(F.broadcast(books), "s")
-        .select("vec_id", "s", F.col("code"), d2.alias("d2"))
-        .groupBy("vec_id", "s")
-        .agg(
-            F.min(F.struct(F.col("d2"), F.col("code")))
-            .getField("code")
-            .alias("code"),
-            F.min("d2").alias("d2"),
-        )
-    )
+    cb = _pq_codebook(t)
+    scored = _pq_codes(t, cb)
     code_cols = [
         F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"code{s}")
         for s in range(PQ_SUB)
@@ -1420,4 +1432,93 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("vec_id").agg(
         *code_cols,
         F.round(F.sqrt(fpsum(F.col("d2"), 1e10)), 8).alias("recon_err"),
+    )
+
+
+# -- PQ asymmetric distance search (ADC) -------------------------------------
+
+ADC_TOPK = 10
+
+
+def _pq_adc_oracle() -> str:
+    # Reuse _pq_oracle's cb/subs/books/scored structure, then score the
+    # query against the codebook (the ADC lookup table) and rank.
+    base = _pq_oracle()
+    # rindex: the subs CTE arms also start with "SELECT vec_id," — we
+    # want everything before the FINAL select.
+    scored_cte = base[: base.rindex("SELECT vec_id,")]
+    qv = _sql_vec(QUERY_VEC)
+    lut_arms = " UNION ALL ".join(
+        f"SELECT {s} AS s, code, (0.0 + "
+        + " + ".join(
+            f"({qv[s * PQ_SDIM + d]} - c{s * PQ_SDIM + d})"
+            f"*({qv[s * PQ_SDIM + d]} - c{s * PQ_SDIM + d})"
+            for d in range(PQ_SDIM)
+        )
+        + ") AS d2q FROM cb"
+        for s in range(PQ_SUB)
+    )
+    return f"""
+    {scored_cte.rstrip()},
+    lut AS ({lut_arms}),
+    adc AS (
+      SELECT sc.vec_id,
+             round(sqrt(CAST(sum(CAST(round(l.d2q * 10000000000.0, 0)
+                        AS BIGINT)) AS DOUBLE) / 10000000000.0), 8)
+                 AS adc_dist
+      FROM scored sc JOIN lut l ON sc.s = l.s AND sc.code = l.code
+      GROUP BY sc.vec_id
+    )
+    SELECT a.vec_id, a.adc_dist,
+           round({_l2_sql('e.embedding', QUERY_VEC)}, 8) AS exact_dist
+    FROM adc a JOIN embeddings e ON a.vec_id = e.vec_id
+    ORDER BY a.adc_dist, a.vec_id
+    LIMIT {ADC_TOPK}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    doc=f"PQ asymmetric-distance search (ADC): the query scores "
+    f"against the {PQ_SUB}x{PQ_CODES}-entry codebook ONCE (the lookup "
+    "table), then every encoded vector's approximate distance is "
+    f"{PQ_SUB} table lookups + adds — never a {DIM}-dim arithmetic "
+    "pass over the corpus.  This is how billion-scale IVF-PQ indexes "
+    "(FAISS-style) scan: compressed codes stream, the LUT sits in "
+    "cache/broadcast.  Exact distance joins in only for the top-k "
+    "(bounded) for error inspection.  Sub-distances fixed-point "
+    "summed; ranking ties break on vec_id.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    cb = _pq_codebook(t)
+    codes = _pq_codes(t, cb)
+    luts = None
+    for s in range(PQ_SUB):
+        d2q = F.lit(0.0)
+        for d in range(PQ_SDIM):
+            diff = F.lit(QUERY_VEC[s * PQ_SDIM + d]) - F.col(
+                f"c{s * PQ_SDIM + d}"
+            )
+            d2q = d2q + diff * diff
+        arm = cb.select(F.lit(s).alias("s"), "code", d2q.alias("d2q"))
+        luts = arm if luts is None else luts.unionAll(arm)
+    adc = (
+        codes.join(F.broadcast(luts), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sqrt(fpsum(F.col("d2q"), 1e10)), 8).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(ADC_TOPK)
+    )
+    exact = F.round(
+        l2_distance(F.col("embedding"), lit_vector(QUERY_VEC)), 8
+    ).alias("exact_dist")
+    return (
+        F.broadcast(adc)
+        .join(t.embeddings, "vec_id")
+        .select("vec_id", "adc_dist", exact)
+        .orderBy("adc_dist", "vec_id")
     )
