@@ -1311,9 +1311,15 @@ def _pq_codebook(t: Tables):
         ).alias(f"c{i}")
         for i in range(DIM)
     ]
-    return t.embeddings.groupBy(
-        (F.col("label") % PQ_CODES).alias("code")
-    ).agg(*means)
+    # Checkpoint the 4-row codebook: every consumer (the 4 per-subspace
+    # book arms, the ADC lookup-table arms) re-selects from it — without
+    # this each arm re-runs the 64-column aggregate over the corpus
+    # (measured 6.9s -> 3.4s for the ADC query at sf0.1).
+    return (
+        t.embeddings.groupBy((F.col("label") % PQ_CODES).alias("code"))
+        .agg(*means)
+        .localCheckpoint()
+    )
 
 
 def _pq_codes(t: Tables, cb) -> DataFrame:
