@@ -64,6 +64,7 @@ HEADLINE_EXTRA = (
     "vector_pq_encode",
     "search_hybrid_rrf",
     "ann_pq_adc_topk",
+    "pipeline_data_quality",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.
@@ -134,6 +135,20 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Round-over-round comparability: the headline suite GROWS as
+    # operators land (39 queries in round 2, more each round), so the
+    # all-queries total is not apples-to-apples across rounds.
+    # r02_subset_total sums exactly the queries BENCH_r02 timed.
+    r02_names = [n for n in names if n.startswith("tpch_")] + [
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "ann_cosine_topk", "vector_l2_topk", "text_quality_scores",
+        "text_corpus_stats", "pipeline_clean_corpus",
+        "events_sessionization", "events_tumbling_window",
+        "events_asof_join", "events_range_join", "pack_sequences",
+        "text_repetition_filter", "text_decontaminate",
+        "text_line_dedup_c4", "pipeline_pretraining_e2e",
+    ]
+    r02_total = sum(per_query.get(n, 0.0) for n in r02_names)
     print(
         json.dumps(
             {
@@ -143,6 +158,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf else None,
                 "n_queries": len(per_query),
+                "r02_subset_total": round(r02_total, 3),
             }
         )
     )

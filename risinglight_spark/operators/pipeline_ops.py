@@ -1495,3 +1495,122 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(correct).cast("bigint").alias("n_correct"),
         F.round(F.count(correct) / F.count("*"), 10).alias("accuracy"),
     )
+
+
+# -- data-quality / contract validation report -------------------------------
+
+
+@register(
+    "pipeline_data_quality",
+    oracle="""
+    SELECT 'lineitem_null_shipdate' AS check_name,
+           count(*) FILTER (WHERE l_shipdate IS NULL)::BIGINT AS n_violations,
+           count(*) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT,
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           count(*) FILTER (WHERE o.o_orderkey IS NULL)::BIGINT,
+           count(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           (count(*) - count(DISTINCT o_orderkey))::BIGINT,
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           count(*) FILTER (WHERE c.c_custkey IS NULL)::BIGINT,
+           count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'documents_empty_text',
+           count(*) FILTER (WHERE text IS NULL OR length(text) = 0)::BIGINT,
+           count(*)
+    FROM documents
+    """,
+    doc="Data-contract validation report: null checks, range checks, "
+    "primary-key uniqueness, and foreign-key orphan detection across "
+    "the star schema, one row per check.  The shape that matters at "
+    "100 TB: every check is either a map-side-combined conditional "
+    "count over one scan, or an FK probe where the REFERENCED side "
+    "builds the (broadcast) hash table — the fact side never "
+    "shuffles.  Checks over the same table share its scan via the "
+    "UNION ALL arms' common subplan; output is one row per check "
+    "regardless of data size.",
+)
+def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def check(name, viol, n):
+        return [F.lit(name).alias("check_name"), viol.alias("n_violations"), n.alias("n_checked")]
+
+    li = t.lineitem
+    c1 = li.agg(
+        *check(
+            "lineitem_null_shipdate",
+            F.count(F.when(F.col("l_shipdate").isNull(), 1)).cast("bigint"),
+            F.count("*"),
+        )
+    )
+    c2 = li.agg(
+        *check(
+            "lineitem_qty_range",
+            F.count(
+                F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            ).cast("bigint"),
+            F.count("*"),
+        )
+    )
+    c3 = (
+        li.join(
+            F.broadcast(t.orders.select("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        ).agg(
+            *check(
+                "lineitem_orphan_orderkey",
+                F.count(F.when(F.col("o_orderkey").isNull(), 1)).cast("bigint"),
+                F.count("*"),
+            )
+        )
+    )
+    c4 = t.orders.agg(
+        *check(
+            "orders_duplicate_pk",
+            (F.count("*") - F.count_distinct(F.col("o_orderkey"))).cast("bigint"),
+            F.count("*"),
+        )
+    )
+    c5 = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey")),
+            t.orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ).agg(
+            *check(
+                "orders_orphan_custkey",
+                F.count(F.when(F.col("c_custkey").isNull(), 1)).cast("bigint"),
+                F.count("*"),
+            )
+        )
+    )
+    c6 = t.documents.agg(
+        *check(
+            "documents_empty_text",
+            F.count(
+                F.when(
+                    F.col("text").isNull() | (F.length("text") == 0), 1
+                )
+            ).cast("bigint"),
+            F.count("*"),
+        )
+    )
+    out = c1
+    for c in (c2, c3, c4, c5, c6):
+        out = out.unionAll(c)
+    return out

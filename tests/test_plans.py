@@ -563,3 +563,30 @@ def test_heavy_hitters_sketch_bounds(spark, sf_dir):
     top = {k for k, v in true.items() if v > bound}
     missing = top - set(est)
     assert not missing, f"hot keys missing from sketch: {missing}"
+
+
+def test_hybrid_channels_are_topk_bounded(spark, sf_dir):
+    # Both retrieval channels end in TakeOrderedAndProject (per-partition
+    # heap + bounded driver merge) — no global sort of the corpus; the
+    # fusion join runs on k-row inputs.
+    plan = _plan(spark, sf_dir, "search_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_codebook_broadcasts(spark, sf_dir):
+    # The lookup table and book arms broadcast; the encoded-vector
+    # stream is the only data-scale input.
+    plan = _plan(spark, sf_dir, "ann_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_data_quality_fk_probes_broadcast(spark, sf_dir):
+    # FK orphan checks: the referenced key set is the broadcast build
+    # side — the fact table never shuffles for validation.  The ONLY
+    # key-partitioned exchange allowed is the exact count(distinct pk)
+    # dedup in the duplicate-PK check.
+    plan = _plan(spark, sf_dir, "pipeline_data_quality")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
