@@ -65,6 +65,7 @@ HEADLINE_EXTRA = (
     "search_hybrid_rrf",
     "ann_pq_adc_topk",
     "pipeline_data_quality",
+    "events_pit_join_scd2",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.
@@ -139,7 +140,7 @@ def main() -> None:
     # operators land (39 queries in round 2, more each round), so the
     # all-queries total is not apples-to-apples across rounds.
     # r02_subset_total sums exactly the queries BENCH_r02 timed.
-    r02_names = [n for n in names if n.startswith("tpch_")] + [
+    r02_names = [n for n in names if n.startswith("tpch_q")] + [
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "ann_cosine_topk", "vector_l2_topk", "text_quality_scores",
         "text_corpus_stats", "pipeline_clean_corpus",

@@ -1185,3 +1185,92 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_ts")
     )
+
+
+# -- point-in-time join against the SCD2 dimension ---------------------------
+
+
+@register(
+    "events_pit_join_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    dim AS (
+      SELECT user_id, event_type AS status, ts AS valid_from,
+             event_id AS version_event,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, d.status,
+           d.valid_from AS status_since
+    FROM purchases p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+     AND NOT (d.valid_from = p.ts AND d.version_event > p.event_id)
+    """,
+    doc="Point-in-time (temporal) join: every purchase event enriched "
+    "with the SCD2 status version valid AT its timestamp — the "
+    "time-correct dimension lookup that prevents feature leakage in "
+    "training-data builds (vs joining today's attributes onto "
+    "yesterday's facts).  Equi-join on user_id with the validity "
+    "interval as residual predicate: a hash join + filter, never a "
+    "cartesian (same shape as events_range_join); fan-in per user is "
+    "bounded by that user's version count.  The same-timestamp edge "
+    "(a fact coinciding with its own version-opening event) is pinned "
+    "by event_id so both engines pick the same version.",
+)
+def events_pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        t.events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            F.col("event_id").alias("version_event"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cond = (
+        (purchases.user_id == dim.d_user)
+        & (dim.valid_from <= purchases.ts)
+        & (dim.valid_to.isNull() | (purchases.ts < dim.valid_to))
+        & ~(
+            (dim.valid_from == purchases.ts)
+            & (dim.version_event > purchases.event_id)
+        )
+    )
+    return purchases.join(dim, cond).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "status",
+        F.col("valid_from").alias("status_since"),
+    )
