@@ -65,3 +65,27 @@ def lit_vector(values: list[float]) -> Column:
 def sql_list_literal(values: list[float]) -> str:
     """The same constant vector as a DuckDB list literal."""
     return "[" + ", ".join(repr(float(v)) for v in values) + "]"
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Flat codegen chain for ``dot`` (0.0 + a1*b1 + ...): bit-identical
+    to the zip_with/aggregate fold (same left-associated order) but
+    whole-stage-codegen'd instead of interpreted — use in hot pair
+    joins where the fold's interpreter overhead dominates."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.element_at(a, i + 1).cast("double") * F.element_at(
+            b, i + 1
+        ).cast("double")
+    return acc
+
+
+def l2_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Flat codegen chain for ``l2_distance`` (sqrt(0.0 + (a1-b1)^2 + ...))."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        d = F.element_at(a, i + 1).cast("double") - F.element_at(
+            b, i + 1
+        ).cast("double")
+        acc = acc + d * d
+    return F.sqrt(acc)

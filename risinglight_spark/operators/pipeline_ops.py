@@ -1275,16 +1275,14 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("nn_label"),
     )
-    # Unrolled flat chain (0.0 + t0 + t1 + ...): zip_with/aggregate
-    # lambdas are interpreted (no codegen) — measured 8.1s -> sub-second
-    # at sf0.1.  Left-fold order matches the oracle's expanded SQL.
-    acc = F.lit(0.0)
-    for i in range(DIM):
-        diff = F.element_at("t_emb", i + 1).cast("double") - F.element_at(
-            "c_emb", i + 1
-        ).cast("double")
-        acc = acc + diff * diff
-    d = F.sqrt(acc)
+    # Unrolled flat chain (0.0 + t0 + t1 + ...): the zip_with/aggregate
+    # fold is interpreted — measured 8.1s -> 2.9s at sf0.1 for this
+    # broadcast-NL join.  (NOT a universal win: the same unrolling made
+    # the shuffle-join dedup pair scans 2.5x SLOWER — A/B before
+    # switching any hot path.)  Left-fold order matches the oracle SQL.
+    from risinglight_spark.functions.vector import l2_unrolled
+
+    d = l2_unrolled(F.col("t_emb"), F.col("c_emb"), DIM)
     w = Window.partitionBy("test_id").orderBy("dist", "train_id")
     top = (
         train.crossJoin(F.broadcast(test))
