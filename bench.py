@@ -66,6 +66,8 @@ HEADLINE_EXTRA = (
     "ann_pq_adc_topk",
     "pipeline_data_quality",
     "events_pit_join_scd2",
+    "events_cooccurrence_lift",
+    "agg_histogram_equiwidth",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

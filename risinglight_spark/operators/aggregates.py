@@ -705,3 +705,63 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys' (undercount is per-shard), so truncation could evict it.
     # Output stays bounded at <= M rows per shard regardless of data.
     return partials.groupBy("user_id").agg(F.sum("est").alias("est_count"))
+
+
+# -- equi-width histogram -----------------------------------------------------
+
+HIST_BINS = 20
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle=f"""
+    WITH stats AS (
+      SELECT min(value) AS lo, max(value) AS hi
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT least(CAST(floor((value - lo) / ((hi - lo) / {HIST_BINS}.0))
+                   AS BIGINT), {HIST_BINS - 1}) AS bin,
+             lo, hi
+      FROM events, stats WHERE value IS NOT NULL
+    )
+    SELECT bin,
+           round(lo + bin * ((hi - lo) / {HIST_BINS}.0), 8) AS bin_lo,
+           round(lo + (bin + 1) * ((hi - lo) / {HIST_BINS}.0), 8) AS bin_hi,
+           count(*) AS n
+    FROM binned GROUP BY bin, lo, hi
+    """,
+    doc=f"Equi-width histogram ({HIST_BINS} bins) over the value "
+    "column — the distribution profile behind optimizer stats and "
+    "monitoring dashboards (complements the equi-depth window_ntile "
+    "and the exact/approx percentile ops).  Two passes: a "
+    "min/max scalar reduce (broadcast back as a 1-row side), then one "
+    "map-side-combined groupBy on the bin id — shuffle carries "
+    f"{HIST_BINS} rows.  Bin edges are pure double arithmetic on the "
+    "exact min/max, identical on both engines; the top edge is closed "
+    "via least(bin, n-1).",
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / float(HIST_BINS)
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(bin_.alias("bin"), "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * width, 8).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * width, 8).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )

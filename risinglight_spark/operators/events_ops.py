@@ -1274,3 +1274,119 @@ def events_pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.col("valid_from").alias("status_since"),
     )
+
+
+# -- co-occurrence / lift analysis (market basket over sessions) -------------
+
+
+@register(
+    "events_cooccurrence_lift",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    baskets AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ),
+    n_sessions AS (
+      SELECT count(*) AS n
+      FROM (SELECT DISTINCT user_id, session_id FROM baskets)
+    ),
+    singles AS (
+      SELECT event_type, count(*) AS n_t FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_ab
+      FROM baskets a
+      JOIN baskets b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(p.n_ab::DOUBLE / (SELECT n FROM n_sessions), 10) AS support,
+           round((p.n_ab::DOUBLE * (SELECT n FROM n_sessions))
+                 / (sa.n_t::DOUBLE * sb.n_t), 10) AS lift
+    FROM pairs p
+    JOIN singles sa ON p.type_a = sa.event_type
+    JOIN singles sb ON p.type_b = sb.event_type
+    """,
+    doc="Market-basket co-occurrence over gap sessions: which event "
+    "types appear in the same session more often than independence "
+    "predicts (support + lift per unordered type pair).  Baskets are "
+    "the sessionization output deduped to (session, type); the pair "
+    "join is keyed on the session — fan-out bounded by distinct types "
+    "per session (small by construction), never cross-corpus.  The "
+    "type marginals and session count are tiny broadcast sides.  At "
+    "catalog scale (many item types) the same shape runs on hashed "
+    "item pairs with a support-threshold pre-prune (a-priori).",
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = SESSION_GAP_MIN * 60
+    sess = t.events.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts") - F.lag("ts").over(w)
+                    > F.expr(f"INTERVAL {gap_sec} SECOND")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    baskets = sess.select("user_id", "session_id", "event_type").distinct().localCheckpoint()
+    n_sessions = baskets.select("user_id", "session_id").distinct().count()
+    singles = baskets.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / n_sessions, 10).alias(
+                "support"
+            ),
+            F.round(
+                (F.col("n_ab").cast("double") * n_sessions)
+                / (F.col("na").cast("double") * F.col("nb")),
+                10,
+            ).alias("lift"),
+        )
+    )
