@@ -68,6 +68,10 @@ HEADLINE_EXTRA = (
     "events_pit_join_scd2",
     "events_cooccurrence_lift",
     "agg_histogram_equiwidth",
+    "agg_bitmap_exact_distinct",
+    "events_cumulative_uniques",
+    "join_fuzzy_levenshtein",
+    "sample_dsir_resample",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

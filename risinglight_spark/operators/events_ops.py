@@ -1390,3 +1390,47 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# -- cumulative unique users (first-seen + running total) --------------------
+
+
+@register(
+    "events_cumulative_uniques",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cumulative_users
+    FROM daily
+    """,
+    doc="Cumulative unique users per day (growth-accounting curve): "
+    "first-seen day per user via one keyed min-reduce (map-side "
+    "combine collapses each user's events before the shuffle), a "
+    "day-level rollup, then a running sum over the DAY table — the "
+    "serial window runs on ~365 rows/year, not events.  The naive "
+    "formulation (count(distinct) over an expanding window) rescans "
+    "the id universe per day; this shape never does.",
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

@@ -539,3 +539,52 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact.event_type == dim.etype,
     )
     return j.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# -- fuzzy (edit-distance) entity matching -----------------------------------
+
+FUZZY_MAX_DIST = 1
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle=f"""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+    """,
+    doc=f"Fuzzy entity matching: name pairs within edit distance "
+    f"{FUZZY_MAX_DIST}, blocked on nationkey so the quadratic "
+    "edit-distance verification runs inside blocks, never cross-"
+    "corpus — the classic blocking+verify entity-resolution shape.  "
+    "levenshtein() is a built-in on both engines (JVM-side here, no "
+    "Python).  At 100 TB blocking keys get finer (sorted-neighborhood "
+    "or q-gram prefixes) and the block join shape stays identical; "
+    "candidate count is Σ block² — the knob is block granularity.",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.customer.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    b = t.customer.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (dist <= FUZZY_MAX_DIST),
+        )
+        .select("key_a", "key_b", dist.alias("dist"))
+    )

@@ -1205,9 +1205,8 @@ DSIR_BUCKETS = 512
 DSIR_TARGET_LANG = "en"  # the target distribution: English docs
 
 
-@register(
-    "text_dsir_importance",
-    oracle=f"""
+def _dsir_oracle() -> str:
+    return f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, lang, {T.char_hash_sql("tok")} % {DSIR_BUCKETS} AS bucket
       FROM (
@@ -1238,7 +1237,12 @@ DSIR_TARGET_LANG = "en"  # the target distribution: English docs
     SELECT doc_id, n_tokens, avg_log_ratio,
            (avg_log_ratio > 0.0) AS keep
     FROM scored
-    """,
+    """
+
+
+@register(
+    "text_dsir_importance",
+    oracle=_dsir_oracle(),
     doc="DSIR importance weights: hashed-unigram bag features "
     f"({DSIR_BUCKETS} buckets, portable polynomial hash), add-one "
     "smoothed log-likelihood ratio of target (lang='en') vs raw "
@@ -1473,3 +1477,54 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# DSIR step 2: importance RESAMPLING — turn the per-doc log ratios into
+# a deterministic keep/drop decision with probability min(1, e^score),
+# keyed on the portable hash so re-runs (and both engines) agree.
+# ---------------------------------------------------------------------------
+
+RESAMPLE_MOD = 1_000_000
+
+
+@register(
+    "sample_dsir_resample",
+    oracle=f"""
+    WITH scored AS MATERIALIZED ({_dsir_oracle()}),
+    thr AS (
+      SELECT doc_id, n_tokens, avg_log_ratio,
+             CAST(round(least(exp(avg_log_ratio), 1.0) * {RESAMPLE_MOD}.0, 0)
+                  AS BIGINT) AS threshold,
+             {T.char_hash_sql("CAST(doc_id AS VARCHAR)")} % {RESAMPLE_MOD}
+                 AS ticket
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, avg_log_ratio, threshold,
+           (ticket < threshold) AS kept
+    FROM thr
+    """,
+    doc="DSIR importance resampling (the second half of the method): "
+    "each document survives with probability min(1, e^score) — "
+    "documents that look MORE like the target than the raw corpus "
+    "always survive, others survive proportionally.  The coin flip is "
+    "the portable hash of doc_id against a quantized threshold: no "
+    "rand(), so the resampled corpus is a pure function of "
+    "(corpus, target) — identical on re-runs, any cluster size, and "
+    "both engines.  Adds one stateless projection to the DSIR scoring "
+    "plan; the threshold quantization (6 dp) pins the exp() last-ulp "
+    "like every transcendental here.",
+)
+def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = text_dsir_importance(spark, sf_dir)
+    thr = F.round(
+        F.least(F.exp(F.col("avg_log_ratio")), F.lit(1.0)) * RESAMPLE_MOD, 0
+    ).cast("long")
+    ticket = T.char_hash(F.col("doc_id").cast("string")) % RESAMPLE_MOD
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_log_ratio",
+        thr.alias("threshold"),
+        (ticket < thr).alias("kept"),
+    )
