@@ -72,6 +72,8 @@ HEADLINE_EXTRA = (
     "events_cumulative_uniques",
     "join_fuzzy_levenshtein",
     "sample_dsir_resample",
+    "events_dau_wau",
+    "ann_ivf_pq_search",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

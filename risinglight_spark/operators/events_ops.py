@@ -1434,3 +1434,64 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+# -- DAU / WAU rolling active users ------------------------------------------
+
+WAU_DAYS = 7
+
+
+@register(
+    "events_dau_wau",
+    oracle=f"""
+    WITH user_days AS MATERIALIZED (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, count(*) AS dau FROM user_days GROUP BY day
+    ),
+    expanded AS (
+      SELECT user_id, day + (k * INTERVAL 1 DAY) AS win_day
+      FROM user_days,
+           (SELECT unnest(generate_series(0, {WAU_DAYS - 1})) AS k)
+    ),
+    wau AS (
+      SELECT win_day AS day, count(DISTINCT user_id) AS wau
+      FROM expanded GROUP BY win_day
+    )
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w USING (day)
+    """,
+    doc=f"DAU + trailing {WAU_DAYS}-day WAU (rolling active users): "
+    "events first collapse to DISTINCT (user, day) — the shuffle "
+    "carries the activity matrix, not events — then each active day "
+    f"fans out to the {WAU_DAYS} windows it supports and a distinct "
+    "count per window day closes it.  The naive per-day expanding "
+    "count(distinct) subquery rescans events per day; this is one "
+    "dedup + bounded fan-out + one rollup.  (Trailing-window edge "
+    "days beyond the data's end are inner-joined away.)",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    user_days = (
+        t.events.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    expanded = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(WAU_DAYS - 1))
+        ).alias("k"),
+        "day",
+    ).select(
+        "user_id",
+        (F.col("day") + F.make_interval(days=F.col("k"))).alias("win_day"),
+    )
+    wau = expanded.groupBy(F.col("win_day").alias("day")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")

@@ -1322,9 +1322,10 @@ def _pq_codebook(t: Tables):
     )
 
 
-def _pq_codes(t: Tables, cb) -> DataFrame:
-    """Encode: (vec_id, s, code, d2) — per-subspace nearest codeword
-    with its squared sub-distance; codebook broadcasts."""
+def _pq_codes(emb: DataFrame, cb) -> DataFrame:
+    """Encode ``emb`` (vec_id, embedding): (vec_id, s, code, d2) —
+    per-subspace nearest codeword with its squared sub-distance;
+    codebook broadcasts."""
     books = None
     for s in range(PQ_SUB):
         arm = cb.select(
@@ -1340,7 +1341,7 @@ def _pq_codes(t: Tables, cb) -> DataFrame:
         f"{s}, slice(embedding, {s * PQ_SDIM + 1}, {PQ_SDIM})"
         for s in range(PQ_SUB)
     )
-    subs = t.embeddings.select(
+    subs = emb.select(
         "vec_id",
         F.expr(f"stack({PQ_SUB}, {stack_args}) AS (s, sv)"),
     )
@@ -1428,7 +1429,7 @@ def _pq_oracle() -> str:
 def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     cb = _pq_codebook(t)
-    scored = _pq_codes(t, cb)
+    scored = _pq_codes(t.embeddings, cb)
     code_cols = [
         F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"code{s}")
         for s in range(PQ_SUB)
@@ -1496,12 +1497,9 @@ def _pq_adc_oracle() -> str:
     "(bounded) for error inspection.  Sub-distances fixed-point "
     "summed; ranking ties break on vec_id.",
 )
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.operators import fpsum
-
-    t = Tables(spark, sf_dir)
-    cb = _pq_codebook(t)
-    codes = _pq_codes(t, cb)
+def _pq_query_lut(cb) -> DataFrame:
+    """ADC lookup table: per (subspace, code), the squared distance of
+    the query's subvector to that codeword — PQ_SUB x PQ_CODES rows."""
     luts = None
     for s in range(PQ_SUB):
         d2q = F.lit(0.0)
@@ -1512,6 +1510,200 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2q = d2q + diff * diff
         arm = cb.select(F.lit(s).alias("s"), "code", d2q.alias("d2q"))
         luts = arm if luts is None else luts.unionAll(arm)
+    return luts
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    cb = _pq_codebook(t)
+    codes = _pq_codes(t.embeddings, cb)
+    luts = _pq_query_lut(cb)
+    adc = (
+        codes.join(F.broadcast(luts), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sqrt(fpsum(F.col("d2q"), 1e10)), 8).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(ADC_TOPK)
+    )
+    exact = F.round(
+        l2_distance(F.col("embedding"), lit_vector(QUERY_VEC)), 8
+    ).alias("exact_dist")
+    return (
+        F.broadcast(adc)
+        .join(t.embeddings, "vec_id")
+        .select("vec_id", "adc_dist", exact)
+        .orderBy("adc_dist", "vec_id")
+    )
+
+
+# -- IVF-PQ combined search (coarse cell probe + compressed ADC scan) --------
+
+
+def _ivf_pq_oracle() -> str:
+    qv = _sql_vec(QUERY_VEC)
+    cdist = "sqrt(0.0 + " + " + ".join(
+        f"(c{i} - {qv[i]})*(c{i} - {qv[i]})" for i in range(DIM)
+    ) + ")"
+    adist = "sqrt(0.0 + " + " + ".join(
+        f"(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        f"*(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        for i in range(DIM)
+    ) + ")"
+    cb_cols = ", ".join(
+        f"(CAST(sum(CAST(round(CAST(embedding[{i+1}] AS DOUBLE) * 1e14, 0)"
+        f" AS BIGINT)) AS DOUBLE) / 1e14 / count(*)) AS c{i}"
+        for i in range(DIM)
+    )
+    sub_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, "
+        + ", ".join(
+            f"CAST(embedding[{s * PQ_SDIM + d + 1}] AS DOUBLE) AS x{d}"
+            for d in range(PQ_SDIM)
+        )
+        + " FROM members"
+        for s in range(PQ_SUB)
+    )
+    cb_arms = " UNION ALL ".join(
+        f"SELECT {s} AS s, code, "
+        + ", ".join(f"c{s * PQ_SDIM + d} AS k{d}" for d in range(PQ_SDIM))
+        + " FROM cb"
+        for s in range(PQ_SUB)
+    )
+    d2 = "0.0 + " + " + ".join(
+        f"(v.x{d} - k.k{d})*(v.x{d} - k.k{d})" for d in range(PQ_SDIM)
+    )
+    lut_arms = " UNION ALL ".join(
+        f"SELECT {s} AS s, code, (0.0 + "
+        + " + ".join(
+            f"({qv[s * PQ_SDIM + d]} - c{s * PQ_SDIM + d})"
+            f"*({qv[s * PQ_SDIM + d]} - c{s * PQ_SDIM + d})"
+            for d in range(PQ_SDIM)
+        )
+        + ") AS d2q FROM cb"
+        for s in range(PQ_SUB)
+    )
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT label AS cell, {_centroid_cols_sql()}
+      FROM embeddings GROUP BY label
+    ),
+    probe AS (
+      SELECT cell FROM cents ORDER BY {cdist}, cell LIMIT 1
+    ),
+    assign AS (
+      SELECT e.vec_id,
+             (array_agg(c.cell ORDER BY {adist}, c.cell))[1] AS cell
+      FROM embeddings e CROSS JOIN cents c
+      GROUP BY e.vec_id
+    ),
+    members AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+      WHERE a.cell = (SELECT cell FROM probe)
+    ),
+    cb AS MATERIALIZED (
+      SELECT label % {PQ_CODES} AS code, {cb_cols}
+      FROM embeddings GROUP BY label % {PQ_CODES}
+    ),
+    subs AS MATERIALIZED ({sub_arms}),
+    books AS MATERIALIZED ({cb_arms}),
+    scored AS (
+      SELECT v.vec_id, v.s,
+             (array_agg(k.code ORDER BY ({d2}), k.code))[1] AS code
+      FROM subs v JOIN books k USING (s)
+      GROUP BY v.vec_id, v.s
+    ),
+    lut AS ({lut_arms}),
+    adc AS (
+      SELECT sc.vec_id,
+             round(sqrt(CAST(sum(CAST(round(l.d2q * 10000000000.0, 0)
+                        AS BIGINT)) AS DOUBLE) / 10000000000.0), 8)
+                 AS adc_dist
+      FROM scored sc JOIN lut l ON sc.s = l.s AND sc.code = l.code
+      GROUP BY sc.vec_id
+    )
+    SELECT a.vec_id, a.adc_dist,
+           round({_l2_sql('e.embedding', QUERY_VEC)}, 8) AS exact_dist
+    FROM adc a JOIN embeddings e ON a.vec_id = e.vec_id
+    ORDER BY a.adc_dist, a.vec_id
+    LIMIT {ADC_TOPK}
+    """
+
+
+@register(
+    "ann_ivf_pq_search",
+    oracle=_ivf_pq_oracle(),
+    doc="The full IVF-PQ index path (the FAISS billion-scale "
+    "architecture, composed from this module's pieces): a coarse "
+    "quantizer (per-label centroids) routes the query to ONE inverted "
+    "list — at scale a partition-pruned read of ~1/cells of the "
+    "corpus (ann_index_partitioned materializes exactly that layout) "
+    "— then the cell's members scan as compressed PQ codes with "
+    "ADC lookup-table scoring, exact distances joined back only for "
+    "the bounded top-k.  Broadcast sizes: cells x 64 centroids, "
+    "16-entry LUT.  Every stage is the oracle-verified building "
+    "block: centroid means are exact fixed-point, assignment argmin "
+    "is order-pinned, ADC sums are fixed-point — the whole composed "
+    "pipeline replays bit-identically.",
+)
+def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    means = [
+        (
+            F.sum(
+                F.round(
+                    F.col("embedding").getItem(i).cast("double") * 1e14, 0
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1e14)
+            / F.count("*")
+        ).alias(f"c{i}")
+        for i in range(DIM)
+    ]
+    cents = (
+        t.embeddings.groupBy(F.col("label").alias("cell"))
+        .agg(*means)
+        .localCheckpoint()
+    )
+    qdist = F.lit(0.0)
+    for i in range(DIM):
+        d = F.col(f"c{i}") - F.lit(QUERY_VEC[i])
+        qdist = qdist + d * d
+    probe = (
+        cents.select("cell", F.sqrt(qdist).alias("qd"))
+        .orderBy("qd", "cell")
+        .limit(1)
+        .select(F.col("cell").alias("probe_cell"))
+    )
+    carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
+    cvecs = cents.select("cell", carr.alias("cvec"))
+    assign = (
+        t.embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cvecs))
+        .select(
+            "vec_id",
+            "cell",
+            l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    members = (
+        t.embeddings.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .join(
+            F.broadcast(probe), F.col("cell") == F.col("probe_cell")
+        )
+        .select("vec_id", "embedding")
+    )
+    cb = _pq_codebook(t)
+    codes = _pq_codes(members, cb)
+    luts = _pq_query_lut(cb)
     adc = (
         codes.join(F.broadcast(luts), ["s", "code"])
         .groupBy("vec_id")
