@@ -1528,3 +1528,82 @@ def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr.alias("threshold"),
         (ticket < thr).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy per document — the gibberish / keyword-spam
+# detector: natural text sits in a mid-entropy band, "aaaa aaaa" repeats
+# sit low, random token soup sits high (relative to its length bound).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest({T.tokens_sql(T.normalized_text_sql("text"))}) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok
+    ),
+    sized AS (
+      SELECT doc_id, tok, n,
+             sum(n) OVER (PARTITION BY doc_id)::BIGINT AS total
+      FROM tf
+    )
+    SELECT doc_id, any_value(total) AS n_tokens, count(*) AS n_distinct,
+           {fpsum_sql(
+               "(-(n::DOUBLE / total) * round(ln(n::DOUBLE / total), 10))",
+               100000000)} AS entropy_nats,
+           round({fpsum_sql(
+               "(-(n::DOUBLE / total) * round(ln(n::DOUBLE / total), 10))",
+               100000000)}
+                 / greatest(round(ln(any_value(total)::DOUBLE), 10), 1e-12), 8)
+               AS normalized
+    FROM sized GROUP BY doc_id
+    """,
+    doc="Per-document token-distribution entropy (+ normalized by the "
+    "ln(length) maximum): the cheap gibberish/keyword-stuffing signal "
+    "between repetition ratios and LM perplexity.  Per-doc term "
+    "frequencies shuffle once on (doc, token) with map-side partials; "
+    "the entropy rollup reuses the doc key.  ln rounded to 10 dp, "
+    "p·ln p terms fixed-point summed — partition-order independent.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    wd = Window.partitionBy("doc_id")
+    sized = tf.withColumn("total", F.sum("n").over(wd))
+    p = F.col("n").cast("double") / F.col("total")
+    # round ln FIRST (the house transcendental rule), then the product
+    # of identical doubles is identical — fpsum quantizes the rest
+    term = -p * F.round(F.log(p), 10)
+    ent = fpsum(F.col("term"), 1e8)
+    return (
+        sized.select("doc_id", "total", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("total").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            ent.alias("entropy_nats"),
+            F.round(
+                ent
+                / F.greatest(
+                    F.round(
+                        F.log(F.any_value("total").cast("double")), 10
+                    ),
+                    F.lit(1e-12),
+                ),
+                8,
+            ).alias("normalized"),
+        )
+    )

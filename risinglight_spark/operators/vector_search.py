@@ -1484,19 +1484,6 @@ def _pq_adc_oracle() -> str:
     """
 
 
-@register(
-    "ann_pq_adc_topk",
-    oracle=_pq_adc_oracle(),
-    doc=f"PQ asymmetric-distance search (ADC): the query scores "
-    f"against the {PQ_SUB}x{PQ_CODES}-entry codebook ONCE (the lookup "
-    "table), then every encoded vector's approximate distance is "
-    f"{PQ_SUB} table lookups + adds — never a {DIM}-dim arithmetic "
-    "pass over the corpus.  This is how billion-scale IVF-PQ indexes "
-    "(FAISS-style) scan: compressed codes stream, the LUT sits in "
-    "cache/broadcast.  Exact distance joins in only for the top-k "
-    "(bounded) for error inspection.  Sub-distances fixed-point "
-    "summed; ranking ties break on vec_id.",
-)
 def _pq_query_lut(cb) -> DataFrame:
     """ADC lookup table: per (subspace, code), the squared distance of
     the query's subvector to that codeword — PQ_SUB x PQ_CODES rows."""
@@ -1513,6 +1500,19 @@ def _pq_query_lut(cb) -> DataFrame:
     return luts
 
 
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    doc=f"PQ asymmetric-distance search (ADC): the query scores "
+    f"against the {PQ_SUB}x{PQ_CODES}-entry codebook ONCE (the lookup "
+    "table), then every encoded vector's approximate distance is "
+    f"{PQ_SUB} table lookups + adds — never a {DIM}-dim arithmetic "
+    "pass over the corpus.  This is how billion-scale IVF-PQ indexes "
+    "(FAISS-style) scan: compressed codes stream, the LUT sits in "
+    "cache/broadcast.  Exact distance joins in only for the top-k "
+    "(bounded) for error inspection.  Sub-distances fixed-point "
+    "summed; ranking ties break on vec_id.",
+)
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from risinglight_spark.operators import fpsum
 
