@@ -75,6 +75,7 @@ HEADLINE_EXTRA = (
     "events_dau_wau",
     "ann_ivf_pq_search",
     "text_token_entropy",
+    "text_mlm_masking",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

@@ -1612,3 +1612,80 @@ def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in (c2, c3, c4, c5, c6):
         out = out.unionAll(c)
     return out
+
+
+# -- label-propagation communities on the near-dup graph ---------------------
+
+LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"""c{r} AS (
+      SELECT e.dst AS node, l.label, count(*) AS cnt
+      FROM e JOIN l{r-1} l ON e.src = l.node
+      GROUP BY e.dst, l.label
+    ),
+    l{r} AS (
+      SELECT node,
+             (array_agg(label ORDER BY cnt DESC, label))[1] AS label
+      FROM c{r} GROUP BY node
+    )"""
+        )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_jaccard_oracle()}),
+    e AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    {",".join(rounds)}
+    SELECT node AS doc_id, label AS community FROM l{LPA_ROUNDS}
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Label-propagation community detection ({LPA_ROUNDS} "
+    "synchronous rounds, majority neighbor label, ties to the "
+    "smallest): the classic near-linear community algorithm — on the "
+    "dup graph it separates loosely-bridged clusters that min-label "
+    "connected components (dedup_connected_components) would merge.  "
+    "Each round is one edge-keyed join + two grouped aggregates with "
+    "map-side partials — O(edges) per round, O(1) state per node; "
+    "the argmax is an order-pinned aggregate, deterministic on both "
+    "engines.  Synchronous updates (not async sweep) keep the result "
+    "partitioning-independent — the property that matters on a "
+    "cluster.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
+                .getField("label")
+                .alias("label")
+            )
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("community"))

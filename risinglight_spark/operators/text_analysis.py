@@ -1607,3 +1607,69 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("normalized"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MLM masking (BERT-style span corruption prep): mask ~15%
+# of token positions chosen by a pure arithmetic hash of (doc_id, pos) —
+# no rand(), so every re-run (and both engines) produces the same
+# corrupted sequence, verified by fingerprint.
+# ---------------------------------------------------------------------------
+
+MLM_RATE_PCT = 15
+_MLM_MULT = 2_654_435_761
+_MLM_POS = 40_503
+
+
+@register(
+    "text_mlm_masking",
+    oracle=f"""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id, {T.tokens_sql(T.normalized_text_sql("text"))} AS t
+      FROM documents
+    ),
+    masked AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             list_transform(generate_series(1, len(t)),
+               i -> CASE WHEN ((doc_id * {_MLM_MULT} + i * {_MLM_POS})
+                              % 1000) < {MLM_RATE_PCT * 10}
+                         THEN '<mask>' ELSE t[i] END) AS corrupted
+      FROM docs
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           len(list_filter(corrupted, x -> x = '<mask>'))::BIGINT
+               AS n_masked,
+           md5(array_to_string(corrupted, ' ')) AS fingerprint
+    FROM masked
+    """,
+    doc=f"Deterministic MLM masking ({MLM_RATE_PCT}% of positions): "
+    "mask selection is a pure integer hash of (doc_id, position) — "
+    "the augmentation is a function of the data, so re-runs at any "
+    "parallelism (and the DuckDB replay) produce byte-identical "
+    "corrupted sequences, witnessed by the md5 fingerprint.  "
+    "Stateless per-row map, zero shuffles — the corruption stage "
+    "streams at scan speed in front of sequence packing.",
+)
+def text_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("t")
+    )
+    toks = F.col("t")
+    n = F.size(toks)
+    corrupted = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            (F.col("doc_id") * _MLM_MULT + i * _MLM_POS) % 1000
+            < MLM_RATE_PCT * 10,
+            F.lit("<mask>"),
+        ).otherwise(F.element_at(toks, i)),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(corrupted, lambda x: x == "<mask>")
+        ).cast("bigint").alias("n_masked"),
+        F.md5(F.concat_ws(" ", corrupted).cast("binary")).alias("fingerprint"),
+    )
