@@ -157,3 +157,38 @@ SELECT rk, node, depth FROM walk
 def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+@register(
+    "subquery_any_all_rewrite",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > ALL (
+            SELECT o_totalprice FROM orders WHERE o_custkey = 2
+          )
+      AND o_totalprice < ANY (
+            SELECT o_totalprice FROM orders WHERE o_custkey = 1
+          )
+    """,
+    doc="Quantified comparison subqueries (> ALL / < ANY): DuckDB "
+    "runs them natively (the oracle); Spark SQL has no ALL/ANY "
+    "quantifiers, so the engine applies the standard rewrite — "
+    "> ALL S == > max(S), < ANY S == < max(S) (both sides non-empty "
+    "and non-null here; the empty-set edge rewrites with count(*) "
+    "guards) — turning each quantifier into a broadcast scalar "
+    "aggregate instead of a correlated probe.  This is the dialect "
+    "translation a reference-SQL user needs for migrated queries.",
+)
+def subquery_any_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders
+                              WHERE o_custkey = 2)
+          AND o_totalprice < (SELECT max(o_totalprice) FROM orders
+                              WHERE o_custkey = 1)
+        """
+    )
