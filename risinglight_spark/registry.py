@@ -85,10 +85,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #      (the registration-order indices 0-49 of that round);
 #   r3 (this list's first 50): TPC-H q1-q22 + dedup + vector + text +
 #      pipeline + events headliners;
-#   r4 should move positions 50-99 (every r3 addition: bloom join,
-#      zorder, recursive CTE, ensemble dedup, eval queries, streaming
-#      custom source/sink/outer-join/RocksDB, RF1/RF2, ...) into the
-#      top 50, pushing the r3-verified block behind them;
+#   r4 should move positions 50-99 (every earlier-r3 addition: bloom
+#      join, zorder, recursive CTE, ensemble dedup, eval queries,
+#      streaming custom source/sink/outer-join/RocksDB, RF1/RF2, ...)
+#      into the top 50, pushing the r3-verified block behind them;
+#      the late-r3 additions (DSIR pair, KL, dup-ngram spans, kNN/NB/
+#      PQ/ADC/IVF-PQ, SCD2+PIT, co-occurrence, DAU/WAU, bitmap
+#      distinct, SNM fuzzy join, LPA, MLM masking, entropy, hybrid
+#      RRF, data quality, ANY/ALL) queue for r5;
 #   r5+ front the remainder (window frames, subquery, scalar
 #      libraries, setops, catalog/copy, mm, leftover events/text).
 # Check locally: python tools/oracle_check.py <sf0.01> --first 50.
