@@ -1495,3 +1495,89 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("wau")
     )
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+# -- A/B experiment readout (deterministic assignment + Welch t) -------------
+
+AB_MOD = 2  # user_id % 2 -> arm
+
+
+@register(
+    "events_ab_ttest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT (user_id % {AB_MOD})::INT AS arm, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    moments AS (
+      SELECT arm, count(*) AS n,
+             CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS s1,
+             CAST(sum(CAST(round(value * value * 1000000.0, 0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS s2
+      FROM assigned GROUP BY arm
+    ),
+    stats AS (
+      SELECT arm, n, round(s1 / n, 10) AS mean,
+             round((s2 - s1 * s1 / n) / (n - 1), 10) AS var
+      FROM moments
+    )
+    SELECT a.n AS n_control, b.n AS n_treatment,
+           a.mean AS mean_control, b.mean AS mean_treatment,
+           round(b.mean - a.mean, 10) AS lift,
+           round((b.mean - a.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 8) AS t_stat
+    FROM stats a, stats b
+    WHERE a.arm = 0 AND b.arm = 1
+    """,
+    doc="A/B experiment readout: deterministic hash assignment "
+    "(user_id % 2 — no rand(), the assignment IS the identity), "
+    "per-arm mean/variance from exact fixed-point moments (one "
+    "map-side-combined pass), and the Welch t-statistic from the "
+    "2-row stats table.  The entire experiment analysis is one scan + "
+    "one 2-group aggregate regardless of scale; moments are "
+    "partition-order independent so the reported t replays "
+    "bit-identically.",
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("value").isNotNull()).select(
+        (F.col("user_id") % AB_MOD).cast("int").alias("arm"), "value"
+    )
+
+    def q(col):
+        return (
+            F.sum(F.round(col * 1e6, 0).cast("long")).cast("double") / 1e6
+        )
+
+    m = ev.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        q(F.col("value")).alias("s1"),
+        q(F.col("value") * F.col("value")).alias("s2"),
+    )
+    stats = m.select(
+        "arm",
+        "n",
+        F.round(F.col("s1") / F.col("n"), 10).alias("mean"),
+        F.round(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1),
+            10,
+        ).alias("var"),
+    )
+    a = stats.filter(F.col("arm") == 0).alias("a")
+    b = stats.filter(F.col("arm") == 1).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_control"),
+        F.col("b.n").alias("n_treatment"),
+        F.col("a.mean").alias("mean_control"),
+        F.col("b.mean").alias("mean_treatment"),
+        F.round(F.col("b.mean") - F.col("a.mean"), 10).alias("lift"),
+        F.round(
+            (F.col("b.mean") - F.col("a.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+            ),
+            8,
+        ).alias("t_stat"),
+    )

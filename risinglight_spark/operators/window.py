@@ -298,3 +298,53 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 10).alias("pr"),
         F.round(F.cume_dist().over(w), 10).alias("cd"),
     )
+
+
+@register(
+    "window_exclude_current",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW
+           ), 4) AS peers_total,
+           count(*) OVER (
+             PARTITION BY o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW
+           ) AS n_peers
+    FROM orders
+    """,
+    doc="Window frame EXCLUDE CURRENT ROW (leave-one-out peer "
+    "aggregates — the shape behind target encoding without self-"
+    "leakage): DuckDB runs the SQL:2011 EXCLUDE clause natively (the "
+    "oracle); Spark has no EXCLUDE, so the engine applies the "
+    "algebraic rewrite agg(frame) - agg(current row) — one full-frame "
+    "window minus the row's own contribution.  Sums stay exact "
+    "(decimal path) so the subtraction is lossless; same single "
+    "partition-key shuffle either way.",
+)
+def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,6)")
+    n_peers = F.count("*").over(w) - F.lit(1)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        # SQL semantics: an aggregate over an EMPTY excluded frame is
+        # NULL (sum), so a single-row partition must not yield 0.0.
+        # round to 4 dp: the engine-side subtraction is decimal-exact
+        # while the oracle's native EXCLUDE accumulates raw doubles —
+        # they agree to ~1e-10, not bitwise
+        F.when(
+            n_peers > 0,
+            F.round(
+                (F.sum(price_dec).over(w) - price_dec).cast("double"), 4
+            ),
+        ).alias("peers_total"),
+        n_peers.alias("n_peers"),
+    )
