@@ -77,6 +77,7 @@ HEADLINE_EXTRA = (
     "text_token_entropy",
     "text_mlm_masking",
     "events_ab_ttest",
+    "events_forecast_backtest",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

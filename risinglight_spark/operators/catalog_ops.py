@@ -494,3 +494,45 @@ def copy_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total"),
     )
+
+
+# -- small-file compaction (lakehouse maintenance) ---------------------------
+
+COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "copy_compact_small_files",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           sum(o_orderkey)::BIGINT AS key_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=f"Small-file compaction: write orders fragmented (64 files — "
+    "the 'too many tiny files' state every streaming ingest produces), "
+    f"then compact to {COMPACT_TARGET_FILES} files and verify the "
+    "rewrite preserved content exactly (grouped counts + key sums over "
+    "the re-read equal the source — the oracle).  The compaction is "
+    "repartition-by-nothing + write: one shuffle sized by target file "
+    "count, the pattern behind OPTIMIZE/rewriteDataFiles in lakehouse "
+    "table formats.  At 100 TB compaction runs per partition "
+    "directory, bounded by partition size, embarrassingly parallel "
+    "across partitions.  File counts asserted in tests/test_plans.py.",
+)
+def copy_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rl_compact_")
+    frag = os.path.join(base, "fragmented")
+    compact = os.path.join(base, "compacted")
+    t.orders.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(
+        COMPACT_TARGET_FILES
+    ).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )

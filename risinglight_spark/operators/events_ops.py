@@ -1581,3 +1581,78 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("t_stat"),
     )
+
+
+# -- seasonal-naive forecast backtest ----------------------------------------
+
+FORECAST_SPLIT_DAY = 21  # train on days < 21, test on the rest
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT date_trunc('hour', ts) AS h,
+             extract(hour FROM ts)::INT AS hod,
+             extract(day FROM ts)::INT AS dom,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2, 3
+    ),
+    model AS (
+      SELECT hod,
+             CAST(sum(n) AS DOUBLE) / count(*) AS predicted
+      FROM hourly WHERE dom < {FORECAST_SPLIT_DAY} GROUP BY hod
+    )
+    SELECT t.hod,
+           count(*) AS n_test_hours,
+           round(any_value(m.predicted), 10) AS predicted,
+           round(CAST(sum(CAST(round(abs(t.n - m.predicted)
+                 * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0
+                 / count(*), 6) AS mae
+    FROM hourly t JOIN model m USING (hod)
+    WHERE t.dom >= {FORECAST_SPLIT_DAY}
+    GROUP BY t.hod
+    """,
+    doc="Seasonal-naive forecast with a held-out backtest: train the "
+    "hour-of-day profile on the first 20 days (exact integer counts, "
+    "one rollup), score the remaining days, report per-hour MAE — the "
+    "baseline every capacity-planning forecast must beat, and the "
+    "backtesting JOIN shape (model broadcast onto held-out actuals) "
+    "that any model family reuses.  The time split is leakage-free by "
+    "construction.  Absolute errors fixed-point summed; the 24-row "
+    "model broadcasts.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.hour("ts").cast("int").alias("hod"),
+            F.dayofmonth("ts").cast("int").alias("dom"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    model = (
+        hourly.filter(F.col("dom") < FORECAST_SPLIT_DAY)
+        .groupBy("hod")
+        .agg(
+            (F.sum("n").cast("double") / F.count("*")).alias("predicted")
+        )
+    )
+    err = F.round(
+        F.abs(F.col("n") - F.col("predicted")) * 1e6, 0
+    ).cast("long")
+    return (
+        hourly.filter(F.col("dom") >= FORECAST_SPLIT_DAY)
+        .join(F.broadcast(model), "hod")
+        .groupBy("hod")
+        .agg(
+            F.count("*").alias("n_test_hours"),
+            F.round(F.any_value("predicted"), 10).alias("predicted"),
+            F.round(
+                F.sum(err).cast("double") / 1e6 / F.count("*"), 6
+            ).alias("mae"),
+        )
+    )

@@ -590,3 +590,23 @@ def test_data_quality_fk_probes_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_data_quality")
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import glob as _glob
+    import tempfile as _tf
+
+    from risinglight_spark.operators.catalog_ops import (
+        COMPACT_TARGET_FILES,
+        copy_compact_small_files,
+    )
+
+    before = set(_glob.glob(_tf.gettempdir() + "/rl_compact_*"))
+    copy_compact_small_files(spark, sf_dir).collect()
+    new = set(_glob.glob(_tf.gettempdir() + "/rl_compact_*")) - before
+    assert new, "compaction left no output dir"
+    base = sorted(new)[-1]
+    frag = _glob.glob(base + "/fragmented/part-*")
+    comp = _glob.glob(base + "/compacted/part-*")
+    assert len(frag) == 64
+    assert len(comp) == COMPACT_TARGET_FILES
