@@ -78,6 +78,8 @@ HEADLINE_EXTRA = (
     "text_mlm_masking",
     "events_ab_ttest",
     "events_forecast_backtest",
+    "pipeline_drop_reasons",
+    "text_oov_rate",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

@@ -1673,3 +1673,141 @@ def text_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_masked"),
         F.md5(F.concat_ws(" ", corrupted).cast("binary")).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline drop-reason lineage: the same gates as pipeline_clean_corpus,
+# but every document gets a disposition — which stage dropped it and
+# why.  The explainability report a 100 TB curation run ships with its
+# dataset card.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_drop_reasons",
+    oracle=f"""
+    WITH staged AS MATERIALIZED (
+      SELECT doc_id, source,
+             {T.lang_id_sql("text")} AS lang_detected,
+             {T.quality_score_sql("text")} AS q,
+             {T.fingerprint_sql("text")} AS fp
+      FROM documents
+    ),
+    keepers AS (
+      SELECT fp, min(doc_id) AS keeper FROM staged
+      WHERE lang_detected = 'en' AND q >= 0.5
+      GROUP BY fp
+    ),
+    disposed AS (
+      SELECT s.doc_id, s.source,
+             CASE
+               WHEN s.lang_detected <> 'en' THEN 'dropped_lang'
+               WHEN s.q < 0.5 THEN 'dropped_quality'
+               WHEN s.doc_id <> k.keeper THEN 'dropped_duplicate'
+               ELSE 'kept'
+             END AS disposition
+      FROM staged s LEFT JOIN keepers k ON s.fp = k.fp
+    )
+    SELECT source, disposition, count(*) AS n_docs
+    FROM disposed GROUP BY source, disposition
+    """,
+    doc="Per-document drop-reason lineage for the cleaning pipeline: "
+    "every doc is tagged kept / dropped_lang / dropped_quality / "
+    "dropped_duplicate (first failing gate wins, duplicate = not the "
+    "min-doc_id keeper of its fingerprint among gate survivors), then "
+    "rolled up per source — the audit report that explains WHERE a "
+    "corpus shrank.  Same plan skeleton as pipeline_clean_corpus plus "
+    "one fingerprint-keyed keeper join; gates stay stateless codegen "
+    "maps, so lineage costs one extra keyed join over the clean run.",
+)
+def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    f = T.doc_features_pandas()(F.col("text")).alias("f")
+    staged = t.documents.select("doc_id", "source", f).select(
+        "doc_id",
+        "source",
+        F.col("f.lang_detected").alias("lang_detected"),
+        F.col("f.q").alias("q"),
+        F.col("f.fp").alias("fp"),
+    )
+    keepers = (
+        staged.filter(
+            (F.col("lang_detected") == "en") & (F.col("q") >= 0.5)
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    disposition = (
+        F.when(F.col("lang_detected") != "en", "dropped_lang")
+        .when(F.col("q") < 0.5, "dropped_quality")
+        .when(F.col("doc_id") != F.col("keeper"), "dropped_duplicate")
+        .otherwise("kept")
+    )
+    return (
+        staged.join(keepers, "fp", "left")
+        .select("source", disposition.alias("disposition"))
+        .groupBy("source", "disposition")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary OOV rate — the tokenizer-health metric: what
+# fraction of the token stream falls outside the top-K vocabulary.
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 1000
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT lang, unnest({T.tokens_sql(T.normalized_text_sql("text"))}) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok FROM freq ORDER BY n DESC, tok LIMIT {OOV_VOCAB_K}
+    )
+    SELECT t.lang,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / count(*), 10) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.lang
+    """,
+    doc=f"OOV rate per language against the corpus' own top-{OOV_VOCAB_K} "
+    "vocabulary — the tokenizer/vocab-health metric that decides "
+    "whether a vocab covers a new data source before training on it.  "
+    "The vocabulary is a bounded top-k (TakeOrdered, deterministic "
+    "tie-break) that BROADCASTS back onto the token stream; the "
+    "membership probe is a left join + conditional count with "
+    "map-side partials.  Two token-keyed shuffles total.",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "lang",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+    ).localCheckpoint()
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(oov).cast("bigint").alias("n_oov"),
+            F.round(F.count(oov) / F.count("*"), 10).alias("oov_rate"),
+        )
+    )
