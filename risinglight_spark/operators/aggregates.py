@@ -803,3 +803,61 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
     )
+
+
+# -- exact weighted median ----------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag)::BIGINT AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(l_extendedprice) AS weighted_median_price,
+           any_value(total) AS total_weight
+    FROM cum WHERE 2 * cw >= total
+    GROUP BY l_returnflag
+    """,
+    doc="Exact weighted median (price weighted by quantity) per "
+    "return flag: one partition-keyed sort, an integer-exact "
+    "cumulative weight, and the crossing row found by 2*cw >= total — "
+    "all-integer comparison, no division, no float threshold, so the "
+    "crossing is unambiguous on both engines (price ties collapse to "
+    "the same value by construction).  The shape generalizes to any "
+    "exact weighted quantile; approx_percentile is the sketch "
+    "alternative when a sort per group is too much.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    wq = F.col("l_quantity").cast("bigint")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = t.lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wq).over(wcum).alias("cw"),
+        F.sum(wq).over(wall).alias("total"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.any_value("total").alias("total_weight"),
+        )
+    )
