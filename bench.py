@@ -80,6 +80,8 @@ HEADLINE_EXTRA = (
     "events_forecast_backtest",
     "pipeline_drop_reasons",
     "text_oov_rate",
+    "join_interval_bucketed_global",
+    "agg_weighted_median",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

@@ -1656,3 +1656,93 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mae"),
         )
     )
+
+
+# -- global interval join (no equi key) via time-bucket explosion ------------
+
+INCIDENT_TOP_N = 20  # highest-value events define incident windows
+INCIDENT_HALF_MIN = 5  # window = incident ts +- 5 minutes
+_BUCKET_MIN = 5  # bucket granularity >= half-window keeps fan-out <= 3
+
+
+@register(
+    "join_interval_bucketed_global",
+    oracle=f"""
+    WITH incidents AS (
+      SELECT event_id AS incident_id, ts AS incident_ts
+      FROM events
+      ORDER BY value DESC, event_id
+      LIMIT {INCIDENT_TOP_N}
+    )
+    SELECT i.incident_id, count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM incidents i
+    JOIN events e
+      ON e.ts >= i.incident_ts - INTERVAL {INCIDENT_HALF_MIN} MINUTE
+     AND e.ts <= i.incident_ts + INTERVAL {INCIDENT_HALF_MIN} MINUTE
+    GROUP BY i.incident_id
+    """,
+    doc="Interval join with NO equi key (every event vs every "
+    f"incident window, top-{INCIDENT_TOP_N} by value): the case where "
+    "the range-join-as-residual trick has no equi column to hang on "
+    "and naive execution is a cartesian.  The engine manufactures the "
+    f"equi key: {_BUCKET_MIN}-minute time buckets — each incident "
+    "window explodes into the <= 3 buckets it covers, events map to "
+    "exactly one bucket, the join is equi on bucket with the interval "
+    "as residual, and per-(incident, event) dedup is free because "
+    "bucket membership is disjoint for the probe side.  The oracle "
+    "states the same join declaratively; the plan is asserted "
+    "hash-joined, never BroadcastNestedLoop/cartesian.  Fan-out is "
+    "bounded by windows-per-bucket — the Databricks range-join "
+    "optimization's binning, hand-rolled.",
+)
+def join_interval_bucketed_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    half = F.expr(f"INTERVAL {INCIDENT_HALF_MIN} MINUTE")
+    incidents = (
+        t.events.orderBy(F.desc("value"), "event_id")
+        .limit(INCIDENT_TOP_N)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("incident_ts"),
+        )
+    )
+    # explode each incident window into the buckets it covers
+    win_buckets = incidents.select(
+        "incident_id",
+        "incident_ts",
+        F.explode(
+            F.sequence(
+                (
+                    F.unix_timestamp(F.col("incident_ts") - half)
+                    / (60 * _BUCKET_MIN)
+                ).cast("long"),
+                (
+                    F.unix_timestamp(F.col("incident_ts") + half)
+                    / (60 * _BUCKET_MIN)
+                ).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    ev = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_timestamp("ts") / (60 * _BUCKET_MIN))
+        .cast("long")
+        .alias("bucket"),
+    )
+    residual = (F.col("ts") >= F.col("incident_ts") - half) & (
+        F.col("ts") <= F.col("incident_ts") + half
+    )
+    return (
+        ev.join(win_buckets.hint("shuffle_hash"), "bucket")
+        .filter(residual)
+        .groupBy("incident_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

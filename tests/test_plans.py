@@ -610,3 +610,12 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     comp = _glob.glob(base + "/compacted/part-*")
     assert len(frag) == 64
     assert len(comp) == COMPACT_TARGET_FILES
+
+
+def test_global_interval_join_is_bucket_keyed(spark, sf_dir):
+    # no natural equi key exists — the manufactured bucket key must
+    # carry the join; a nested-loop/cartesian here dies at scale.
+    plan = _plan(spark, sf_dir, "join_interval_bucketed_global")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
