@@ -82,6 +82,8 @@ HEADLINE_EXTRA = (
     "text_oov_rate",
     "join_interval_bucketed_global",
     "agg_weighted_median",
+    "events_ab_ratio_delta",
+    "ml_kfold_split",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.

@@ -536,3 +536,45 @@ def copy_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+# -- parquet compression codecs ----------------------------------------------
+
+
+@register(
+    "copy_parquet_codecs",
+    oracle="""
+    SELECT 'snappy' AS codec, count(*) AS n,
+           sum(o_orderkey)::BIGINT AS key_sum FROM orders
+    UNION ALL
+    SELECT 'zstd', count(*), sum(o_orderkey)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'gzip', count(*), sum(o_orderkey)::BIGINT FROM orders
+    """,
+    doc="Parquet compression codecs (snappy / zstd / gzip): write the "
+    "same table under each codec and verify every roundtrip preserves "
+    "content exactly.  Codec choice is the 100 TB storage-cost vs "
+    "CPU trade (zstd for cold data, snappy for hot shuffle-adjacent "
+    "tables); this pins that all three paths are available and "
+    "lossless.  Compressed sizes are environment-dependent so the "
+    "oracle checks content, not bytes.",
+)
+def copy_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rl_codec_")
+    out = None
+    for codec in ("snappy", "zstd", "gzip"):
+        loc = os.path.join(base, codec)
+        t.orders.write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(loc)
+        part = (
+            spark.read.parquet(loc)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+            .select(F.lit(codec).alias("codec"), "n", "key_sum")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

@@ -1746,3 +1746,108 @@ def join_interval_bucketed_global(
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# -- ratio-metric readout via the delta method -------------------------------
+
+
+@register(
+    "events_ab_ratio_delta",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT (user_id % {AB_MOD})::INT AS arm, user_id,
+             CAST(sum(CAST(round(coalesce(value, 0.0) * 1000000.0, 0)
+                  AS BIGINT)) AS DOUBLE) / 1000000.0 AS y,
+             count(*) AS n
+      FROM events GROUP BY arm, user_id
+    ),
+    arm_stats AS (
+      SELECT arm, count(*) AS u,
+             CAST(sum(CAST(round(y * 1000000.0, 0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS sy,
+             sum(n)::BIGINT AS sn,
+             CAST(sum(CAST(round(y * y * 100.0, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS syy,
+             sum(n * n)::BIGINT AS snn,
+             CAST(sum(CAST(round(y * n * 10000.0, 0) AS BIGINT))
+                  AS DOUBLE) / 10000.0 AS syn
+      FROM per_user GROUP BY arm
+    ),
+    readout AS (
+      SELECT arm, u, sy, sn,
+             round(sy / sn, 10) AS ratio,
+             (syy - 2 * (sy / sn) * syn
+              + (sy / sn) * (sy / sn) * snn) / (u - 1) AS s2
+      FROM arm_stats
+    )
+    SELECT a.ratio AS ratio_control, b.ratio AS ratio_treatment,
+           round(b.ratio - a.ratio, 10) AS diff,
+           round((b.ratio - a.ratio)
+                 / sqrt(a.u * a.s2 / (a.sn * a.sn)
+                        + b.u * b.s2 / (b.sn * b.sn)), 6) AS z_stat
+    FROM readout a, readout b
+    WHERE a.arm = 0 AND b.arm = 1
+    """,
+    doc="Ratio-metric experiment readout (value per event, "
+    "user-randomized) with DELTA-METHOD variance: naive per-event "
+    "t-tests are wrong when the randomization unit (user) differs "
+    "from the analysis unit (event) — the linearization y_i - R*n_i "
+    "over per-user totals is the correct SE.  Two grouped passes "
+    "(user rollup, then 2-row arm moments), all sums exact "
+    "fixed-point, the closed-form z replays bit-identically.",
+)
+def events_ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def q(col, scale):
+        return (
+            F.sum(F.round(col * scale, 0).cast("long")).cast("double")
+            / F.lit(scale)
+        )
+
+    per_user = t.events.groupBy(
+        (F.col("user_id") % AB_MOD).cast("int").alias("arm"), "user_id"
+    ).agg(
+        q(F.coalesce(F.col("value"), F.lit(0.0)), 1e6).alias("y"),
+        F.count("*").alias("n"),
+    )
+    arm = per_user.groupBy("arm").agg(
+        F.count("*").alias("u"),
+        q(F.col("y"), 1e6).alias("sy"),
+        F.sum("n").alias("sn"),
+        q(F.col("y") * F.col("y"), 1e2).alias("syy"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+        q(F.col("y") * F.col("n"), 1e4).alias("syn"),
+    )
+    r = F.col("sy") / F.col("sn")
+    readout = arm.select(
+        "arm",
+        "u",
+        "sy",
+        "sn",
+        F.round(r, 10).alias("ratio"),
+        (
+            (
+                F.col("syy")
+                - 2 * r * F.col("syn")
+                + r * r * F.col("snn")
+            )
+            / (F.col("u") - 1)
+        ).alias("s2"),
+    )
+    a = readout.filter(F.col("arm") == 0).alias("a")
+    b = readout.filter(F.col("arm") == 1).alias("b")
+    var = lambda s: (  # noqa: E731
+        F.col(f"{s}.u") * F.col(f"{s}.s2")
+        / (F.col(f"{s}.sn") * F.col(f"{s}.sn"))
+    )
+    return a.crossJoin(b).select(
+        F.col("a.ratio").alias("ratio_control"),
+        F.col("b.ratio").alias("ratio_treatment"),
+        F.round(F.col("b.ratio") - F.col("a.ratio"), 10).alias("diff"),
+        F.round(
+            (F.col("b.ratio") - F.col("a.ratio"))
+            / F.sqrt(var("a") + var("b")),
+            6,
+        ).alias("z_stat"),
+    )

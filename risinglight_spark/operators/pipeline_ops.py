@@ -1689,3 +1689,45 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
+
+
+# -- deterministic k-fold cross-validation split -----------------------------
+
+KFOLD_K = 5
+
+
+@register(
+    "ml_kfold_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT label,
+             {T.char_hash_sql("CAST(vec_id AS VARCHAR)")} % {KFOLD_K} AS fold
+      FROM embeddings
+    )
+    SELECT fold, count(*) AS n,
+           count(DISTINCT label) AS n_labels,
+           min(label) AS min_label, max(label) AS max_label
+    FROM assigned GROUP BY fold
+    """,
+    doc=f"Deterministic {KFOLD_K}-fold cross-validation assignment "
+    "(portable hash of the id, never rand()): folds are a pure "
+    "function of vec_id, so every worker, every re-run, and both "
+    "engines agree on membership — the property that makes "
+    "distributed CV results reproducible and lets fold models train "
+    "in parallel jobs against the SAME split.  Output is the fold "
+    "balance report (sizes + label coverage) a CV run sanity-checks "
+    "before training.",
+)
+def ml_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fold = T.char_hash(F.col("vec_id").cast("string")) % KFOLD_K
+    return (
+        t.embeddings.select("label", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("label").alias("n_labels"),
+            F.min("label").alias("min_label"),
+            F.max("label").alias("max_label"),
+        )
+    )
