@@ -1811,3 +1811,49 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(oov) / F.count("*"), 10).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: the marker-word heuristic scored against the
+# fixture's ground-truth labels — the eval loop any classifier in the
+# gate path needs before it is allowed to drop documents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS true_lang, {T.lang_id_sql("text")} AS predicted
+      FROM documents
+    )
+    SELECT true_lang, predicted, count(*) AS n,
+           round(count(*) / (sum(count(*)) OVER
+                 (PARTITION BY true_lang))::BIGINT, 10) AS frac_of_true
+    FROM scored GROUP BY true_lang, predicted
+    """,
+    doc="Confusion matrix for the marker-word language classifier "
+    "against ground-truth labels (+ per-true-language row "
+    "normalization): the evaluation every gate classifier needs "
+    "before it may drop documents (pipeline_drop_reasons shows what "
+    "it drops; this shows how often it is RIGHT).  One stateless "
+    "scoring pass + a grouped rollup; the row-normalizing window runs "
+    "over the langs x langs matrix — metadata, not data.",
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        F.col("lang").alias("true_lang"),
+        T.lang_id(F.col("text")).alias("predicted"),
+    )
+    w = Window.partitionBy("true_lang")
+    return (
+        scored.groupBy("true_lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "frac_of_true",
+            F.round(F.col("n") / F.sum("n").over(w), 10),
+        )
+    )
