@@ -77,29 +77,27 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's correctness gate verifies a bounded prefix of the
-# registry (round 2 covered exactly the first 50 entries, in
-# registration order).  Rotate the highest-value still-unverified
-# queries to the front each round so the cumulative set of
-# driver-verified entries grows:
-#   r2 proved relational / joins / aggregates / first window block
-#      (the registration-order indices 0-49 of that round);
-#   r3 (this list's first 50): TPC-H q1-q22 + dedup + vector + text +
-#      pipeline + events headliners;
-#   r4 should move positions 50-99 (every earlier-r3 addition: bloom
-#      join, zorder, recursive CTE, ensemble dedup, eval queries,
-#      streaming custom source/sink/outer-join/RocksDB, RF1/RF2, ...)
-#      into the top 50, pushing the r3-verified block behind them;
-#      the late-r3 additions (DSIR pair, KL, dup-ngram spans, kNN/NB/
-#      PQ/ADC/IVF-PQ, SCD2+PIT, co-occurrence, DAU/WAU, bitmap
-#      distinct, SNM fuzzy join, LPA, MLM masking, entropy, hybrid
-#      RRF, data quality, ANY/ALL) queue for r5;
-#   r5+ front the remainder (window frames, subquery, scalar
-#      libraries, setops, catalog/copy, mm, leftover events/text).
+# registry (exactly the first 50 entries, in registration order).
+# Rotate the highest-value still-unverified queries to the front each
+# round so the cumulative set of driver-verified entries grows:
+#   r2 proved relational / joins / aggregates / first window block;
+#   r3 proved TPC-H q1-q22 + dedup + vector + text + pipeline + events
+#      headliners (the _R3_VERIFIED block below);
+#   r4 (this list's first 50 = _R4_GATE): bloom join, z-order,
+#      recursive CTE, ensemble dedup, eval queries, streaming custom
+#      source/sink/outer-join/RocksDB, RF1/RF2, IVF/multiprobe/PQ
+#      prerequisites, text corpus stats;
+#   r5 (_R5_QUEUE, staged next): DSIR, KL, dup-ngram spans,
+#      kNN/NB/PQ/ADC/IVF-PQ, SCD2+PIT, co-occurrence, DAU/WAU, bitmap
+#      distinct, fuzzy join, LPA/PageRank/triangles, MLM, entropy,
+#      hybrid RRF, data quality, ANY/ALL, BPE, graphs, windows;
+#   r6+ front the remainder (scalar libraries, setops, catalog/copy,
+#      mm, leftover events/text, streaming built-ins).
 # Check locally: python tools/oracle_check.py <sf0.01> --first 50.
-_PRIORITY: tuple[str, ...] = (
-    # TPC-H flagship suite (22)
+
+# Driver-verified in CORRECTNESS_r03.json (kept behind the rotation).
+_R3_VERIFIED: tuple[str, ...] = (
     *[f"tpch_q{i}" for i in range(1, 23)],
-    # Deduplication family (8)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -109,13 +107,11 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_keep_best",
     "dedup_connected_components",
     "dedup_substring_contained",
-    # Similarity search (5)
     "vector_distance_ops",
     "vector_l2_topk",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "semantic_search_e2e",
-    # Text analysis (6)
     "text_token_counts",
     "text_lang_id",
     "text_quality_scores",
@@ -123,16 +119,18 @@ _PRIORITY: tuple[str, ...] = (
     "text_line_dedup_c4",
     "text_decontaminate",
     "text_bm25_topk",
-    # Pipeline compositions (4)
     "pipeline_clean_corpus",
     "pipeline_pretraining_e2e",
     "pack_sequences",
-    # Events / time-series (4)
     "events_sessionization",
     "events_asof_join",
     "events_range_join",
     "events_tumbling_window",
-    # --- round-4 candidates follow (next 50 in line) ---
+)
+
+# Round-4 driver gate: the 50 entries staged as "next in line" in the
+# round-3 registry (previous positions 50-99), now fronted.
+_R4_GATE: tuple[str, ...] = (
     "mm_decode_stub",
     "sample_training_order",
     "text_chunk_overlap",
@@ -183,46 +181,64 @@ _PRIORITY: tuple[str, ...] = (
     "text_top_tokens",
     "text_bpe_pair_stats",
     "text_pii_scrub",
-    "text_ccnet_buckets",
-    "text_unigram_logprob",
-    "text_repetition_filter",
-    "text_quality_percentile_cut",
-    "events_sliding_window",
-    "events_json_props",
-    "events_user_daily",
-    "events_funnel",
-    "events_hourly_gapfill",
-    "events_retention_cohorts",
-    "events_windowed_topk",
-    "events_anomaly_zscore",
-    "events_ewma_user",
-    "events_time_rollup",
-    "events_ohlc_bars",
-    "mm_binary_payload",
-    "mm_metadata_struct",
-    "mm_frame_sample",
-    "mm_resize_stub",
-    "sample_hash_stratified",
-    "sample_token_budget",
-    "mix_source_weights",
-    "pack_greedy_bins",
-    "text_bpe_train",
-    "ddl_create_insert_delete",
-    "ddl_create_view",
-    "ddl_sql_udf",
-    "ddl_create_index",
-    "copy_roundtrip_csv",
-    "copy_roundtrip_json",
-    "copy_partitioned_parquet",
-    "copy_roundtrip_orc",
-    "source_tbl_roundtrip",
-    "catalog_pg_tables",
-    "catalog_pg_attribute",
-    "explain_plan_props",
-    "pragma_session_vars",
-    "analyze_query_stats",
-    "streaming_tumbling_counts",
 )
+
+# Round-5 queue: late-r3 additions + remaining headliners, staged so the
+# next rotation is a pure reorder.
+_R5_QUEUE: tuple[str, ...] = (
+    "text_dsir_importance",
+    "text_kl_source_divergence",
+    "dedup_duplicate_ngram_spans",
+    "ml_knn_eval",
+    "ml_naive_bayes_langid",
+    "vector_pq_encode",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_search",
+    "events_scd2_history",
+    "events_pit_join_scd2",
+    "events_cooccurrence_lift",
+    "events_dau_wau",
+    "agg_bitmap_exact_distinct",
+    "join_fuzzy_levenshtein",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "text_mlm_masking",
+    "text_token_entropy",
+    "search_hybrid_rrf",
+    "pipeline_data_quality",
+    "subquery_any_all_rewrite",
+    "sample_dsir_resample",
+    "dedup_semdedup",
+    "vector_kmeans_train",
+    "vector_pca_power_iteration",
+    "ml_logreg_train_step",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_bigram_lm_score",
+    "text_langid_eval",
+    "text_oov_rate",
+    "pipeline_drop_reasons",
+    "events_variant_json",
+    "events_type_islands",
+    "events_debounce",
+    "events_cumulative_uniques",
+    "events_ab_ttest",
+    "events_ab_ratio_delta",
+    "events_forecast_backtest",
+    "mix_temperature_resample",
+    "ml_kfold_split",
+    "pairs_contrastive_mining",
+    "agg_weighted_median",
+    "agg_heavy_hitters_sketch",
+    "agg_histogram_equiwidth",
+    "window_exclude_current",
+    "unnest_with_ordinality",
+    "join_interval_bucketed_global",
+    "copy_compact_small_files",
+)
+
+_PRIORITY: tuple[str, ...] = (*_R4_GATE, *_R5_QUEUE, *_R3_VERIFIED)
 
 
 def collect() -> dict[str, QueryEntry]:
