@@ -29,7 +29,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from risinglight_spark.functions import text as T
@@ -80,6 +80,86 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-replica collapse (shared by the pair miners).
+#
+# Real web corpora duplicate boilerplate millions of times; every pair
+# miner here would otherwise put c copies of identical postings /
+# signatures into its bucket self-join and aggregate O(c^2) rows per
+# bucket for a replica cluster of size c.  All the signatures below
+# (word-3-gram shingles, minhash, simhash) are functions of the
+# NORMALIZED text — exactly what the md5 fingerprint hashes — so equal
+# fingerprint implies equal signature, and mining can run once per
+# distinct text with verdicts fanned back out to the replicas:
+#   cross-cluster pairs inherit the representative pair's score,
+#   within-cluster pairs are exact dups (jaccard 1.0 / est_sim 1.0 /
+#   hamming 0) whenever the text is long enough to have a signature.
+# Mining cost drops from O(corpus postings^2-per-bucket) to
+# O(distinct-text postings); the collapse itself is one linear
+# fingerprint shuffle (the same shuffle dedup_exact already pays).
+# ---------------------------------------------------------------------------
+
+
+def _replicas(t: Tables) -> tuple[DataFrame, DataFrame]:
+    """(members, reps): members = (doc_id, fp) for every document; reps
+    = one representative per distinct normalized text, carrying the
+    min doc_id, its text, and the cluster size."""
+    fpdocs = t.documents.select(
+        "doc_id", "text", T.fingerprint(F.col("text")).alias("fp")
+    )
+    members = fpdocs.select("doc_id", "fp")
+    reps = fpdocs.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.count("*").alias("csize"),
+    )
+    return members, reps
+
+
+def _fan_out(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    rep_of: DataFrame,
+    within_vals: dict[str, Column],
+) -> DataFrame:
+    """Expand representative-level pair verdicts to every replica pair.
+
+    ``rep_pairs``: (rep_a, rep_b, *value cols) over representative doc
+    ids; ``rep_of``: (fp, rep_m, csize) for the fingerprints ELIGIBLE
+    for mining (signature non-empty); ``within_vals``: the exact-dup
+    literal for each value column (what the miner's formula yields for
+    two identical texts).  Doc ids from different clusters are
+    distinct, so least/greatest restores canonical doc_a < doc_b."""
+    value_cols = [c for c in rep_pairs.columns if c not in ("rep_a", "rep_b")]
+    ma = members.join(rep_of.select("fp", "rep_m"), "fp").select(
+        "doc_id", "rep_m"
+    )
+    u, v = ma.alias("u"), ma.alias("v")
+    cross = (
+        rep_pairs.join(u, F.col("rep_a") == F.col("u.rep_m"))
+        .join(v, F.col("rep_b") == F.col("v.rep_m"))
+        .select(
+            F.least(F.col("u.doc_id"), F.col("v.doc_id")).alias("doc_a"),
+            F.greatest(F.col("u.doc_id"), F.col("v.doc_id")).alias("doc_b"),
+            *value_cols,
+        )
+    )
+    m2 = members.join(
+        rep_of.filter(F.col("csize") >= 2).select("fp"), "fp"
+    ).select("doc_id", "fp")
+    w1, w2 = m2.alias("w1"), m2.alias("w2")
+    within = w1.join(
+        w2,
+        (F.col("w1.fp") == F.col("w2.fp"))
+        & (F.col("w1.doc_id") < F.col("w2.doc_id")),
+    ).select(
+        F.col("w1.doc_id").alias("doc_a"),
+        F.col("w2.doc_id").alias("doc_b"),
+        *[within_vals[c].alias(c) for c in value_cols],
+    )
+    return cross.unionAll(within)
+
+
 def _jaccard_oracle() -> str:
     sh = T.word_shingles_sql("text")
     return f"""
@@ -106,36 +186,65 @@ def _jaccard_oracle() -> str:
     "dedup_ngram_jaccard",
     oracle=_jaccard_oracle(),
     doc="Exact word-3-gram Jaccard near-dup pairs (>= 0.5) via an "
-    "inverted-index join: explode distinct shingles, join postings, "
-    "count shared / union.  O(n * postings), never all-pairs; the "
-    "shingle shuffle is the only wide stage.",
+    "inverted-index join over DISTINCT texts: exact replicas are "
+    "collapsed by normalized-text fingerprint before mining, so a "
+    "boilerplate document copied c times costs one set of postings "
+    "instead of c (real web corpora duplicate boilerplate millions of "
+    "times — mining the raw corpus would put c copies of every posting "
+    "into the self-join and aggregate O(c^2) rows per shingle).  "
+    "Replica verdicts are reconstructed afterwards by two cheap "
+    "fingerprint-keyed joins: cross-cluster pairs inherit the "
+    "representative pair's Jaccard (shingles are computed over the "
+    "same normalized text the fingerprint hashes, so equal fp implies "
+    "equal shingle set), within-cluster pairs are exactly 1.0.  "
+    "O(u * postings) mining for u distinct texts, never all-pairs.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    # Arrow pass for the shingles (Column version is O(tokens^2)
-    # interpreted); empty-array filter == the >=3-token predicate.
-    docs = t.documents.select(
-        "doc_id", T.word_shingles_pandas(3)(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    rep_pairs, members, rep_of = _rep_jaccard_pairs(spark, sf_dir)
+    return _fan_out(
+        rep_pairs.filter(F.col("jaccard") >= 0.5),
+        members,
+        rep_of,
+        {"jaccard": F.lit(1.0)},  # n/(n+n-n) for identical shingle sets
     )
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+
+def _rep_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Unthresholded exact-Jaccard pairs over representative texts:
+    (rep_pairs(rep_a, rep_b, jaccard), members, rep_of).  Shingling is
+    one Arrow pass per DISTINCT text (Column version is O(tokens^2)
+    interpreted); empty-array filter == the >=3-token predicate."""
+    t = Tables(spark, sf_dir)
+    members, reps = _replicas(t)
+    uniq = reps.select(
+        "fp",
+        "rep",
+        "csize",
+        T.word_shingles_pandas(3)(F.col("text")).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    # the unique-text set feeds the postings join AND both fan-out
+    # joins; pin it so the shingle UDF runs once per distinct text
+    uniq = uniq.localCheckpoint(eager=False)
+    sh = uniq.select("rep", F.explode(F.array_distinct("shingles")).alias("s"))
+    sz = sh.groupBy("rep").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.rep") < F.col("b.rep")))
+        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .agg(F.count("*").alias("n_shared"))
     )
     x = sz.alias("x")
     y = sz.alias("y")
     jac = F.col("n_shared").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("n_shared"))
-    return (
-        shared.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, F.col("doc_b") == F.col("y.doc_id"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    rep_pairs = (
+        shared.join(x, F.col("rep_a") == F.col("x.rep"))
+        .join(y, F.col("rep_b") == F.col("y.rep"))
+        .select("rep_a", "rep_b", jac.alias("jaccard"))
     )
+    rep_of = uniq.select("fp", F.col("rep").alias("rep_m"), "csize")
+    return rep_pairs, members, rep_of
 
 
 def _minhash_oracle() -> str:
@@ -188,17 +297,30 @@ def _minhash_oracle() -> str:
     "is the 100-TB dedup workhorse).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep_pairs, members, rep_of = _rep_minhash_pairs(spark, sf_dir)
+    # identical texts have identical signatures: all 16 rows match
+    return _fan_out(rep_pairs, members, rep_of, {"est_sim": F.lit(1.0)})
+
+
+def _rep_minhash_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Banded-LSH candidate pairs over representative texts:
+    (rep_pairs(rep_a, rep_b, est_sim), members, rep_of)."""
     t = Tables(spark, sf_dir)
+    members, reps = _replicas(t)
     # Signature computation is per-document LOCAL: one Arrow-batched
     # UDF produces the 16-permutation minhash signature directly
     # (numpy reduceat over the batch's flat shingle stream — see
-    # minhash_sig_pandas).  No explode, no shuffle: the previous
-    # explode -> groupBy(doc_id).agg(16 mins) formulation multiplied
-    # rows ~|shingles|x and shuffled all of it before reducing back to
-    # one row per doc.  At 100 TB the signature stage is a pure map.
+    # minhash_sig_pandas), and it runs once per DISTINCT text.
+    # No explode, no shuffle: the previous explode -> groupBy(doc_id)
+    # .agg(16 mins) formulation multiplied rows ~|shingles|x and
+    # shuffled all of it.  At 100 TB the signature stage is a pure map.
     sig = (
-        t.documents.select(
-            "doc_id",
+        reps.select(
+            "fp",
+            F.col("rep").alias("doc_id"),
+            "csize",
             T.minhash_sig_pandas(PERM_A, PERM_B)(F.col("text")).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
@@ -247,11 +369,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(N_PERM)
     )
     # shuffle_hash, not broadcast: the signature table has one row per
-    # document — broadcasting it is infeasible at scale, and shuffling
-    # both sides on the bucket key gives IDENTICAL exchanges that
-    # Spark's ReusedExchange dedupes, so the Arrow signature pipeline
-    # runs ONCE, not once per join side.
-    return (
+    # distinct text — broadcasting it is infeasible at scale, and
+    # shuffling both sides on the bucket key gives IDENTICAL exchanges
+    # that Spark's ReusedExchange dedupes, so the Arrow signature
+    # pipeline runs ONCE, not once per join side.
+    rep_pairs = (
         a.hint("shuffle_hash").join(
             b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -259,12 +381,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
             (matches / F.lit(float(N_PERM))).alias("est_sim"),
         )
         .distinct()
     )
+    rep_of = sig.select("fp", F.col("doc_id").alias("rep_m"), "csize")
+    return rep_pairs, members, rep_of
 
 
 def _simhash_oracle() -> str:
@@ -308,14 +432,31 @@ def _simhash_oracle() -> str:
     "bit_count(xor).  Same O(n * bands) shape as MinHash-LSH.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep_pairs, members, rep_of = _rep_simhash_pairs(spark, sf_dir)
+    # identical texts have identical signatures: xor is 0
+    return _fan_out(
+        rep_pairs, members, rep_of, {"hamming": F.lit(0).cast("int")}
+    )
+
+
+def _rep_simhash_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Byte-banded simhash pairs over representative texts:
+    (rep_pairs(rep_a, rep_b, hamming), members, rep_of)."""
     t = Tables(spark, sf_dir)
+    members, reps = _replicas(t)
     # Per-document LOCAL signature via one Arrow-batched UDF (numpy
-    # bit-plane reduceat — see simhash_pandas).  Replaces the explode ->
-    # groupBy(doc_id).agg(32 bit-sums) formulation: no row explosion,
-    # no shuffle; at 100 TB the signature stage is a pure map.
+    # bit-plane reduceat — see simhash_pandas), once per DISTINCT text.
+    # Replaces the explode -> groupBy(doc_id).agg(32 bit-sums)
+    # formulation: no row explosion, no shuffle; at 100 TB the
+    # signature stage is a pure map.
     sig = (
-        t.documents.select(
-            "doc_id", T.simhash_pandas(SIM_BITS)(F.col("text")).alias("sh")
+        reps.select(
+            "fp",
+            F.col("rep").alias("doc_id"),
+            "csize",
+            T.simhash_pandas(SIM_BITS)(F.col("text")).alias("sh"),
         )
         .filter(F.col("sh").isNotNull())
         # Materialized signature table — same rationale as the minhash
@@ -345,7 +486,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle_hash for the same reason as the minhash band join: never
     # broadcast an n-row signature table, and identical exchanges on
     # both sides let ReusedExchange run the signature pipeline once.
-    return (
+    rep_pairs = (
         a.hint("shuffle_hash").join(
             b.hint("shuffle_hash"),
             (F.col("a.nk") == F.col("b.nk"))
@@ -354,12 +495,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(hamming <= HAMMING_MAX)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
             hamming.cast("int").alias("hamming"),
         )
         .distinct()
     )
+    rep_of = sig.select("fp", F.col("doc_id").alias("rep_m"), "csize")
+    return rep_pairs, members, rep_of
 
 
 def _emb_bucket_sql(col: str) -> str:
@@ -464,38 +607,24 @@ def _minhash_verified_oracle() -> str:
     "extra keyed join on (doc_a, doc_b), cost O(|candidates|).",
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = dedup_minhash_lsh(spark, sf_dir)
-    # exact Jaccard, unthresholded (thresholding happens after the
-    # candidate join so FALSE candidates are visible to the filter)
-    t = Tables(spark, sf_dir)
-    # Arrow pass for the shingles (Column version is O(tokens^2)
-    # interpreted); empty-array filter == the >=3-token predicate.
-    docs = t.documents.select(
-        "doc_id", T.word_shingles_pandas(3)(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
-    )
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
-    )
-    x, y = sz.alias("x"), sz.alias("y")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("x.n") + F.col("y.n") - F.col("n_shared")
-    )
-    exact = (
-        shared.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, F.col("doc_b") == F.col("y.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
-    return (
-        cand.join(exact, ["doc_a", "doc_b"])
+    # Both stages run at the REPRESENTATIVE level (one row per distinct
+    # normalized text — _replicas gives both miners the same min-doc_id
+    # representatives, so (rep_a, rep_b) keys line up), and the fan-out
+    # to replica pairs happens exactly once, after verification.  Exact
+    # Jaccard is unthresholded until after the candidate join so FALSE
+    # candidates are visible to the filter.
+    cand, members, rep_of = _rep_minhash_pairs(spark, sf_dir)
+    exact, _, _ = _rep_jaccard_pairs(spark, sf_dir)
+    verified = (
+        cand.join(exact, ["rep_a", "rep_b"])
         .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "est_sim", "jaccard")
+        .select("rep_a", "rep_b", "est_sim", "jaccard")
+    )
+    return _fan_out(
+        verified,
+        members,
+        rep_of,
+        {"est_sim": F.lit(1.0), "jaccard": F.lit(1.0)},
     )
 
 

@@ -842,28 +842,54 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shared min-label propagation (O(diameter) rounds).",
 )
 def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The whole ensemble runs at the REPRESENTATIVE level (one vertex
+    # per distinct normalized text).  This is exact, not approximate:
+    #  - the exact-fingerprint signal connects precisely the replicas
+    #    of one fp, i.e. it is the within-cluster edge set — on the
+    #    rep graph it contributes nothing (a cluster is one vertex);
+    #  - minhash/simhash signatures are functions of the normalized
+    #    text, so replica pairs mirror their representatives' pairs;
+    #  - keeper = min doc_id of the component, and each rep IS the min
+    #    doc_id of its cluster, so min over a component's members
+    #    equals min over its reps — the rep-graph component label.
+    # Closure cost drops from O(replica-clique edges) to O(distinct
+    # texts); the only full-corpus work left is the linear fingerprint
+    # shuffle and the final membership join.
+    from risinglight_spark.operators.dedup import (
+        _rep_jaccard_pairs,
+        _rep_minhash_pairs,
+        _rep_simhash_pairs,
+        _replicas,
+    )
+
     t = Tables(spark, sf_dir)
-    fps = t.documents.select(
-        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    cand, members, _ = _rep_minhash_pairs(spark, sf_dir)
+    exact_jac, _, _ = _rep_jaccard_pairs(spark, sf_dir)
+    minhash = (
+        cand.join(exact_jac, ["rep_a", "rep_b"])
+        .filter(F.col("jaccard") >= 0.5)
+        .select("rep_a", "rep_b")
     )
-    a, b = fps.alias("a"), fps.alias("b")
-    exact = a.join(
-        b,
-        (F.col("a.fp") == F.col("b.fp"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    simhash, _, _ = _rep_simhash_pairs(spark, sf_dir)
+    rep_pairs = (
+        minhash.unionAll(simhash.select("rep_a", "rep_b"))
+        .select(
+            F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+        )
+        .distinct()
     )
-    minhash = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
-    simhash = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    pairs = exact.unionAll(minhash).unionAll(simhash).distinct()
-    labels = _propagate_min_labels(pairs)
+    rep_labels = _propagate_min_labels(rep_pairs).withColumnRenamed(
+        "doc_id", "rep"
+    )
+    _, reps = _replicas(t)
+    doc_rep = members.join(reps.select("fp", "rep"), "fp").select(
+        "doc_id", "rep"
+    )
     return (
-        t.documents.select("doc_id")
-        .join(labels, "doc_id", "left")
+        doc_rep.join(rep_labels, "rep", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper"),
+            F.coalesce(F.col("component"), F.col("rep")).alias("keeper"),
         )
         .withColumn("survives", F.col("keeper") == F.col("doc_id"))
     )
