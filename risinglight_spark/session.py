@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bars: they interleave with stdout and can
+        # push the bench's closing JSON line past the driver's tail
+        # capture (BENCH_r03 failed to parse exactly this way).
+        .config("spark.ui.showConsoleProgress", "false")
         # Split-size tuning: target >= #cores scan tasks at the LOCAL
         # test scale (sf0.1 fact files are ~10 MB; the default 128 MB
         # split makes every scan a single task on a 32-core machine —
