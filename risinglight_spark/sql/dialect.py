@@ -33,6 +33,12 @@ _CREATE_FN_RE = re.compile(
     re.I | re.S,
 )
 _PRAGMA_RE = re.compile(r"^\s*pragma\s+(\w+)\s*;?\s*$", re.I)
+# COPY t FROM/TO 'path' ( DELIMITER '|', ... )  — reference
+# src/binder/copy.rs accepts an optional parenthesized option list.
+_COPY_RE = re.compile(
+    r"^\s*copy\s+(\w+)\s+(from|to)\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$",
+    re.I | re.S,
+)
 _STAT_RE = re.compile(r"^\s*\\stat\s+(\w+)\s+(\w+)\s*$")
 _BLOB_LIT_RE = re.compile(r"'((?:\\x[0-9a-fA-F]{2}|[^'\\])*\\x[0-9a-fA-F]{2}(?:\\x[0-9a-fA-F]{2}|[^'\\])*)'")
 

@@ -25,7 +25,10 @@ import tempfile
 
 import re
 
+from pyspark.sql import functions as F
+
 from risinglight_spark.sql.dialect import (
+    _COPY_RE,
     _CREATE_INDEX_RE,
     _DELETE_RE,
     _DROP_RE,
@@ -132,9 +135,62 @@ class StatementExecutor:
         # per local-relation slice
         self.spark.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
 
+    def copy_statement(self, sql: str):
+        """``COPY t FROM/TO 'path' (opts)`` (reference
+        src/binder/copy.rs; executor src/executor/copy_from_file.rs /
+        copy_to_file.rs) -> 1-row DataFrame with the copied row count
+        (the reference prints the count as the statement's result).
+        Returns None when ``sql`` is not a COPY.  FROM appends to the
+        table (cast to its declared schema, trailing-delimiter column
+        of .tbl files dropped); TO writes delimited text.  Both sides
+        stream through executors — no driver materialization."""
+        cm = _COPY_RE.match(sql)
+        if not cm:
+            return None
+        t, direction, path, opts = cm.groups()
+        delim, header = ",", False
+        for om in re.finditer(
+            r"(?i)(delimiter)\s+'([^']*)'|(header)", opts or ""
+        ):
+            if om.group(1):
+                delim = om.group(2)
+            elif om.group(3):
+                header = True
+        tbl = self.spark.table(t)
+        if direction.lower() == "from":
+            raw = self.spark.read.options(
+                sep=delim, header=header, nullValue=""
+            ).csv(path)
+            # TPC-H .tbl convention: trailing delimiter yields one
+            # extra all-null column — drop surplus columns, then cast
+            # positionally to the declared schema (reference COPY FROM
+            # binds by position, src/binder/copy.rs).
+            cols = raw.columns[: len(tbl.schema)]
+            typed = raw.select(
+                *[
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(cols, tbl.schema.fields)
+                ]
+            )
+            staging = tempfile.mkdtemp(prefix="rl_copy_")
+            typed.write.mode("overwrite").parquet(staging)
+            staged = self.spark.read.schema(tbl.schema).parquet(staging)
+            staged.write.insertInto(t, overwrite=False)
+            n = staged.count()
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            tbl.write.options(
+                sep=delim, header=header, emptyValue=""
+            ).mode("overwrite").csv(path)
+            n = tbl.count()
+        return self.spark.createDataFrame([(n,)], "count BIGINT")
+
     def execute_statement(self, sql: str) -> str:
         self._pin_dialect_confs()
         sql = rewrite_era_literals(sql)
+        copied = self.copy_statement(sql)
+        if copied is not None:
+            return "ok"
         dm = _DELETE_RE.match(sql)
         if dm:
             t, cond = dm.group(1), dm.group(2)
@@ -144,12 +200,19 @@ class StatementExecutor:
                 if cond
                 else tbl.limit(0)
             )
-            # snapshot driver-side before the overwrite: writing a
-            # parquet table from a plan that reads the same files
-            # would truncate its own input (fine at slt scale; a
-            # Delta/Iceberg sink does this transactionally instead)
-            snap = self.spark.createDataFrame(keep.collect(), tbl.schema)
-            snap.write.insertInto(t, overwrite=True)
+            # copy-on-write: stage the keep-set to parquet first, then
+            # overwrite from the staged files (writing a parquet table
+            # from a plan that reads the same files would truncate its
+            # own input).  Fully distributed — executors stream the
+            # keep-set to the staging location and back; the driver
+            # never materializes rows (a Delta/Iceberg sink would make
+            # the same two-phase rewrite transactional).
+            staging = tempfile.mkdtemp(prefix="rl_delete_")
+            keep.write.mode("overwrite").parquet(staging)
+            self.spark.read.schema(tbl.schema).parquet(staging).write.insertInto(
+                t, overwrite=True
+            )
+            shutil.rmtree(staging, ignore_errors=True)
             return "ok"
         if _CREATE_INDEX_RE.match(sql):
             im = _CREATE_INDEX_PARTS_RE.match(sql)
@@ -198,6 +261,9 @@ class StatementExecutor:
     def execute_query(self, sql: str):
         """Reference-dialect query -> DataFrame."""
         self._pin_dialect_confs()
+        copied = self.copy_statement(sql)
+        if copied is not None:
+            return copied
         sql = rewrite_query(sql)
         if re.search(r"(?i)\bpg_catalog\.contributors\b", sql):
             self.spark.createDataFrame(

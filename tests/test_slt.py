@@ -121,6 +121,8 @@ SLT_FILES = [
     "vector_index.slt",
     "view.slt",
     "where.slt",
+    # subdirectories
+    "copy/csv.slt",
 ]
 
 

@@ -145,7 +145,14 @@ class SltRunner:
         checked = skipped = 0
         failures: list[str] = []
         skipped_tables: set[str] = set()
+        # sqllogictest `control substitution on` variables + relative
+        # fixture paths (copy/csv.slt reads 'tests/sql/copy/nation.tbl'
+        # relative to the reference checkout root)
+        ref_root = path.split("/tests/sql/")[0]
         for rec in parse_slt(path):
+            rec.sql = rec.sql.replace("${__TEST_DIR__}", scratch).replace(
+                "'tests/sql/", f"'{ref_root}/tests/sql/"
+            )
             if any(p in rec.sql for p in skip_patterns):
                 m = _CREATE_RE.match(rec.sql)
                 if m:
