@@ -720,8 +720,10 @@ HIST_BINS = 20
       FROM events WHERE value IS NOT NULL
     ),
     binned AS (
-      SELECT least(CAST(floor((value - lo) / ((hi - lo) / {HIST_BINS}.0))
-                   AS BIGINT), {HIST_BINS - 1}) AS bin,
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((value - lo)
+                                  / ((hi - lo) / {HIST_BINS}.0))
+                             AS BIGINT), {HIST_BINS - 1}) END AS bin,
              lo, hi
       FROM events, stats WHERE value IS NOT NULL
     )
@@ -747,9 +749,14 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / float(HIST_BINS)
-    bin_ = F.least(
-        F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
-        F.lit(HIST_BINS - 1),
+    # degenerate constant column (hi == lo): width is 0 and the
+    # division is engine-dependent (NULL/NaN/Inf) — pin everything to
+    # bin 0 in BOTH the Spark plan and the oracle SQL
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+            F.lit(HIST_BINS - 1),
+        )
     )
     return (
         ev.crossJoin(F.broadcast(stats))

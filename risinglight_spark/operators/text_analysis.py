@@ -1657,13 +1657,18 @@ def text_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.col("t")
     n = F.size(toks)
+    # index-aware transform over the token array itself (NOT
+    # sequence(1, n): Spark's sequence(1, 0) yields the descending
+    # [1, 0] and element_at(t, 0) throws — a zero-token doc must just
+    # produce an empty corrupted array, as DuckDB's generate_series
+    # does)
     corrupted = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.when(
-            (F.col("doc_id") * _MLM_MULT + i * _MLM_POS) % 1000
+        toks,
+        lambda x, i: F.when(
+            (F.col("doc_id") * _MLM_MULT + (i + 1) * _MLM_POS) % 1000
             < MLM_RATE_PCT * 10,
             F.lit("<mask>"),
-        ).otherwise(F.element_at(toks, i)),
+        ).otherwise(x),
     )
     return docs.select(
         "doc_id",

@@ -304,11 +304,12 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_exclude_current",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE)
+                               * 100000000.0, 0) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
              EXCLUDE CURRENT ROW
-           ), 4) AS peers_total,
+           ) AS DOUBLE) / 100000000.0 AS peers_total,
            count(*) OVER (
              PARTITION BY o_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
@@ -321,30 +322,29 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leakage): DuckDB runs the SQL:2011 EXCLUDE clause natively (the "
     "oracle); Spark has no EXCLUDE, so the engine applies the "
     "algebraic rewrite agg(frame) - agg(current row) — one full-frame "
-    "window minus the row's own contribution.  Sums stay exact "
-    "(decimal path) so the subtraction is lossless; same single "
-    "partition-key shuffle either way.",
+    "window minus the row's own contribution.  BOTH engines use the "
+    "same fixed-point discipline (round(x*1e8) summed as int64 — the "
+    "fpsum pattern), so frame-sum minus own-contribution is exact "
+    "integer arithmetic and the results are bit-identical at any "
+    "parallelism; same single partition-key shuffle either way.",
 )
 def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    price_dec = F.col("o_totalprice").cast("decimal(18,6)")
+    scaled = F.round(F.col("o_totalprice").cast("double") * 1e8, 0).cast(
+        "long"
+    )
     n_peers = F.count("*").over(w) - F.lit(1)
     return t.orders.select(
         "o_custkey",
         "o_orderkey",
         # SQL semantics: an aggregate over an EMPTY excluded frame is
         # NULL (sum), so a single-row partition must not yield 0.0.
-        # round to 4 dp: the engine-side subtraction is decimal-exact
-        # while the oracle's native EXCLUDE accumulates raw doubles —
-        # they agree to ~1e-10, not bitwise
         F.when(
             n_peers > 0,
-            F.round(
-                (F.sum(price_dec).over(w) - price_dec).cast("double"), 4
-            ),
+            (F.sum(scaled).over(w) - scaled).cast("double") / F.lit(1e8),
         ).alias("peers_total"),
         n_peers.alias("n_peers"),
     )

@@ -449,41 +449,43 @@ def _has_protobuf() -> bool:
         return False
 
 
-def _register_tws(fn):
-    if not _has_protobuf():
-        return fn
-    return register(
-        "streaming_transform_with_state",
-        oracle="""
+@register(
+    "streaming_transform_with_state",
+    oracle="""
     SELECT user_id, count(value) AS n_events,
            min(value) AS min_value, max(value) AS max_value
     FROM events WHERE value IS NOT NULL
     GROUP BY user_id
     """,
-        doc="Arbitrary stateful streaming via transformWithStateInPandas "
+    doc="Arbitrary stateful streaming via transformWithStateInPandas "
     "(the Spark 4 successor to applyInPandasWithState): per-user "
     "running (count, min, max) held in a typed ValueState.  With "
     "AvailableNow the final state equals the batch aggregate "
     "(oracle).  One ValueState row per user on the state-key "
-        "shuffle; the API adds typed composite state, timers, and TTL "
-        "for production unbounded streams.",
-    )(fn)
-
-
-@_register_tws
+    "shuffle; the API adds typed composite state, timers, and TTL "
+    "for production unbounded streams.  Environment gate: the typed-"
+    "state Python worker talks to the state server over protobuf; "
+    "where google.protobuf is absent (this container), the SAME "
+    "per-key processor logic runs through applyInPandasWithState — "
+    "identical state semantics and output, minus timers/TTL — so the "
+    "operator stays green everywhere and exercises the typed-state "
+    "API wherever the dependency exists.",
+)
 def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # transformWithState requires the RocksDB state store (typed state
-    # with schema evolution lives outside the HDFS-backed default)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    sdf = _events_stream(spark, sf_dir)
-    out = (
-        sdf.filter(F.col("value").isNotNull())
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
         .select("user_id", "value")
         .groupBy("user_id")
-        .transformWithStateInPandas(
+    )
+    if _has_protobuf():
+        # transformWithState requires the RocksDB state store (typed
+        # state with schema evolution lives outside the HDFS default)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        out = sdf.transformWithStateInPandas(
             statefulProcessor=_make_range_processor(),
             outputStructType=(
                 "user_id BIGINT, n_events BIGINT, "
@@ -492,8 +494,43 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
             outputMode="Update",
             timeMode="None",
         )
-    )
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        out = sdf.applyInPandasWithState(
+            _range_state_fallback,
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT, "
+                "min_value DOUBLE, max_value DOUBLE"
+            ),
+            stateStructType="n BIGINT, mn DOUBLE, mx DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     return _run_to_table(out, spark, "update")
+
+
+def _range_state_fallback(key, pdfs, state):
+    """applyInPandasWithState twin of _make_range_processor: running
+    (count, min, max) of value per user — the identical fold the typed
+    ValueState processor runs, expressed in the older state API."""
+    n, mn, mx = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        if len(vals):
+            n += int(len(vals))
+            lo, hi = float(vals.min()), float(vals.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+    state.update((n, mn, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "min_value": [mn],
+            "max_value": [mx],
+        }
+    )
 
 
 @register(

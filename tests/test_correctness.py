@@ -10,11 +10,15 @@ DuckDB.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
 from oracle_check import value_hash  # noqa: E402
 
 from risinglight_spark.registry import collect  # noqa: E402
