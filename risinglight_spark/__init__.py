@@ -21,5 +21,18 @@ streaming/     Structured Streaming pipelines over the events table
 
 from risinglight_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.3.0"
+
+def open(path):  # noqa: A001 - mirrors risinglight.open (python/mod.rs:46)
+    from risinglight_spark.embedded import open as _open
+
+    return _open(path)
+
+
+def open_in_memory():
+    from risinglight_spark.embedded import open_in_memory as _open_in_memory
+
+    return _open_in_memory()
+
+
+__all__ = ["get_spark", "open", "open_in_memory"]
+__version__ = "0.4.0"

@@ -835,33 +835,92 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     doc="Exact weighted median (price weighted by quantity) per "
-    "return flag: one partition-keyed sort, an integer-exact "
-    "cumulative weight, and the crossing row found by 2*cw >= total — "
-    "all-integer comparison, no division, no float threshold, so the "
-    "crossing is unambiguous on both engines (price ties collapse to "
-    "the same value by construction).  The shape generalizes to any "
-    "exact weighted quantile; approx_percentile is the sketch "
-    "alternative when a sort per group is too much.",
+    "return flag, WITHOUT a per-group sort of the fact table: "
+    "two-pass histogram refinement.  Pass 1 buckets prices into "
+    "1024 equi-width bins per group (one map-side-combined groupBy; "
+    "the per-group min/max/total stats side is a broadcast) and finds "
+    "the bucket where the integer cumulative weight crosses total/2 "
+    "(a window over <= 1024 rows per group — bounded, never "
+    "data-sized).  Pass 2 sorts ONLY the crossing bucket's rows "
+    "(~1/1024 of each group) and finds the exact crossing row by "
+    "2*cw >= total — all-integer comparison, no division, so the "
+    "crossing is unambiguous on both engines.  The former shape "
+    "(window-sort of every row per group) was the 10x-probe's worst "
+    "offender at 4.8 s; this one scans the fact twice and sorts a "
+    "slice.  Generalizes to any exact weighted quantile; "
+    "approx_percentile stays the one-pass sketch alternative when "
+    "two scans are too many.",
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    _WM_BINS = 1024
     t = Tables(spark, sf_dir)
-    wq = F.col("l_quantity").cast("bigint")
-    wcum = (
+    li = t.lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.sum("w").alias("total"),
+    )
+    width = (F.col("hi") - F.col("lo")) / float(_WM_BINS)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
+                "bigint"
+            ),
+            F.lit(_WM_BINS - 1),
+        )
+    )
+    binned = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag", "l_extendedprice", "w", "total", bucket.alias("b")
+    )
+    hist = binned.groupBy("l_returnflag", "b").agg(F.sum("w").alias("bw"))
+    wb = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "b",
+        F.sum("bw").over(wb).alias("cw_end"),
+        (F.sum("bw").over(wb) - F.col("bw")).alias("cw_before"),
+    )
+    crossing = (
+        cum.join(
+            F.broadcast(stats.select("l_returnflag", "total")), "l_returnflag"
+        )
+        .filter(2 * F.col("cw_end") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by(F.struct("b", "cw_before"), "b").alias("cb"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("cb.b").alias("cb"),
+            F.col("cb.cw_before").alias("cw_before"),
+        )
+    )
+    inb = binned.join(F.broadcast(crossing), "l_returnflag").filter(
+        F.col("b") == F.col("cb")
+    )
+    wr = (
         Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wall = Window.partitionBy("l_returnflag")
-    cum = t.lineitem.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum(wq).over(wcum).alias("cw"),
-        F.sum(wq).over(wall).alias("total"),
-    )
     return (
-        cum.filter(2 * F.col("cw") >= F.col("total"))
+        inb.select(
+            "l_returnflag",
+            "l_extendedprice",
+            (F.col("cw_before") + F.sum("w").over(wr)).alias("cw"),
+            "total",
+        )
+        .filter(2 * F.col("cw") >= F.col("total"))
         .groupBy("l_returnflag")
         .agg(
             F.min("l_extendedprice").alias("weighted_median_price"),

@@ -236,6 +236,9 @@ _R5_QUEUE: tuple[str, ...] = (
     "unnest_with_ordinality",
     "join_interval_bucketed_global",
     "copy_compact_small_files",
+    # round-4 additions, queued for driver verification
+    "streaming_transform_with_state",
+    "explain_cost_estimates",
 )
 
 _PRIORITY: tuple[str, ...] = (*_R4_GATE, *_R5_QUEUE, *_R3_VERIFIED)
