@@ -250,35 +250,43 @@ def pragma_session_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (VALUES
       ('orders_pk_idx', 'orders', 'btree', 'o_orderkey', true),
-      ('emb_ivf_idx', 'embeddings', 'ivfflat', 'embedding', false)
+      ('emb_ivf_idx', 'embeddings', 'ivfflat', 'embedding', false),
+      ('emb_hnsw_idx', 'embeddings', 'hnsw', 'embedding', true)
     ) AS t(indexname, tablename, method, keycol, is_noop)
     """,
-    doc="CREATE INDEX parity (binder/create_index.rs:33-41): btree is "
-    "accepted as a no-op (Spark relies on parquet min/max + Z-order at "
-    "the storage layer instead), ivfflat records vector-index metadata "
-    "that the ANN path (ann_lsh_bucketed) consumes.  pg_indexes-style "
-    "listing comes back as data.",
+    doc="CREATE INDEX parity (binder/create_index.rs:33-41, IndexType "
+    "Btree | Hnsw | IvfFlat): the DDL actually runs through the shared "
+    "statement executor, which records each index's USING method.  "
+    "btree and hnsw are accepted as declared-only metadata (exactly "
+    "the reference's behavior — its mem engine never consults them; "
+    "Spark relies on parquet min/max + Z-order for btree's job), "
+    "ivfflat metadata feeds the ANN bucketed path (ann_lsh_bucketed).  "
+    "pg_indexes-style listing comes back as data.",
 )
 def ddl_create_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.sql.executor import StatementExecutor
+
     register_views(spark, sf_dir)
-    # "CREATE INDEX orders_pk_idx ON orders USING btree (o_orderkey)"
-    # "CREATE INDEX emb_ivf_idx ON embeddings USING ivfflat (embedding)"
+    ex = StatementExecutor(spark)
+    for ddl in (
+        "CREATE INDEX orders_pk_idx ON orders USING btree (o_orderkey)",
+        "CREATE INDEX emb_ivf_idx ON embeddings USING ivfflat (embedding)",
+        "CREATE INDEX emb_hnsw_idx ON embeddings USING hnsw (embedding)",
+    ):
+        ex.execute_statement(ddl)
     rows = [
         Row(
-            indexname="orders_pk_idx",
-            tablename="orders",
-            method="btree",
-            keycol="o_orderkey",
-            is_noop=True,
-        ),
-        Row(
-            indexname="emb_ivf_idx",
-            tablename="embeddings",
-            method="ivfflat",
-            keycol="embedding",
-            is_noop=False,
-        ),
+            indexname=name,
+            tablename=table,
+            method=ex.index_types[name],
+            keycol=cols[0],
+            is_noop=ex.index_types[name] != "ivfflat",
+        )
+        for name, table, cols, _ in ex.indexes
     ]
+    from risinglight_spark.sql.executor import restore_dialect_confs
+
+    restore_dialect_confs(spark)
     return spark.createDataFrame(
         rows,
         "indexname STRING, tablename STRING, method STRING, "

@@ -33,6 +33,11 @@ _CREATE_FN_RE = re.compile(
     re.I | re.S,
 )
 _PRAGMA_RE = re.compile(r"^\s*pragma\s+(\w+)\s*;?\s*$", re.I)
+# SET mock_rowcount_<table> = N — the reference's planner-test stats
+# hook (src/db.rs:175-193).
+_SET_MOCK_ROWCOUNT_RE = re.compile(
+    r"^\s*set\s+mock_rowcount_(\w+)\s*=\s*(\d+)\s*;?\s*$", re.I
+)
 # COPY t FROM/TO 'path' ( DELIMITER '|', ... )  — reference
 # src/binder/copy.rs accepts an optional parenthesized option list.
 _COPY_RE = re.compile(

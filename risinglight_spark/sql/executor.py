@@ -35,6 +35,7 @@ from risinglight_spark.sql.dialect import (
     _DROP_VIEW_RE,
     _PRAGMA_MAP,
     _PRAGMA_RE,
+    _SET_MOCK_ROWCOUNT_RE,
     rewrite_create_function,
     rewrite_ddl,
     rewrite_era_literals,
@@ -88,7 +89,7 @@ def restore_dialect_confs(spark) -> None:
 
 _CREATE_INDEX_PARTS_RE = re.compile(
     r"^\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*"
-    r"(?:using\s+\w+\s*)?\(([^)]*)\)",
+    r"(?:using\s+(\w+)\s*)?\(([^)]*)\)",
     re.I,
 )
 
@@ -107,6 +108,7 @@ class StatementExecutor:
         # (catalog.slt: table t -> 0, index i1 -> 1)
         self.table_ids: dict[str, int] = {}
         self.indexes: list[tuple[str, str, list[str], int]] = []
+        self.index_types: dict[str, str] = {}
         self._next_id = 0
         # reference INSERT semantics are permissive (string literals
         # into typed columns, e.g. type.slt dates); Spark 4 defaults
@@ -214,10 +216,33 @@ class StatementExecutor:
             )
             shutil.rmtree(staging, ignore_errors=True)
             return "ok"
+        sm = _SET_MOCK_ROWCOUNT_RE.match(sql)
+        if sm:
+            # reference planner-test hook (src/db.rs:175-193): SET
+            # mock_rowcount_<table> = N overrides the table's row-count
+            # statistic.  Spark analog: record the session conf (always
+            # observable, like the reference's config entry) and pin
+            # numRows via TBLPROPERTIES — which feeds CBO on
+            # Hive-metastore-backed catalogs; the local in-memory
+            # catalog stores but does not consume it, matching the
+            # reference where mock stats exist purely for planner
+            # tests, not execution.
+            table, n = sm.group(1), int(sm.group(2))
+            self.spark.conf.set(f"mock_rowcount_{table}", str(n))
+            try:
+                if self.spark.catalog.tableExists(table):
+                    self.spark.sql(
+                        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+                        f"'spark.sql.statistics.numRows'='{n}', "
+                        f"'spark.sql.statistics.totalSize'='{max(n, 1)}')"
+                    )
+            except Exception:
+                pass  # temp views have no catalog entry to annotate
+            return "ok"
         if _CREATE_INDEX_RE.match(sql):
             im = _CREATE_INDEX_PARTS_RE.match(sql)
             if im:
-                name, table, cols = im.groups()
+                name, table, method, cols = im.groups()
                 self.indexes.append(
                     (
                         name,
@@ -226,6 +251,12 @@ class StatementExecutor:
                         self._alloc_id(name),
                     )
                 )
+                # index type registry (reference binder/create_index.rs
+                # IndexType: Btree | Hnsw | IvfFlat — all declared-only
+                # in the reference's mem engine; here btree/hnsw are
+                # metadata no-ops and ivfflat metadata feeds the ANN
+                # bucketed path)
+                self.index_types[name] = (method or "btree").lower()
             return "ok"
         vm = _DROP_VIEW_RE.match(sql)
         if vm:

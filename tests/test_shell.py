@@ -72,3 +72,38 @@ def test_is_query_and_split():
     assert is_query("SELECT 1") and is_query("  with x as (select 1) select * from x")
     assert not is_query("INSERT INTO t VALUES (1)")
     assert _split_statements("select ';'; select 2;") == ["select ';'", "select 2"]
+
+
+def test_set_mock_rowcount_accepted(spark):
+    """Reference planner-test hook (src/db.rs:175-193): SET
+    mock_rowcount_<table> = N is accepted and recorded."""
+    from risinglight_spark.sql.executor import StatementExecutor
+
+    ex = StatementExecutor(spark)
+    ex.execute_statement("CREATE TABLE mock_rc_t (a INT)")
+    assert ex.execute_statement("SET mock_rowcount_mock_rc_t = 777") == "ok"
+    assert spark.conf.get("mock_rowcount_mock_rc_t") == "777"
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql("SHOW TBLPROPERTIES mock_rc_t").collect()
+    }
+    assert props.get("spark.sql.statistics.numRows") == "777"
+    ex.execute_statement("DROP TABLE mock_rc_t")
+
+
+def test_create_index_records_method(spark):
+    """IndexType parity (binder/create_index.rs:33-41): btree, hnsw,
+    and ivfflat USING clauses are each recorded distinctly."""
+    from risinglight_spark.sql.executor import StatementExecutor
+
+    ex = StatementExecutor(spark)
+    ex.execute_statement("CREATE TABLE idx_t (k INT, v INT)")
+    ex.execute_statement("CREATE INDEX i_bt ON idx_t USING btree (k)")
+    ex.execute_statement("CREATE INDEX i_hn ON idx_t USING hnsw (v)")
+    ex.execute_statement("CREATE INDEX i_default ON idx_t (k)")
+    assert ex.index_types == {
+        "i_bt": "btree",
+        "i_hn": "hnsw",
+        "i_default": "btree",
+    }
+    ex.execute_statement("DROP TABLE idx_t")
