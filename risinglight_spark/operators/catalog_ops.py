@@ -358,9 +358,13 @@ def _plan_estimate(df) -> tuple[int | None, int]:
 def explain_cost_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     spark.sql("DROP TABLE IF EXISTS rl_cbo_orders")
+    # external table at a fresh temp location: a managed saveAsTable
+    # can collide with a stale warehouse dir left by an interrupted
+    # run (LOCATION_ALREADY_EXISTS)
+    loc = os.path.join(tempfile.mkdtemp(prefix="rl_cbo_"), "orders")
     t.orders.select("o_orderkey", "o_totalprice").write.mode(
         "overwrite"
-    ).saveAsTable("rl_cbo_orders")
+    ).option("path", loc).saveAsTable("rl_cbo_orders")
     spark.sql(
         "ANALYZE TABLE rl_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS"
     )

@@ -1851,3 +1851,92 @@ def events_ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+ATTRIB_WINDOW_SEC = 7 * 24 * 3600  # 7-day last-touch lookback
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH cp AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    filled AS (
+      SELECT *,
+             max(CASE WHEN kind = 0 THEN {{'ts': ts, 'eid': event_id}} END)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click
+      FROM cp
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN last_click IS NOT NULL
+                 AND date_diff('second', (last_click).ts, ts)
+                     <= {ATTRIB_WINDOW_SEC}
+                THEN (last_click).eid END AS attributed_click_id,
+           CASE WHEN last_click IS NOT NULL
+                 AND date_diff('second', (last_click).ts, ts)
+                     <= {ATTRIB_WINDOW_SEC}
+                THEN date_diff('second', (last_click).ts, ts)
+           END AS lag_seconds
+    FROM filled WHERE kind = 1
+    """,
+    doc="Marketing-style last-touch attribution: each purchase is "
+    "attributed to the same user's most recent click at-or-before it, "
+    "but only within a 7-day lookback (outside the window the "
+    "purchase stays unattributed — NULL, not the stale click).  Same "
+    "single-ordered-pass shape as events_asof_join: union clicks and "
+    "purchases, one window per user carrying max(struct(ts, "
+    "event_id)) over clicks seen so far (struct max = latest click, "
+    "ties impossible on unique event_id), lookback enforced by an "
+    "integer epoch-seconds comparison.  One user-keyed shuffle total "
+    "— never a per-purchase range join; at 100 TB this is the "
+    "sessionization-class shape that scales linearly with events per "
+    "user.",
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cp = t.events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = cp.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "kind",
+        F.max(
+            F.when(F.col("kind") == 0, F.struct("ts", "event_id"))
+        ).over(w).alias("last_click"),
+    )
+    # NTZ has no direct long cast; session tz is pinned UTC, so the
+    # timestamp hop is deterministic epoch seconds
+    def _epoch(c):
+        return c.cast("timestamp").cast("long")
+
+    lag = _epoch(F.col("ts")) - _epoch(F.col("last_click.ts"))
+    in_window = F.col("last_click").isNotNull() & (
+        lag <= ATTRIB_WINDOW_SEC
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("last_click.event_id")).alias(
+            "attributed_click_id"
+        ),
+        F.when(in_window, lag).alias("lag_seconds"),
+    )

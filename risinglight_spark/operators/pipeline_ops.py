@@ -1757,3 +1757,74 @@ def ml_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("label").alias("max_label"),
         )
     )
+
+
+PPS_SAMPLES = 50  # systematic sample size (selection multiplicity sums to this)
+
+
+@register(
+    "sample_systematic_pps",
+    oracle=f"""
+    WITH wt AS (
+      SELECT doc_id, {T.token_count_sql('text')}::BIGINT AS w,
+             {T.char_hash_sql('CAST(doc_id AS VARCHAR)')} AS hk
+      FROM documents
+      WHERE {T.token_count_sql('text')} > 0
+    ),
+    cum AS (
+      SELECT doc_id, w, hk,
+             sum(w) OVER (ORDER BY hk, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER () AS total
+      FROM wt
+    )
+    SELECT doc_id, w AS weight,
+           (CAST(floor(cw * {PPS_SAMPLES} / total) AS BIGINT)
+            - CAST(floor((cw - w) * {PPS_SAMPLES} / total) AS BIGINT))
+             AS n_hits
+    FROM cum
+    WHERE CAST(floor(cw * {PPS_SAMPLES} / total) AS BIGINT)
+          > CAST(floor((cw - w) * {PPS_SAMPLES} / total) AS BIGINT)
+    """,
+    doc=f"Systematic probability-proportional-to-size sampling "
+    f"({PPS_SAMPLES} draws, weight = token count): order the corpus "
+    "by a deterministic hash key (the portable char-hash — a seeded "
+    "shuffle both engines replay exactly), take the exact integer "
+    "cumulative weight, and select every doc whose weight interval "
+    "[cw-w, cw) crosses a multiple of total/k — pure int64 "
+    "floor((cw*k)/total) comparisons, no RNG, no transcendental, so "
+    "the draw is bit-identical at any parallelism.  Selection "
+    "multiplicity (n_hits) sums to exactly k, and heavy docs can "
+    "legitimately be drawn more than once, exactly like classical "
+    "systematic PPS.  Scale shape: one hash-ordered cumulative pass "
+    "(the same shape as pack_sequences) — at 100 TB you'd range-"
+    "partition on the hash key and prefix-sum per partition with "
+    "broadcast offsets; no per-draw scans, no reservoir state.",
+)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wt = t.documents.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("w"),
+        T.char_hash(F.col("doc_id").cast("string")).alias("hk"),
+    ).filter(F.col("w") > 0)
+    wc = Window.orderBy("hk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = wt.select(
+        "doc_id",
+        "w",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wall).alias("total"),
+    )
+    # floor on BOTH engines (a bare CAST rounds in DuckDB but
+    # truncates in Spark); the product stays < 2^53 so the double
+    # division floors identically
+    hi = F.floor(F.col("cw") * PPS_SAMPLES / F.col("total")).cast("bigint")
+    lo = F.floor(
+        (F.col("cw") - F.col("w")) * PPS_SAMPLES / F.col("total")
+    ).cast("bigint")
+    return cum.filter(hi > lo).select(
+        "doc_id", F.col("w").alias("weight"), (hi - lo).alias("n_hits")
+    )

@@ -1792,3 +1792,46 @@ def vector_dim_variance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         arms = arm if arms is None else arms.unionAll(arm)
     w = Window.orderBy(F.desc("variance"), "dim")
     return arms.select("dim", "variance", F.row_number().over(w).alias("rnk"))
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    SELECT e.vec_id, d.lang, d.source,
+           {_cosine_sql('e.embedding', QUERY_VEC)} AS cos_dist
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    WHERE d.lang = 'en' AND d.n_chars >= 200
+    ORDER BY cos_dist, vec_id
+    LIMIT 10
+    """,
+    doc="Metadata-filtered vector search (the filtered-ANN pattern "
+    "every production vector store ships: 'nearest neighbors among "
+    "docs matching a predicate').  Pre-filter strategy: the metadata "
+    "predicate joins/filters BEFORE distance scoring, so the scan "
+    "prunes to the eligible subset and top-k runs as "
+    "TakeOrderedAndProject over survivors only — correct recall by "
+    "construction (post-filtering an unfiltered top-k can return "
+    "fewer than k).  At 100 TB the predicate columns live WITH the "
+    "vectors (here via the vec_id = doc_id join; in storage you'd "
+    "co-locate or partition by the filter column so the join is "
+    "free and the filter prunes partitions before any distance "
+    "math).",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    eligible = t.documents.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select("doc_id", "lang", "source")
+    return (
+        t.embeddings.join(eligible, t.embeddings.vec_id == eligible.doc_id)
+        .select(
+            "vec_id",
+            "lang",
+            "source",
+            cosine_distance(F.col("embedding"), lit_vector(QUERY_VEC)).alias(
+                "cos_dist"
+            ),
+        )
+        .orderBy("cos_dist", "vec_id")
+        .limit(10)
+    )

@@ -239,6 +239,9 @@ _R5_QUEUE: tuple[str, ...] = (
     # round-4 additions, queued for driver verification
     "streaming_transform_with_state",
     "explain_cost_estimates",
+    "ann_filtered_topk",
+    "events_attribution_last_touch",
+    "sample_systematic_pps",
 )
 
 _PRIORITY: tuple[str, ...] = (*_R4_GATE, *_R5_QUEUE, *_R3_VERIFIED)
