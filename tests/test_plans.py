@@ -619,3 +619,25 @@ def test_global_interval_join_is_bucket_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_filtered_ann_prefilters_before_topk(spark, sf_dir):
+    """ann_filtered_topk: the metadata predicate must prune BEFORE the
+    distance top-k (pre-filter strategy), and the k-row result must
+    come from TakeOrderedAndProject, not a full sort."""
+    plan = _plan(spark, sf_dir, "ann_filtered_topk")
+    assert "TakeOrderedAndProject" in plan
+    # the documents-side predicate is pushed into its scan
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [")
+    assert any("n_chars" in seg.split("]")[0] for seg in pushed[1:])
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """events_attribution_last_touch: one user-keyed exchange feeds the
+    ordered window pass — never a per-purchase range join (no join at
+    all in the plan) and no cartesian."""
+    plan = _plan(spark, sf_dir, "events_attribution_last_touch")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure union + window, no join operator
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
