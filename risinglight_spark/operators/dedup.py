@@ -210,14 +210,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rep_jaccard_pairs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    mr: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Unthresholded exact-Jaccard pairs over representative texts:
     (rep_pairs(rep_a, rep_b, jaccard), members, rep_of).  Shingling is
     one Arrow pass per DISTINCT text (Column version is O(tokens^2)
-    interpreted); empty-array filter == the >=3-token predicate."""
-    t = Tables(spark, sf_dir)
-    members, reps = _replicas(t)
+    interpreted); empty-array filter == the >=3-token predicate.
+    ``mr`` lets composite ops (verified / multi-signal) share one
+    replica-collapse pass across signals."""
+    members, reps = mr or _replicas(Tables(spark, sf_dir))
     uniq = reps.select(
         "fp",
         "rep",
@@ -306,30 +309,36 @@ def _rep_minhash_pairs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Banded-LSH candidate pairs over representative texts:
-    (rep_pairs(rep_a, rep_b, est_sim), members, rep_of)."""
+    (rep_pairs(rep_a, rep_b, est_sim), members, rep_of).
+
+    Signature-first collapse: the 16-permutation minhash signature is
+    per-document LOCAL (one Arrow-batched numpy-reduceat UDF — see
+    minhash_sig_pandas; no explode, no shuffle), and the replica
+    collapse then groups the ~100-byte (fp, sig) rows — the corpus
+    TEXT never shuffles, only signatures (1e-4 of corpus size).
+    Identical texts have identical signatures, so first(sig) per
+    fingerprint is deterministic."""
     t = Tables(spark, sf_dir)
-    members, reps = _replicas(t)
-    # Signature computation is per-document LOCAL: one Arrow-batched
-    # UDF produces the 16-permutation minhash signature directly
-    # (numpy reduceat over the batch's flat shingle stream — see
-    # minhash_sig_pandas), and it runs once per DISTINCT text.
-    # No explode, no shuffle: the previous explode -> groupBy(doc_id)
-    # .agg(16 mins) formulation multiplied rows ~|shingles|x and
-    # shuffled all of it.  At 100 TB the signature stage is a pure map.
+    sigdocs = t.documents.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.minhash_sig_pandas(PERM_A, PERM_B)(F.col("text")).alias("sig"),
+    )
+    members = sigdocs.select("doc_id", "fp")
     sig = (
-        reps.select(
-            "fp",
-            F.col("rep").alias("doc_id"),
-            "csize",
-            T.minhash_sig_pandas(PERM_A, PERM_B)(F.col("text")).alias("sig"),
+        sigdocs.filter(F.col("sig").isNotNull())
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("sig").alias("sig"),
+            F.count("*").alias("csize"),
         )
-        .filter(F.col("sig").isNotNull())
-        # Materialize the signature table: both sides of the band
-        # self-join read it, and persisting guarantees the Arrow
-        # signature pipeline runs once (plan-level exchange reuse does
-        # not dedupe Python stages).  At cluster scale this is the
-        # signature table you'd write to storage before pair-joining;
-        # it is ~100 bytes/doc, 1e-4 of corpus size.
+        # Materialize the collapsed signature table: both sides of the
+        # band self-join and the fan-out read it, and persisting
+        # guarantees the Arrow signature pipeline runs once (plan-level
+        # exchange reuse does not dedupe Python stages).  At cluster
+        # scale this is the signature table you'd write to storage
+        # before pair-joining.
         .persist()
     )
     # eager materialization: with a lazy persist, the band self-join's
@@ -443,22 +452,26 @@ def _rep_simhash_pairs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Byte-banded simhash pairs over representative texts:
-    (rep_pairs(rep_a, rep_b, hamming), members, rep_of)."""
+    (rep_pairs(rep_a, rep_b, hamming), members, rep_of).
+    Signature-first collapse, same rationale as _rep_minhash_pairs:
+    the per-doc signature is a pure Arrow map (numpy bit-plane
+    reduceat — see simhash_pandas) and only the 8-byte signature
+    shuffles for the replica collapse, never the text."""
     t = Tables(spark, sf_dir)
-    members, reps = _replicas(t)
-    # Per-document LOCAL signature via one Arrow-batched UDF (numpy
-    # bit-plane reduceat — see simhash_pandas), once per DISTINCT text.
-    # Replaces the explode -> groupBy(doc_id).agg(32 bit-sums)
-    # formulation: no row explosion, no shuffle; at 100 TB the
-    # signature stage is a pure map.
+    sigdocs = t.documents.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.simhash_pandas(SIM_BITS)(F.col("text")).alias("sh"),
+    )
+    members = sigdocs.select("doc_id", "fp")
     sig = (
-        reps.select(
-            "fp",
-            F.col("rep").alias("doc_id"),
-            "csize",
-            T.simhash_pandas(SIM_BITS)(F.col("text")).alias("sh"),
+        sigdocs.filter(F.col("sh").isNotNull())
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("sh").alias("sh"),
+            F.count("*").alias("csize"),
         )
-        .filter(F.col("sh").isNotNull())
         # Materialized signature table — same rationale as the minhash
         # band join: one Arrow pass, both join sides read the cache.
         .persist()

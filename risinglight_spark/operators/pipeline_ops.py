@@ -881,10 +881,11 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_labels = _propagate_min_labels(rep_pairs).withColumnRenamed(
         "doc_id", "rep"
     )
-    _, reps = _replicas(t)
-    doc_rep = members.join(reps.select("fp", "rep"), "fp").select(
-        "doc_id", "rep"
-    )
+    # rep per fp for EVERY doc (incl. unshingled short texts — the
+    # exact signal still collapses those clusters); shuffles only
+    # (fp, doc_id) pairs, never text
+    reps_all = members.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    doc_rep = members.join(reps_all, "fp").select("doc_id", "rep")
     return (
         doc_rep.join(rep_labels, "rep", "left")
         .select(
