@@ -859,7 +859,6 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rep_jaccard_pairs,
         _rep_minhash_pairs,
         _rep_simhash_pairs,
-        _replicas,
     )
 
     t = Tables(spark, sf_dir)
