@@ -84,6 +84,9 @@ HEADLINE_EXTRA = (
     "agg_weighted_median",
     "events_ab_ratio_delta",
     "ml_kfold_split",
+    "ann_filtered_topk",
+    "events_attribution_last_touch",
+    "sample_systematic_pps",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.
