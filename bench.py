@@ -186,15 +186,21 @@ def main() -> None:
     # pushed past the capture window by Spark console-progress noise
     # (now disabled in session.py).  Belt and braces: stop the executor
     # pool before printing so no late stderr interleaves, emit the line
-    # with an explicit flush, and persist a file copy the driver (or a
-    # human) can always read.
+    # with an explicit flush FIRST, then best-effort persist a file
+    # copy (a failed file write must never take the stdout line down
+    # with it).
     spark.stop()
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"),
-        "w",
-    ) as f:
-        f.write(line + "\n")
     print(line, flush=True)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
+            ),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError as exc:
+        print(f"# BENCH_RESULT.json not written: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

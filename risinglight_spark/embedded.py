@@ -40,20 +40,29 @@ class Database:
 
     def _reattach(self) -> None:
         """Re-register tables persisted by a previous open of this
-        path: every child directory containing parquet files becomes a
-        table of the same name."""
+        path: every child directory containing parquet files (or a
+        Spark `_SUCCESS` write marker — an empty table writes the
+        marker and may write no part files) becomes a table of the
+        same name.  A marker-only directory with no readable footer
+        has no recoverable schema and is skipped."""
         if not os.path.isdir(self.path):
             return
         for name in sorted(os.listdir(self.path)):
             loc = os.path.join(self.path, name)
             if not os.path.isdir(loc):
                 continue
-            if not any(f.endswith(".parquet") for f in os.listdir(loc)):
+            entries = os.listdir(loc)
+            if not any(f.endswith(".parquet") for f in entries) and (
+                "_SUCCESS" not in entries
+            ):
                 continue
             if not self.spark.catalog.tableExists(name):
-                self.spark.sql(
-                    f"CREATE TABLE {name} USING parquet LOCATION '{loc}'"
-                )
+                try:
+                    self.spark.sql(
+                        f"CREATE TABLE {name} USING parquet LOCATION '{loc}'"
+                    )
+                except Exception:
+                    continue  # no readable footer -> no schema
                 self._ex.created.append(name)
 
     def query(self, sql: str) -> list[list]:
@@ -67,6 +76,12 @@ class Database:
             return [list(r) for r in df.collect()]
         if is_query(sql):
             return [list(r) for r in self._ex.execute_query(sql).collect()]
+        # same preamble execute_statement applies, so COPY behaves
+        # identically across the embedded / shell / slt entry points
+        from risinglight_spark.sql.dialect import rewrite_era_literals
+
+        self._ex._pin_dialect_confs()
+        sql = rewrite_era_literals(sql)
         copied = self._ex.copy_statement(sql)
         if copied is not None:
             return [list(r) for r in copied.collect()]
@@ -74,8 +89,19 @@ class Database:
         return []
 
     def close(self) -> None:
+        """Detach this database: drop its catalog entries from the
+        shared session (files stay on disk — that is the durability)
+        and restore session confs.  Without the drops, a later
+        open() at a DIFFERENT path would still see this database's
+        tables through the shared session catalog."""
         from risinglight_spark.sql.executor import restore_dialect_confs
 
+        for t in self._ex.created:
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        self._ex.created.clear()
         restore_dialect_confs(self.spark)
 
 

@@ -357,11 +357,16 @@ def _plan_estimate(df) -> tuple[int | None, int]:
 )
 def explain_cost_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # self-pin: a driver-supplied vanilla session has CBO off, and
+    # without it stats().rowCount() is undefined for every node
+    spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.sql("DROP TABLE IF EXISTS rl_cbo_orders")
-    # external table at a fresh temp location: a managed saveAsTable
-    # can collide with a stale warehouse dir left by an interrupted
-    # run (LOCATION_ALREADY_EXISTS)
-    loc = os.path.join(tempfile.mkdtemp(prefix="rl_cbo_"), "orders")
+    # external table at a FIXED per-process temp location (overwrite
+    # cleans the previous contents — a fresh mkdtemp per call would
+    # leak one table-sized directory per bench sample) rather than the
+    # warehouse, where a stale dir from an interrupted run collides
+    # (LOCATION_ALREADY_EXISTS)
+    loc = os.path.join(tempfile.gettempdir(), "rl_cbo_stats", "orders")
     t.orders.select("o_orderkey", "o_totalprice").write.mode(
         "overwrite"
     ).option("path", loc).saveAsTable("rl_cbo_orders")

@@ -210,17 +210,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rep_jaccard_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    mr: tuple[DataFrame, DataFrame] | None = None,
+    spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Unthresholded exact-Jaccard pairs over representative texts:
     (rep_pairs(rep_a, rep_b, jaccard), members, rep_of).  Shingling is
     one Arrow pass per DISTINCT text (Column version is O(tokens^2)
     interpreted); empty-array filter == the >=3-token predicate.
-    ``mr`` lets composite ops (verified / multi-signal) share one
-    replica-collapse pass across signals."""
-    members, reps = mr or _replicas(Tables(spark, sf_dir))
+    Unlike the signature miners this one collapses TEXT-first: the
+    shingle arrays it mines are larger than the text itself, so
+    shuffling text once per fingerprint beats shingling every
+    replica."""
+    members, reps = _replicas(Tables(spark, sf_dir))
     uniq = reps.select(
         "fp",
         "rep",
@@ -621,11 +621,13 @@ def _minhash_verified_oracle() -> str:
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both stages run at the REPRESENTATIVE level (one row per distinct
-    # normalized text — _replicas gives both miners the same min-doc_id
-    # representatives, so (rep_a, rep_b) keys line up), and the fan-out
-    # to replica pairs happens exactly once, after verification.  Exact
-    # Jaccard is unthresholded until after the candidate join so FALSE
-    # candidates are visible to the filter.
+    # normalized text).  Both miners pick rep = min(doc_id) over the
+    # fingerprint cluster — identical texts share signature nullity and
+    # shingle emptiness, so the two eligibility filters select the same
+    # fps and (rep_a, rep_b) keys line up.  Fan-out to replica pairs
+    # happens exactly once, after verification.  Exact Jaccard is
+    # unthresholded until after the candidate join so FALSE candidates
+    # are visible to the filter.
     cand, members, rep_of = _rep_minhash_pairs(spark, sf_dir)
     exact, _, _ = _rep_jaccard_pairs(spark, sf_dir)
     verified = (

@@ -861,7 +861,6 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rep_simhash_pairs,
     )
 
-    t = Tables(spark, sf_dir)
     cand, members, _ = _rep_minhash_pairs(spark, sf_dir)
     exact_jac, _, _ = _rep_jaccard_pairs(spark, sf_dir)
     minhash = (
@@ -882,14 +881,18 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rep per fp for EVERY doc (incl. unshingled short texts — the
     # exact signal still collapses those clusters); shuffles only
-    # (fp, doc_id) pairs, never text
+    # (fp, doc_id) pairs, never text.  NULL-text docs have NULL fp,
+    # which never equi-joins — keep them via left joins with keeper
+    # falling back to doc_id (the oracle's LEFT JOIN does the same).
     reps_all = members.groupBy("fp").agg(F.min("doc_id").alias("rep"))
-    doc_rep = members.join(reps_all, "fp").select("doc_id", "rep")
+    doc_rep = members.join(reps_all, "fp", "left").select("doc_id", "rep")
     return (
         doc_rep.join(rep_labels, "rep", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("component"), F.col("rep")).alias("keeper"),
+            F.coalesce(
+                F.col("component"), F.col("rep"), F.col("doc_id")
+            ).alias("keeper"),
         )
         .withColumn("survives", F.col("keeper") == F.col("doc_id"))
     )

@@ -80,6 +80,10 @@ def restore_dialect_confs(spark) -> None:
     for k in (
         "spark.sql.timestampType",
         "spark.sql.leafNodeDefaultParallelism",
+        # set at executor init; without this unset it would leak
+        # LEGACY store assignment into later batch writes on the
+        # shared session
+        "spark.sql.storeAssignmentPolicy",
     ):
         try:
             spark.conf.unset(k)

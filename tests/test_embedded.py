@@ -52,3 +52,31 @@ def test_embedded_matches_shell(spark):
     assert emb == shl == [[1, 1.5, 2], [2, None, 4], [3, 4.5, 6]]
     db.query("DROP TABLE par_t")
     db.close()
+
+
+def test_close_isolates_databases(spark, tmp_path):
+    """close() must detach the catalog entries so a later open() at a
+    DIFFERENT path does not see the previous database's tables."""
+    import pytest
+
+    db1 = risinglight_spark.open(str(tmp_path / "a"))
+    db1.query("CREATE TABLE iso_t (v INT)")
+    db1.query("INSERT INTO iso_t VALUES (1)")
+    db1.close()
+    db2 = risinglight_spark.open(str(tmp_path / "b"))
+    with pytest.raises(Exception):
+        db2.query("SELECT * FROM iso_t")
+    db2.close()
+
+
+def test_empty_table_survives_reopen(spark, tmp_path):
+    path = str(tmp_path / "db")
+    db = risinglight_spark.open(path)
+    db.query("CREATE TABLE emp_t (v INT)")
+    db.query("INSERT INTO emp_t VALUES (1)")
+    db.query("DELETE FROM emp_t")
+    assert db.query("SELECT count(*) AS n FROM emp_t") == [[0]]
+    db.close()
+    db2 = risinglight_spark.open(path)
+    assert db2.query("SELECT count(*) AS n FROM emp_t") == [[0]]
+    db2.close()
