@@ -1,0 +1,130 @@
+"""Equivalence guard for the round-4 replica-collapsed pair miners:
+on a corpus with forced exact replicas (including whitespace/case
+variants that normalize equal, short unshingleable texts, and NULLs),
+the collapsed miners must produce EXACTLY the pair sets of a direct
+(no-collapse) formulation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from risinglight_spark.functions import text as T
+
+DOCS = [
+    # replica cluster A: 3 exact + 1 case/whitespace variant (same fp)
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "The  quick brown fox jumps over the lazy  DOG"),
+    # near-dup of A (one word changed)
+    (5, "the quick brown fox leaps over the lazy dog"),
+    # replica cluster B: 2 copies of an unrelated text
+    (6, "completely different content about spark query engines"),
+    (7, "completely different content about spark query engines"),
+    # singleton
+    (8, "a third topic entirely with no overlap whatsoever here"),
+    # short texts (fewer than 3 tokens): replicas but unshingleable
+    (9, "hi there"),
+    (10, "hi there"),
+    # degenerate
+    (11, ""),
+    (12, None),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("collapse"))
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t or "")) for i, t in DOCS],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _direct_jaccard(spark, sf):
+    """The pre-collapse formulation: inverted-index join over EVERY
+    document."""
+    from risinglight_spark.operators import Tables
+
+    t = Tables(spark, sf)
+    docs = t.documents.select(
+        "doc_id", T.word_shingles_pandas(3)(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sh = docs.select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ns"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = F.col("ns").cast("double") / (
+        F.col("x.n") + F.col("y.n") - F.col("ns")
+    )
+    return (
+        shared.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+def test_collapsed_jaccard_equals_direct(spark, corpus_dir):
+    from risinglight_spark.operators.dedup import dedup_ngram_jaccard
+
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dedup_ngram_jaccard(spark, corpus_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in _direct_jaccard(spark, corpus_dir).collect()
+    }
+    assert got == want
+    # sanity: within-cluster pairs of A = C(4,2) = 6 at jaccard 1.0,
+    # cluster B contributes 1, plus cross pairs A x {5}
+    ones = {(a, b) for a, b, j in got if j == 1.0}
+    assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (6, 7)} <= ones
+    # short replicas (9, 10) are unshingleable -> never paired
+    assert not any(9 in (a, b) or 10 in (a, b) for a, b, _ in got)
+
+
+def test_collapsed_minhash_covers_replica_pairs(spark, corpus_dir):
+    from risinglight_spark.operators.dedup import dedup_minhash_lsh
+
+    got = {
+        (r.doc_a, r.doc_b): r.est_sim
+        for r in dedup_minhash_lsh(spark, corpus_dir).collect()
+    }
+    # every within-cluster pair is a candidate with est_sim exactly 1.0
+    for pair in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (6, 7)]:
+        assert got.get(pair) == 1.0, pair
+    # cross-cluster candidates (if banded together) carry the rep pair's
+    # signature agreement for every replica combination equally
+    cross = {p: s for p, s in got.items() if p[0] <= 4 and p[1] == 5}
+    assert len({round(s, 12) for s in cross.values()}) <= 1
+
+
+def test_multi_signal_keeps_null_and_short_docs(spark, corpus_dir):
+    from risinglight_spark.operators.pipeline_ops import dedup_multi_signal
+
+    rows = {r.doc_id: r for r in dedup_multi_signal(spark, corpus_dir).collect()}
+    assert set(rows) == {i for i, _ in DOCS}
+    # replica clusters collapse to the min id through the exact signal
+    for d in (2, 3, 4):
+        assert rows[d].keeper == 1 and not rows[d].survives
+    assert rows[7].keeper == 6
+    # short-text replicas still collapse (exact fingerprint signal)
+    assert rows[10].keeper == 9 and rows[9].survives
+    # NULL text: kept, self-keeper
+    assert rows[12].keeper == 12 and rows[12].survives
