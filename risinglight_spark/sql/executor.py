@@ -93,9 +93,13 @@ def restore_dialect_confs(spark) -> None:
 
 _CREATE_INDEX_PARTS_RE = re.compile(
     r"^\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*"
-    r"(?:using\s+(\w+)\s*)?\(([^)]*)\)",
+    r"(?:using\s+(\w+)\s*)?\(([^)]*)\)"
+    r"(?:\s*with\s*\(([^)]*)\))?",
     re.I,
 )
+# WITH-clause entries: distfn = 'l2' | nlists = 3 | nprobe = 2
+# (reference src/binder/create_index.rs:95-150)
+_INDEX_OPT_RE = re.compile(r"(\w+)\s*=\s*(?:'([^']*)'|(\d+))")
 
 
 class StatementExecutor:
@@ -113,6 +117,7 @@ class StatementExecutor:
         self.table_ids: dict[str, int] = {}
         self.indexes: list[tuple[str, str, list[str], int]] = []
         self.index_types: dict[str, str] = {}
+        self.index_options: dict[str, dict] = {}
         self._next_id = 0
         # reference INSERT semantics are permissive (string literals
         # into typed columns, e.g. type.slt dates); Spark 4 defaults
@@ -246,7 +251,7 @@ class StatementExecutor:
         if _CREATE_INDEX_RE.match(sql):
             im = _CREATE_INDEX_PARTS_RE.match(sql)
             if im:
-                name, table, method, cols = im.groups()
+                name, table, method, cols, withs = im.groups()
                 self.indexes.append(
                     (
                         name,
@@ -261,6 +266,18 @@ class StatementExecutor:
                 # metadata no-ops and ivfflat metadata feeds the ANN
                 # bucketed path)
                 self.index_types[name] = (method or "btree").lower()
+                # ivfflat WITH options (distfn/nlists/nprobe),
+                # binder/create_index.rs:95-150: ints parsed as ints,
+                # strings lowercased, like the reference binder
+                opts: dict[str, object] = {}
+                for om in _INDEX_OPT_RE.finditer(withs or ""):
+                    k = om.group(1).lower()
+                    opts[k] = (
+                        int(om.group(3))
+                        if om.group(3) is not None
+                        else om.group(2).lower()
+                    )
+                self.index_options[name] = opts
             return "ok"
         vm = _DROP_VIEW_RE.match(sql)
         if vm:

@@ -107,3 +107,23 @@ def test_create_index_records_method(spark):
         "i_default": "btree",
     }
     ex.execute_statement("DROP TABLE idx_t")
+
+
+def test_create_index_with_options(spark):
+    """ivfflat WITH clause parsed like the reference binder
+    (create_index.rs:95-150): distfn lowercased, nlists/nprobe ints."""
+    from risinglight_spark.sql.executor import StatementExecutor
+
+    ex = StatementExecutor(spark)
+    ex.execute_statement("CREATE TABLE ivf_t (a ARRAY<DOUBLE>, b STRING)")
+    ex.execute_statement(
+        "CREATE INDEX t_ivfflat ON ivf_t USING ivfflat (a) "
+        "WITH (distfn = 'L2', nlists = 3, nprobe = 2)"
+    )
+    assert ex.index_types["t_ivfflat"] == "ivfflat"
+    assert ex.index_options["t_ivfflat"] == {
+        "distfn": "l2",
+        "nlists": 3,
+        "nprobe": 2,
+    }
+    ex.execute_statement("DROP TABLE ivf_t")
