@@ -405,6 +405,20 @@ class StatementExecutor:
                     "table_name STRING, column_name STRING, "
                     "ordinal INT, data_type STRING",
                 )
+            case ["stat"]:
+                # bare \stat = pg_catalog.pg_stat over every user table
+                # (reference db.rs:72)
+                rows = []
+                for t in self.created:
+                    try:
+                        cnt = spark.table(t).count()
+                    except Exception:
+                        continue
+                    for c in spark.catalog.listColumns(t):
+                        rows.append((t, c.name, cnt))
+                return spark.createDataFrame(
+                    rows, "table_name STRING, column_name STRING, row_count BIGINT"
+                )
             case ["stat", table, *rest]:
                 cols = [c.name for c in spark.catalog.listColumns(table)]
                 if rest:
