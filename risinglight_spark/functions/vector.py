@@ -69,9 +69,15 @@ def sql_list_literal(values: list[float]) -> str:
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Flat codegen chain for ``dot`` (0.0 + a1*b1 + ...): bit-identical
-    to the zip_with/aggregate fold (same left-associated order) but
-    whole-stage-codegen'd instead of interpreted — use in hot pair
-    joins where the fold's interpreter overhead dominates."""
+    to the zip_with/aggregate fold (same left-associated order).
+
+    Measured warning (round 4): at dim=64 this is ~3x SLOWER than the
+    interpreted fold in a pair join (dedup_semdedup 3.8 s -> 11.2 s at
+    sf0.1) — 128 element_at calls per row explode the codegen
+    expression tree past what JIT handles well, while the fold is one
+    tight interpreted loop over a primitive array.  Only consider it
+    for small dims (<= ~8) where the chain stays inside one codegen
+    method."""
     acc = F.lit(0.0)
     for i in range(dim):
         acc = acc + F.element_at(a, i + 1).cast("double") * F.element_at(
