@@ -144,6 +144,82 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_oracle()}) j
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component,
+             {T.quality_score_sql("text")} AS q
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    ranked AS (
+      SELECT component, doc_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY q DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY component) AS n
+      FROM scored
+    )
+    SELECT component, n AS n_members, doc_id AS keeper
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Quality-aware survivor selection over NEAR-dup clusters — the "
+    "step real curation pipelines run after pair mining: word-3-gram "
+    "Jaccard pairs close into components (min-label propagation, "
+    "O(diameter) rounds), then each cluster keeps its BEST member "
+    "(highest composite quality score, doc_id tiebreak) rather than "
+    "the arbitrary min id.  Composition of verified blocks "
+    "(dedup_ngram_jaccard + the CC closure + dedup_exact_keep_best's "
+    "argmax discipline); one extra quality-scored argmax groupBy on "
+    "top of the closure — map-side combinable, one row of state per "
+    "cluster.  Singleton docs are their own keeper.",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _propagate_min_labels(pairs)
+    scored = (
+        t.documents.select(
+            "doc_id", T.quality_score(F.col("text")).alias("q")
+        )
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+            "q",
+        )
+    )
+    return scored.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("q").alias("q"),
+                F.col("doc_id").cast("double").alias("tb"),
+            ),
+        ).alias("keeper"),
+    )
+
+
 # -- sequence packing -------------------------------------------------------
 
 CHUNK_TOKENS = 256

@@ -242,6 +242,7 @@ _R5_QUEUE: tuple[str, ...] = (
     "ann_filtered_topk",
     "events_attribution_last_touch",
     "sample_systematic_pps",
+    "dedup_cluster_keep_best",
 )
 
 _PRIORITY: tuple[str, ...] = (*_R4_GATE, *_R5_QUEUE, *_R3_VERIFIED)
