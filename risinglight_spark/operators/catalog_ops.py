@@ -358,15 +358,21 @@ def _plan_estimate(df) -> tuple[int | None, int]:
 def explain_cost_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     # self-pin: a driver-supplied vanilla session has CBO off, and
-    # without it stats().rowCount() is undefined for every node
+    # without it stats().rowCount() is undefined for every node;
+    # restored before returning so the toggle doesn't leak into the
+    # caller's session
+    cbo_prior = spark.conf.get("spark.sql.cbo.enabled", None)
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.sql("DROP TABLE IF EXISTS rl_cbo_orders")
-    # external table at a FIXED per-process temp location (overwrite
-    # cleans the previous contents — a fresh mkdtemp per call would
-    # leak one table-sized directory per bench sample) rather than the
-    # warehouse, where a stale dir from an interrupted run collides
-    # (LOCATION_ALREADY_EXISTS)
-    loc = os.path.join(tempfile.gettempdir(), "rl_cbo_stats", "orders")
+    # external table at a fixed PER-PROCESS temp location (overwrite
+    # reuses it across bench samples — a fresh mkdtemp per call would
+    # leak one table-sized directory each; the pid suffix keeps
+    # concurrent runs on one machine from clobbering each other)
+    # rather than the warehouse, where a stale dir from an interrupted
+    # run collides (LOCATION_ALREADY_EXISTS)
+    loc = os.path.join(
+        tempfile.gettempdir(), f"rl_cbo_stats_{os.getpid()}", "orders"
+    )
     t.orders.select("o_orderkey", "o_totalprice").write.mode(
         "overwrite"
     ).option("path", loc).saveAsTable("rl_cbo_orders")
@@ -395,6 +401,10 @@ def explain_cost_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_size=filt_size > 0,
         ),
     ]
+    if cbo_prior is None:
+        spark.conf.unset("spark.sql.cbo.enabled")
+    else:
+        spark.conf.set("spark.sql.cbo.enabled", cbo_prior)
     return spark.createDataFrame(
         rows,
         "stage STRING, actual_rows BIGINT, has_estimate BOOLEAN, "

@@ -145,6 +145,11 @@ class StatementExecutor:
         # so VALUES inserts must write one ordered file, not one file
         # per local-relation slice
         self.spark.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
+        # permissive INSERT (string literals into typed columns) —
+        # re-pinned per statement, not just at init, so one executor's
+        # cleanup (restore_dialect_confs unsets this) cannot strip the
+        # semantics from another executor still live on the session
+        self.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
 
     def copy_statement(self, sql: str):
         """``COPY t FROM/TO 'path' (opts)`` (reference
