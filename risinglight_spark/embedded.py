@@ -18,6 +18,7 @@ identically across all three entry points.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from risinglight_spark.session import get_spark
@@ -30,8 +31,13 @@ class Database:
     src/python/mod.rs:14-41): ``query(sql)`` returns rows as plain
     Python lists, like datachunk_to_python_list."""
 
-    def __init__(self, path: str, spark=None):
+    def __init__(self, path: str, spark=None, ephemeral: bool = False):
         self.path = path
+        # open_in_memory() databases own a throwaway tempdir; close()
+        # removes it (round-4 advisor finding: one corpus-sized leaked
+        # directory per open otherwise).  open(path) databases keep
+        # their files — that is the durability contract.
+        self._ephemeral = ephemeral
         self.spark = spark or get_spark(app_name="risinglight_embedded")
         # table files land under the database path (durable across
         # opens), not a throwaway scratch dir
@@ -103,6 +109,8 @@ class Database:
                 pass
         self._ex.created.clear()
         restore_dialect_confs(self.spark)
+        if self._ephemeral:
+            shutil.rmtree(self.path, ignore_errors=True)
 
 
 def open(path: str) -> Database:  # noqa: A001 - mirrors the reference name
@@ -116,4 +124,4 @@ def open_in_memory() -> Database:
     """Open a throwaway database (reference src/python/mod.rs:59-66;
     in-memory there, a tempdir-backed parquet location here — the
     durable/ephemeral split is the same)."""
-    return Database(tempfile.mkdtemp(prefix="rl_mem_"))
+    return Database(tempfile.mkdtemp(prefix="rl_mem_"), ephemeral=True)

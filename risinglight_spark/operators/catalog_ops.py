@@ -363,48 +363,54 @@ def explain_cost_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller's session
     cbo_prior = spark.conf.get("spark.sql.cbo.enabled", None)
     spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.sql("DROP TABLE IF EXISTS rl_cbo_orders")
-    # external table at a fixed PER-PROCESS temp location (overwrite
-    # reuses it across bench samples — a fresh mkdtemp per call would
-    # leak one table-sized directory each; the pid suffix keeps
-    # concurrent runs on one machine from clobbering each other)
-    # rather than the warehouse, where a stale dir from an interrupted
-    # run collides (LOCATION_ALREADY_EXISTS)
-    loc = os.path.join(
-        tempfile.gettempdir(), f"rl_cbo_stats_{os.getpid()}", "orders"
-    )
-    t.orders.select("o_orderkey", "o_totalprice").write.mode(
-        "overwrite"
-    ).option("path", loc).saveAsTable("rl_cbo_orders")
-    spark.sql(
-        "ANALYZE TABLE rl_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS"
-    )
-    scan = spark.table("rl_cbo_orders")
-    filt = scan.filter(F.col("o_totalprice") > 100000)
-    scan_actual, filt_actual = scan.count(), filt.count()
-    scan_est, scan_size = _plan_estimate(scan)
-    filt_est, filt_size = _plan_estimate(filt)
-    rows = [
-        Row(
-            stage="scan",
-            actual_rows=scan_actual,
-            has_estimate=scan_est is not None,
-            estimate_sane=scan_est == scan_actual,
-            has_size=scan_size > 0,
-        ),
-        Row(
-            stage="filter",
-            actual_rows=filt_actual,
-            has_estimate=filt_est is not None,
-            estimate_sane=filt_est is not None
-            and 0 <= filt_est <= scan_actual,
-            has_size=filt_size > 0,
-        ),
-    ]
-    if cbo_prior is None:
-        spark.conf.unset("spark.sql.cbo.enabled")
-    else:
-        spark.conf.set("spark.sql.cbo.enabled", cbo_prior)
+    try:
+        spark.sql("DROP TABLE IF EXISTS rl_cbo_orders")
+        # external table at a fixed PER-PROCESS temp location (overwrite
+        # reuses it across bench samples — a fresh mkdtemp per call
+        # would leak one table-sized directory each; the pid suffix
+        # keeps concurrent runs on one machine from clobbering each
+        # other) rather than the warehouse, where a stale dir from an
+        # interrupted run collides (LOCATION_ALREADY_EXISTS)
+        loc = os.path.join(
+            tempfile.gettempdir(), f"rl_cbo_stats_{os.getpid()}", "orders"
+        )
+        t.orders.select("o_orderkey", "o_totalprice").write.mode(
+            "overwrite"
+        ).option("path", loc).saveAsTable("rl_cbo_orders")
+        spark.sql(
+            "ANALYZE TABLE rl_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        scan = spark.table("rl_cbo_orders")
+        filt = scan.filter(F.col("o_totalprice") > 100000)
+        scan_actual, filt_actual = scan.count(), filt.count()
+        scan_est, scan_size = _plan_estimate(scan)
+        filt_est, filt_size = _plan_estimate(filt)
+        rows = [
+            Row(
+                stage="scan",
+                actual_rows=scan_actual,
+                has_estimate=scan_est is not None,
+                estimate_sane=scan_est == scan_actual,
+                has_size=scan_size > 0,
+            ),
+            Row(
+                stage="filter",
+                actual_rows=filt_actual,
+                has_estimate=filt_est is not None,
+                estimate_sane=filt_est is not None
+                and 0 <= filt_est <= scan_actual,
+                has_size=filt_size > 0,
+            ),
+        ]
+    finally:
+        # restore the CBO toggle and drop the scratch table even on
+        # failure — an exception mid-body must not leak either into the
+        # shared session (round-4 advisor finding)
+        if cbo_prior is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", cbo_prior)
+        spark.sql("DROP TABLE IF EXISTS rl_cbo_orders")
     return spark.createDataFrame(
         rows,
         "stage STRING, actual_rows BIGINT, has_estimate BOOLEAN, "

@@ -1166,6 +1166,50 @@ def pairs_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # siblings) — a principled canonical-document pick, and the classic
 # distributed iterative-algorithm shape (scatter contributions, gather
 # by destination) beyond simple label propagation.
+#
+# Representative-graph rounds: the expanded near-dup graph is a blowup
+# of the CLUSTER graph — every exact-replica cluster A (csize c_A,
+# identical text) fans out to a c_A-clique plus complete-bipartite
+# c_A x c_B edges per mined rep pair (A, B) (see dedup._fan_out).  All
+# members of a cluster are therefore structurally interchangeable:
+# degree, rank, and triangle membership are identical across members,
+# and the iterative rounds can run on the cluster graph with integer
+# multiplicities (w = neighbor cluster size; a self-edge of weight
+# c_A - 1 for the within-clique), fanning results out to members ONCE
+# at the end.  Exactness is preserved because every per-edge term in
+# the expanded rounds is fixed-point QUANTIZED before summing
+# (fpsum), and c identical quantized longs sum to exactly
+# c * q — integer multiplication.  Rounds cost O(cluster edges), flat
+# in the replication factor, where the expanded rounds paid
+# O(sum c_A * c_B) — quadratic in cluster size.
+
+
+def _rep_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Collapsed near-dup graph: (sym, cl, member_of).
+
+    ``sym``: symmetric cluster-level adjacency (src, dst) over the
+    jaccard >= 0.5 rep pairs (no self-edges); ``cl``: (cid, csize) for
+    every ELIGIBLE cluster (shingle-bearing text; cid = min doc_id of
+    the cluster); ``member_of``: (doc_id, cid) for every doc in an
+    eligible cluster.  Checkpointed so the rep-level mining runs once
+    across all per-round consumers."""
+    from risinglight_spark.operators.dedup import _rep_jaccard_pairs
+
+    rep_pairs, members, rep_of = _rep_jaccard_pairs(spark, sf_dir)
+    rp = (
+        rep_pairs.filter(F.col("jaccard") >= 0.5)
+        .select(F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+        .localCheckpoint()
+    )
+    sym = rp.unionAll(rp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    cl = rep_of.select(F.col("rep_m").alias("cid"), "csize").localCheckpoint()
+    member_of = members.join(rep_of, "fp").select(
+        "doc_id", F.col("rep_m").alias("cid")
+    )
+    return sym, cl, member_of
+
 
 PR_DAMP = 0.85
 PR_ITERS = 3
@@ -1212,38 +1256,62 @@ def _pagerank_oracle() -> str:
     "bit-identical at any parallelism — and replayable in DuckDB as "
     "unrolled CTEs.  At 100 TB the edge list is the shuffled asset "
     "(partition by src once, reuse across rounds); rank state is "
-    "O(nodes), rebroadcast each round.",
+    "O(nodes), rebroadcast each round.  Rounds run on the COLLAPSED "
+    "cluster graph with integer edge multiplicities (see _rep_graph) "
+    "— flat in exact-replica inflation — and fan out to member docs "
+    "once at the end.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.operators import fpsum
-
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # Checkpoint the (tiny) edge list once: every downstream consumer
-    # (degrees, init ranks, per-round joins, final report) reuses it
-    # instead of re-running the Jaccard pair mining.
-    sym = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .localCheckpoint()
+    sym, cl, member_of = _rep_graph(spark, sf_dir)
+    # Cluster-level weighted edges: a cross edge B -> A carries the
+    # c_B identical member contributions; the within-clique is a
+    # self-edge of weight c_A - 1 (absent for singleton clusters).
+    cross = sym.join(
+        cl.select(F.col("cid").alias("src"), F.col("csize").alias("mult")),
+        "src",
+    ).select("src", "dst", "mult")
+    self_e = cl.filter(F.col("csize") >= 2).select(
+        F.col("cid").alias("src"),
+        F.col("cid").alias("dst"),
+        (F.col("csize") - 1).alias("mult"),
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = sym.join(deg, "src")
-    n = edges.select("src").distinct().count()
-    r = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
+    edges = cross.unionAll(self_e).localCheckpoint()
+    # Member-level degree, identical across a cluster's members:
+    # deg(a in A) = (c_A - 1) + sum of neighbor csize.
+    deg = edges.groupBy("dst").agg(F.sum("mult").alias("deg")).select(
+        F.col("dst").alias("cid"), "deg"
     )
+    # n = member nodes with >= 1 edge = sum csize over participating
+    # clusters (bounded driver scalar, same as before).
+    n = (
+        deg.join(cl, "cid")
+        .agg(F.sum("csize").alias("n"))
+        .collect()[0]["n"]
+    )
+    esrc = edges.join(
+        deg.select(F.col("cid").alias("src"), F.col("deg").alias("sdeg")),
+        "src",
+    )
+    r = deg.select("cid", F.lit(1.0 / n).alias("r"))
     for _ in range(PR_ITERS):
-        contrib = edges.join(r, edges["src"] == r["node"]).select(
-            F.col("dst"), (F.col("r") / F.col("deg")).alias("c")
+        # Quantize each member term r/deg THEN multiply by the integer
+        # multiplicity: equals the expanded graph's fpsum of c
+        # identical quantized terms exactly.
+        q = F.round(
+            (F.col("r") / F.col("sdeg")).cast("double") * 1e12, 0
+        ).cast("long")
+        contrib = esrc.join(r, esrc["src"] == r["cid"]).select(
+            F.col("dst"), (F.col("mult") * q).alias("cq")
         )
         r = contrib.groupBy("dst").agg(
             (
                 F.lit((1.0 - PR_DAMP) / n)
-                + F.lit(PR_DAMP) * fpsum(F.col("c"), 1e12)
+                + F.lit(PR_DAMP) * (F.sum("cq").cast("double") / F.lit(1e12))
             ).alias("r")
-        ).select(F.col("dst").alias("node"), "r")
-    return r.join(deg, r["node"] == deg["src"]).select(
-        F.col("node").alias("doc_id"),
+        ).select(F.col("dst").alias("cid"), "r")
+    out_cl = r.join(deg, "cid")
+    return member_of.join(out_cl, "cid").select(
+        F.col("doc_id"),
         F.col("deg"),
         F.round(F.col("r"), 12).alias("pagerank"),
     )
@@ -1443,10 +1511,17 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stays keyed on (a, b).",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
+    # Triangle counts decompose over the cluster structure (see
+    # _rep_graph): for a member of cluster A with neighbor clusters
+    # S_A and cluster-level triangles {A, B, C},
+    #   T_A = C(c_A - 1, 2)                       -- two A-siblings
+    #       + sum_B [(c_A - 1) * c_B + C(c_B, 2)] -- sibling + B / two Bs
+    #       + sum_{A,B,C} c_B * c_C               -- one from each of B, C
+    # so the wedge/closing joins run on cluster edges only (flat in
+    # replica inflation) and members inherit T_A by one fan-out join.
+    sym, cl, member_of = _rep_graph(spark, sf_dir)
+    e = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
@@ -1457,12 +1532,69 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
         "left_semi",
     )
-    members = (
-        tri.select(F.col("x").alias("doc_id"))
-        .unionAll(tri.select(F.col("y").alias("doc_id")))
-        .unionAll(tri.select(F.col("z").alias("doc_id")))
+    csz = {
+        side: cl.select(
+            F.col("cid").alias(side), F.col("csize").alias(f"c_{side}")
+        )
+        for side in ("x", "y", "z")
+    }
+    # cluster-triangle contribution: each corner gets the product of
+    # the OTHER two corner sizes
+    tri_term = (
+        tri.join(csz["x"], "x").join(csz["y"], "y").join(csz["z"], "z")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("x").alias("cid"),
+                        (F.col("c_y") * F.col("c_z")).alias("t"),
+                    ),
+                    F.struct(
+                        F.col("y").alias("cid"),
+                        (F.col("c_x") * F.col("c_z")).alias("t"),
+                    ),
+                    F.struct(
+                        F.col("z").alias("cid"),
+                        (F.col("c_x") * F.col("c_y")).alias("t"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.cid", "p.t")
     )
-    return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+    # per-neighbor term: (c_A - 1) * c_B + C(c_B, 2), gathered at A
+    nbr_term = (
+        sym.join(
+            cl.select(F.col("cid").alias("src"), F.col("csize").alias("c_b")),
+            "src",
+        )
+        .join(
+            cl.select(F.col("cid").alias("dst"), F.col("csize").alias("c_a")),
+            "dst",
+        )
+        .select(
+            F.col("dst").alias("cid"),
+            (
+                (F.col("c_a") - 1) * F.col("c_b")
+                + F.col("c_b") * (F.col("c_b") - 1) / 2
+            ).cast("long").alias("t"),
+        )
+    )
+    # within-clique term: C(c_A - 1, 2)
+    self_term = cl.select(
+        "cid",
+        ((F.col("csize") - 1) * (F.col("csize") - 2) / 2)
+        .cast("long")
+        .alias("t"),
+    )
+    t_cl = (
+        tri_term.unionAll(nbr_term)
+        .unionAll(self_term)
+        .groupBy("cid")
+        .agg(F.sum("t").alias("n_triangles"))
+        .filter(F.col("n_triangles") > 0)
+    )
+    return member_of.join(t_cl, "cid").select("doc_id", "n_triangles")
 
 
 # -- naive Bayes language classifier (train + predict + evaluate) ------------
@@ -1768,32 +1900,107 @@ def _lpa_oracle() -> str:
     "cluster.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    e = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint()
+    # Collapsed-graph rounds.  Initial labels are node ids — distinct
+    # across a cluster — but the symmetry of the blowup (see
+    # _rep_graph) keeps per-cluster label state TWO-valued forever:
+    # after round 1 every non-min member of cluster A carries the same
+    # label l2_A (their neighbor multisets are identical), and the min
+    # member carries l1_A.  Round 1 in closed form (every initial
+    # label is globally unique, so all neighbor counts are 1 and the
+    # majority-with-min-tiebreak is just the MIN neighbor id); later
+    # rounds update the two classes with integer multiplicities.
+    # Rounds cost O(cluster edges), flat in replica inflation.
+    sym, cl, member_of = _rep_graph(spark, sf_dir)
+    nbmin = sym.groupBy("dst").agg(F.min("src").alias("nbmin")).select(
+        F.col("dst").alias("cid"), "nbmin"
     )
-    labels = e.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(LPA_ROUNDS):
-        counts = (
-            e.join(labels, e.src == labels.node)
-            .groupBy(F.col("dst").alias("n2"), "label")
-            .agg(F.count("*").alias("cnt"))
+    m2 = member_of.groupBy("cid").agg(
+        F.min(F.when(F.col("doc_id") != F.col("cid"), F.col("doc_id"))).alias(
+            "m2"
         )
-        labels = (
-            counts.groupBy(F.col("n2").alias("node"))
-            .agg(
-                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
-                .getField("label")
-                .alias("label")
+    )
+    # participating clusters only (an eligible singleton with no
+    # neighbors has no edges and no LPA row)
+    st = (
+        cl.join(nbmin, "cid", "left")
+        .join(m2, "cid", "left")
+        .filter((F.col("csize") >= 2) | F.col("nbmin").isNotNull())
+    )
+    # round 1: min member sees its siblings (min = m2) and each
+    # neighbor cluster's min (= cid_B); non-min members see the
+    # cluster min (= cid) and the same neighbor mins.  least() skips
+    # NULLs on exactly the sides that don't exist.
+    state = st.select(
+        "cid",
+        "csize",
+        F.least(F.col("m2"), F.col("nbmin")).alias("l1"),
+        F.when(
+            F.col("csize") >= 2, F.least(F.col("cid"), F.col("nbmin"))
+        ).alias("l2"),
+    ).localCheckpoint()
+    for _ in range(LPA_ROUNDS - 1):
+        # label supply a cluster presents to its neighbors
+        supply = state.select(
+            F.col("cid").alias("src"),
+            F.col("l1").alias("label"),
+            F.lit(1).cast("long").alias("mult"),
+        ).unionAll(
+            state.filter(F.col("csize") >= 2).select(
+                F.col("cid").alias("src"),
+                F.col("l2").alias("label"),
+                (F.col("csize") - 1).alias("mult"),
             )
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
+        gathered = sym.join(supply, "src").select(
+            F.col("dst").alias("cid"), "label", "mult"
+        )
+        argmax = F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+        ).getField("label")
+        # class 0 (min member): siblings all carry l2
+        in0 = gathered.unionAll(
+            state.filter(F.col("csize") >= 2).select(
+                "cid", F.col("l2").alias("label"),
+                (F.col("csize") - 1).alias("mult"),
+            )
+        )
+        new_l1 = (
+            in0.groupBy("cid", "label")
+            .agg(F.sum("mult").alias("cnt"))
+            .groupBy("cid")
+            .agg(argmax.alias("l1"))
+        )
+        # class 1 (non-min members): the min sibling carries l1, the
+        # other c-2 siblings carry l2
+        in1 = gathered.unionAll(
+            state.filter(F.col("csize") >= 2).select(
+                "cid", F.col("l1").alias("label"),
+                F.lit(1).cast("long").alias("mult"),
+            )
+        ).unionAll(
+            state.filter(F.col("csize") >= 3).select(
+                "cid", F.col("l2").alias("label"),
+                (F.col("csize") - 2).alias("mult"),
+            )
+        )
+        new_l2 = (
+            in1.groupBy("cid", "label")
+            .agg(F.sum("mult").alias("cnt"))
+            .groupBy("cid")
+            .agg(argmax.alias("l2"))
+        )
+        state = (
+            state.select("cid", "csize")
+            .join(new_l1, "cid")
+            .join(new_l2, "cid", "left")
+            .localCheckpoint()
+        )
+    return member_of.join(state, "cid").select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") == F.col("cid"), F.col("l1"))
+        .otherwise(F.col("l2"))
+        .alias("community"),
+    )
 
 
 # -- deterministic k-fold cross-validation split -----------------------------
@@ -1875,27 +2082,68 @@ PPS_SAMPLES = 50  # systematic sample size (selection multiplicity sums to this)
     "the draw is bit-identical at any parallelism.  Selection "
     "multiplicity (n_hits) sums to exactly k, and heavy docs can "
     "legitimately be drawn more than once, exactly like classical "
-    "systematic PPS.  Scale shape: one hash-ordered cumulative pass "
-    "(the same shape as pack_sequences) — at 100 TB you'd range-"
-    "partition on the hash key and prefix-sum per partition with "
-    "broadcast offsets; no per-draw scans, no reservoir state.",
+    "systematic PPS.  Scale shape: the cumulative sum is the "
+    "DISTRIBUTED prefix-sum — the hash key range-buckets the corpus "
+    "(hk is uniform on [0, HASH_P)), each bucket prefix-sums "
+    "independently under a bucket-partitioned window, and per-bucket "
+    "totals (one row per bucket, bounded driver metadata like a "
+    "convergence scalar) become broadcast prefix offsets; no "
+    "single-partition Exchange anywhere in the plan "
+    "(tests/test_plans.py::test_pps_has_no_single_partition_window).",
 )
 def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    wt = t.documents.select(
-        "doc_id",
-        T.token_count(F.col("text")).cast("bigint").alias("w"),
-        T.char_hash(F.col("doc_id").cast("string")).alias("hk"),
-    ).filter(F.col("w") > 0)
-    wc = Window.orderBy("hk", "doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Bucket count scales with the cluster (2 buckets per shuffle
+    # partition keeps every bucket-window task busy); correctness is
+    # bucket-count-independent because buckets are RANGES of the
+    # (hk, doc_id) order — within-bucket prefix + earlier-bucket
+    # offsets compose to the exact global prefix for ANY bucketing.
+    n_buckets = 2 * int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    wall = Window.partitionBy()
-    cum = wt.select(
+    bucket_width = (T.HASH_P + n_buckets - 1) // n_buckets
+    wt = (
+        t.documents.select(
+            "doc_id",
+            T.token_count(F.col("text")).cast("bigint").alias("w"),
+            T.char_hash(F.col("doc_id").cast("string")).alias("hk"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("bkt", (F.col("hk") / F.lit(bucket_width)).cast("int"))
+    )
+
+    def build() -> DataFrame:
+        wb = Window.partitionBy("bkt").orderBy("hk", "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return wt.select(
+            "doc_id", "w", "bkt", F.sum("w").over(wb).alias("pcw")
+        )
+
+    # One bucket-keyed window pass, shared across the offsets collect
+    # and the final select (a second scan would redo the token-count
+    # Arrow stage).
+    part_cum = _cached_persisted_pps(spark, sf_dir, build)
+    # Per-bucket totals -> driver prefix-sum -> broadcast offsets.
+    # n_buckets rows of (bkt, total): bounded metadata, the same class
+    # of driver scalar as an iterative-algorithm convergence check.
+    btot = {
+        r["bkt"]: r["tot"]
+        for r in part_cum.groupBy("bkt")
+        .agg(F.max("pcw").alias("tot"))
+        .collect()
+    }
+    total = sum(btot.values())
+    offs, acc = [], 0
+    for bkt in sorted(btot):
+        offs.append((bkt, acc))
+        acc += btot[bkt]
+    off_df = spark.createDataFrame(offs, "bkt INT, off BIGINT")
+    cum = part_cum.join(F.broadcast(off_df), "bkt").select(
         "doc_id",
         "w",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wall).alias("total"),
+        (F.col("pcw") + F.col("off")).alias("cw"),
+        F.lit(total).alias("total"),
     )
     # floor on BOTH engines (a bare CAST rounds in DuckDB but
     # truncates in Spark); the product stays < 2^53 so the double
@@ -1907,3 +2155,9 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(hi > lo).select(
         "doc_id", F.col("w").alias("weight"), (hi - lo).alias("n_hits")
     )
+
+
+def _cached_persisted_pps(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    from risinglight_spark.operators.dedup import _cached_persisted
+
+    return _cached_persisted(spark, sf_dir, "pps_part_cum", build)

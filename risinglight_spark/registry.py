@@ -87,11 +87,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #      recursive CTE, ensemble dedup, eval queries, streaming custom
 #      source/sink/outer-join/RocksDB, RF1/RF2, IVF/multiprobe/PQ
 #      prerequisites, text corpus stats;
-#   r5 (_R5_QUEUE, staged next): DSIR, KL, dup-ngram spans,
+#   r5 (this list's first 50 = _R5_GATE): DSIR, KL, dup-ngram spans,
 #      kNN/NB/PQ/ADC/IVF-PQ, SCD2+PIT, co-occurrence, DAU/WAU, bitmap
 #      distinct, fuzzy join, LPA/PageRank/triangles, MLM, entropy,
 #      hybrid RRF, data quality, ANY/ALL, BPE, graphs, windows;
-#   r6+ front the remainder (scalar libraries, setops, catalog/copy,
+#   r6 (_R6_QUEUE, staged next): the round-4 additions that overflowed
+#      the r5 gate (explain CBO, filtered ANN, attribution, PPS,
+#      cluster keep-best) + no-oracle sketch entries;
+#   r7+ front the remainder (scalar libraries, setops, catalog/copy,
 #      mm, leftover events/text, streaming built-ins).
 # Check locally: python tools/oracle_check.py <sf0.01> --first 50.
 
@@ -183,9 +186,13 @@ _R4_GATE: tuple[str, ...] = (
     "text_pii_scrub",
 )
 
-# Round-5 queue: late-r3 additions + remaining headliners, staged so the
-# next rotation is a pure reorder.
-_R5_QUEUE: tuple[str, ...] = (
+# Round-5 driver gate: the 50 entries staged in the round-4 registry's
+# _R5_QUEUE, minus `agg_heavy_hitters_sketch` — it has no DuckDB oracle
+# (sketch output), and the round-4 gate burned a slot on exactly that
+# kind of `err: no_oracle` row.  No-oracle entries stay out of the
+# rotated 50-prefix permanently; they are covered by error-bound
+# pytests instead (tests/test_properties.py).
+_R5_GATE: tuple[str, ...] = (
     "text_dsir_importance",
     "text_kl_source_divergence",
     "dedup_duplicate_ngram_spans",
@@ -230,22 +237,28 @@ _R5_QUEUE: tuple[str, ...] = (
     "ml_kfold_split",
     "pairs_contrastive_mining",
     "agg_weighted_median",
-    "agg_heavy_hitters_sketch",
     "agg_histogram_equiwidth",
     "window_exclude_current",
     "unnest_with_ordinality",
     "join_interval_bucketed_global",
     "copy_compact_small_files",
-    # round-4 additions, queued for driver verification
     "streaming_transform_with_state",
+)
+
+# Round-6 queue: the r5 overflow (round-4 additions that did not fit in
+# the 50-slot gate) fronted, then no-oracle sketch entries (rows-only
+# checks — kept OUT of any 50-prefix), then everything else in
+# registration order.
+_R6_QUEUE: tuple[str, ...] = (
     "explain_cost_estimates",
     "ann_filtered_topk",
     "events_attribution_last_touch",
     "sample_systematic_pps",
     "dedup_cluster_keep_best",
+    "agg_heavy_hitters_sketch",
 )
 
-_PRIORITY: tuple[str, ...] = (*_R4_GATE, *_R5_QUEUE, *_R3_VERIFIED)
+_PRIORITY: tuple[str, ...] = (*_R5_GATE, *_R6_QUEUE, *_R4_GATE, *_R3_VERIFIED)
 
 
 def collect() -> dict[str, QueryEntry]:

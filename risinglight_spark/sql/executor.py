@@ -191,14 +191,36 @@ class StatementExecutor:
             staging = tempfile.mkdtemp(prefix="rl_copy_")
             typed.write.mode("overwrite").parquet(staging)
             staged = self.spark.read.schema(tbl.schema).parquet(staging)
-            staged.write.insertInto(t, overwrite=False)
+            # Count the immutable staged files BEFORE the insert — the
+            # files don't change, and counting first avoids a second
+            # full scan after the write (round-4 advisor finding).
             n = staged.count()
+            staged.write.insertInto(t, overwrite=False)
             shutil.rmtree(staging, ignore_errors=True)
         else:
-            tbl.write.options(
-                sep=delim, header=header, emptyValue=""
-            ).mode("overwrite").csv(path)
+            # The reference writes a single delimited FILE at `path`
+            # (src/executor/copy_to_file.rs) — a Spark partitioned
+            # directory breaks external consumers.  Write a one-part
+            # staging dir, then move the lone part-file to `path`.
+            # coalesce(1) is a deliberate single-writer funnel: COPY TO
+            # a single local file is inherently one consumer's I/O; at
+            # cluster scale use the directory-output parquet/csv sinks.
             n = tbl.count()
+            staging = tempfile.mkdtemp(prefix="rl_copyto_")
+            tbl.coalesce(1).write.options(
+                sep=delim, header=header, emptyValue=""
+            ).mode("overwrite").csv(staging)
+            part = next(
+                p
+                for p in sorted(os.listdir(staging))
+                if p.startswith("part-") and not p.endswith(".crc")
+            )
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            elif os.path.exists(path):
+                os.remove(path)
+            shutil.move(os.path.join(staging, part), path)
+            shutil.rmtree(staging, ignore_errors=True)
         return self.spark.createDataFrame([(n,)], "count BIGINT")
 
     def execute_statement(self, sql: str) -> str:

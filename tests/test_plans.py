@@ -641,3 +641,15 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # pure union + window, no join operator
     assert plan.count("Exchange hashpartitioning(user_id") >= 1
+
+
+def test_pps_has_no_single_partition_window(spark, sf_dir):
+    """sample_systematic_pps: the prefix sum is the distributed form —
+    bucket-partitioned window + broadcast offsets; no global-order
+    single-partition Exchange funnels the corpus through one task."""
+    plan = _plan(spark, sf_dir, "sample_systematic_pps")
+    assert "Exchange SinglePartition" not in plan
+    # the cumulative window is keyed on the hash bucket
+    assert "hashpartitioning(bkt" in plan
+    # offsets join stays a broadcast (bounded metadata side)
+    assert "BroadcastHashJoin" in plan
