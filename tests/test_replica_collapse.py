@@ -128,3 +128,129 @@ def test_multi_signal_keeps_null_and_short_docs(spark, corpus_dir):
     assert rows[10].keeper == 9 and rows[9].survives
     # NULL text: kept, self-keeper
     assert rows[12].keeper == 12 and rows[12].survives
+
+
+# -- round-5: collapsed graph rounds vs direct expanded-graph rounds --------
+
+
+def _expanded_pairs(spark, sf):
+    from risinglight_spark.operators.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+
+
+def test_collapsed_pagerank_equals_direct(spark, corpus_dir):
+    """graph_pagerank (cluster-level rounds, integer multiplicities)
+    must equal the direct formulation that iterates over every
+    expanded member edge."""
+    from risinglight_spark.operators import fpsum
+    from risinglight_spark.operators.pipeline_ops import (
+        PR_DAMP,
+        PR_ITERS,
+        graph_pagerank,
+    )
+
+    pairs = _expanded_pairs(spark, corpus_dir)
+    sym = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = sym.join(deg, "src")
+    n = edges.select("src").distinct().count()
+    r = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges.join(r, edges["src"] == r["node"]).select(
+            F.col("dst"), (F.col("r") / F.col("deg")).alias("c")
+        )
+        r = contrib.groupBy("dst").agg(
+            (
+                F.lit((1.0 - PR_DAMP) / n)
+                + F.lit(PR_DAMP) * fpsum(F.col("c"), 1e12)
+            ).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    want = sorted(
+        (x["doc_id"], x["deg"], x["pagerank"])
+        for x in r.join(deg, r["node"] == deg["src"])
+        .select(
+            F.col("node").alias("doc_id"),
+            "deg",
+            F.round("r", 12).alias("pagerank"),
+        )
+        .collect()
+    )
+    got = sorted(
+        (x["doc_id"], x["deg"], x["pagerank"])
+        for x in graph_pagerank(spark, corpus_dir).collect()
+    )
+    assert got == want
+
+
+def test_collapsed_lpa_equals_direct(spark, corpus_dir):
+    from risinglight_spark.operators.pipeline_ops import (
+        LPA_ROUNDS,
+        graph_label_propagation,
+    )
+
+    pairs = _expanded_pairs(spark, corpus_dir)
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = counts.groupBy(F.col("n2").alias("node")).agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
+            .getField("label")
+            .alias("label")
+        )
+    want = sorted(
+        (x["node"], x["label"]) for x in labels.collect()
+    )
+    got = sorted(
+        (x["doc_id"], x["community"])
+        for x in graph_label_propagation(spark, corpus_dir).collect()
+    )
+    assert got == want
+
+
+def test_collapsed_triangles_equal_direct(spark, corpus_dir):
+    from risinglight_spark.operators.pipeline_ops import graph_triangle_count
+
+    e = _expanded_pairs(spark, corpus_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("x"),
+        F.col("e1.b").alias("y"),
+        F.col("e2.b").alias("z"),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+        "left_semi",
+    )
+    members = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionAll(tri.select(F.col("y").alias("doc_id")))
+        .unionAll(tri.select(F.col("z").alias("doc_id")))
+    )
+    want = sorted(
+        (x["doc_id"], x["n_triangles"])
+        for x in members.groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+        .collect()
+    )
+    got = sorted(
+        (x["doc_id"], x["n_triangles"])
+        for x in graph_triangle_count(spark, corpus_dir).collect()
+    )
+    assert got == want
