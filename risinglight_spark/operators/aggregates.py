@@ -327,19 +327,46 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; bounds asserted below
-    doc="approx_count_distinct (HyperLogLog++) per event type — the "
-    "constant-memory cardinality sketch that replaces exact "
-    "count(distinct) at 100 TB.  Sketch values differ across engines, "
-    "so this is rows-only for the driver; tests/test_plans.py asserts "
-    "the estimate lands within 5% of the exact count.",
-)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL++ estimates (engine-specific values; used by the
+    registry entry's bound check and by tests/test_plans.py)."""
     t = Tables(spark, sf_dir)
     return t.events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           true AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HyperLogLog++) per event type — the "
+    "constant-memory cardinality sketch that replaces exact "
+    "count(distinct) at 100 TB.  Sketch VALUES are engine-specific, "
+    "so the checkable contract is the estimate's ERROR BOUND: the "
+    "output carries the exact distinct count plus a boolean asserting "
+    "the HLL estimate landed within max(5%, 2) of it — which the "
+    "DuckDB oracle replays as a literal (the row only hashes equal if "
+    "the bound really held).  Same decomposition for every sketch "
+    "entry: estimates stay rows-only nowhere, bounds become "
+    "hash-verifiable.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    approx = _approx_distinct_raw(spark, sf_dir)
+    exact = t.events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(approx), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(0.05 * F.col("exact_users"), F.lit(2))
+        ).alias("within_bound"),
     )
 
 
@@ -494,17 +521,9 @@ def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_PCT_ACCURACY = 10_000  # 1/accuracy = max rank error
 
 
-@register(
-    "agg_approx_percentile",
-    oracle=None,  # sketch layouts are engine-specific; bounded-error
-    # vs the exact percentile is pinned by
-    # tests/test_plans.py::test_approx_percentile_error_bound
-    doc="Approximate percentiles (Greenwald-Khanna sketch, rank error "
-    "<= 1/accuracy) — at extreme cardinality the sketch's O(1) "
-    "memory replaces the exact percentile's full sort; mergeable "
-    "across partitions like any partial aggregate.",
-)
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _approx_percentile_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw GK-sketch percentiles (engine-specific values; used by the
+    registry entry's rank check and tests/test_plans.py)."""
     t = Tables(spark, sf_dir)
     v = F.col("value")
     return (
@@ -518,6 +537,48 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v, F.lit(0.95), F.lit(APPROX_PCT_ACCURACY)
             ).alias("p95_approx"),
         )
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           true AS p50_rank_ok, true AS p95_rank_ok
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+    doc="Approximate percentiles (Greenwald-Khanna sketch, rank error "
+    "<= 1/accuracy) — at extreme cardinality the sketch's O(1) "
+    "memory replaces the exact percentile's full sort; mergeable "
+    "across partitions like any partial aggregate.  The checkable "
+    "contract is the RANK guarantee itself: the returned sample's "
+    "rank interval [count(< x), count(<= x)] must intersect "
+    "[n*(p-eps), n*(p+eps)] (eps = 10x the sketch's guaranteed "
+    "error, +2 rows absolute slack) — verified per group as exact "
+    "integer counts and hashed as booleans against the oracle's "
+    "literals.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    eps = 10.0 / APPROX_PCT_ACCURACY
+    approx = _approx_percentile_raw(spark, sf_dir)
+    v = F.col("value")
+    joined = (
+        t.events.filter(v.isNotNull())
+        .select("event_type", "value")
+        .join(F.broadcast(approx), "event_type")
+    )
+
+    def rank_ok(p: float, col: str):
+        cnt_lt = F.sum(F.when(v < F.col(col), 1).otherwise(0))
+        cnt_le = F.sum(F.when(v <= F.col(col), 1).otherwise(0))
+        n = F.count("*")
+        return (cnt_lt <= n * (p + eps) + 2) & (cnt_le >= n * (p - eps) - 2)
+
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        rank_ok(0.5, "p50_approx").alias("p50_rank_ok"),
+        rank_ok(0.95, "p95_approx").alias("p95_rank_ok"),
     )
 
 
@@ -565,20 +626,10 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_sketch_mergeable",
-    oracle=None,  # Datasketches HLL binaries have no DuckDB replay;
-    # error bound vs exact distinct pinned in
-    # tests/test_plans.py::test_mergeable_sketch_error_bound
-    doc="Mergeable-sketch workflow — THE pattern for distributed "
-    "distinct counting at 100 TB: each source shard aggregates its own "
-    "HLL sketch (hll_sketch_agg, one pass, bytes-sized state), then "
-    "sketches UNION (hll_union_agg) into the global estimate without "
-    "touching rows again.  Shard sketches are storable/reusable: "
-    "tomorrow's shard merges with yesterday's without rescanning "
-    "either — what exact count(DISTINCT) fundamentally cannot do.",
-)
-def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sketch_mergeable_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Datasketches-HLL estimates per shard + merged (engine-
+    specific values; used by the registry entry's bound check and
+    tests/test_plans.py)."""
     t = Tables(spark, sf_dir)
     shard = t.orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
@@ -598,6 +649,50 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__ALL__").alias("o_orderpriority"), "n_rows", "est_distinct"
     )
     return per_shard.unionByName(merged)
+
+
+@register(
+    "agg_sketch_mergeable",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS exact_distinct,
+           true AS within_bound
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__ALL__', count(*), count(DISTINCT o_custkey), true
+    FROM orders
+    """,
+    doc="Mergeable-sketch workflow — THE pattern for distributed "
+    "distinct counting at 100 TB: each source shard aggregates its own "
+    "HLL sketch (hll_sketch_agg, one pass, bytes-sized state), then "
+    "sketches UNION (hll_union_agg) into the global estimate without "
+    "touching rows again.  Shard sketches are storable/reusable: "
+    "tomorrow's shard merges with yesterday's without rescanning "
+    "either — what exact count(DISTINCT) fundamentally cannot do.  "
+    "Sketch binaries have no DuckDB replay, so the checkable contract "
+    "is the bound: every estimate (per shard AND merged) must land "
+    "within max(5%, 2) of the exact distinct count, hashed as a "
+    "boolean next to the exact values.",
+)
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    est = _sketch_mergeable_raw(spark, sf_dir)
+    exact = t.orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    ).unionByName(
+        t.orders.agg(
+            F.count_distinct("o_custkey").alias("exact_distinct")
+        ).select(F.lit("__ALL__").alias("o_orderpriority"), "exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_rows",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= F.greatest(0.05 * F.col("exact_distinct"), F.lit(2))
+        ).alias("within_bound"),
+    )
 
 
 @register(
@@ -679,23 +774,10 @@ def _mg_partition(batches):
     )
 
 
-@register(
-    "agg_heavy_hitters_sketch",
-    oracle=None,  # sketch contents are cutoff-dependent; bound tested
-    doc=f"Heavy hitters via mergeable Misra-Gries sketches "
-    f"({MG_COUNTERS} counters/shard): each partition summarizes "
-    "locally in one Arrow pass (no shuffle of raw rows), the partial "
-    "sketches merge by key-summing — the same merge-without-rescan "
-    "contract as agg_sketch_mergeable, for top-k instead of "
-    "cardinality.  Guarantee (asserted in tests/test_plans.py): "
-    "estimates never overcount, undercount is <= n/(M+1), and every "
-    "key with true count > n/(M+1) survives the merge.  At 100 TB the "
-    "shuffle carries <= M rows per shard, independent of data size — "
-    "the constant-memory answer to 'top users' on an unbounded "
-    "stream.  Deterministic: partition contents and batch order are "
-    "fixed by the parquet layout.",
-)
-def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _heavy_hitters_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw merged Misra-Gries estimates (cutoff-dependent key set;
+    used by the registry entry's guarantee check and
+    tests/test_plans.py)."""
     from risinglight_spark.tables import load
 
     ev = load(spark, sf_dir, "events").select("user_id")
@@ -705,6 +787,70 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys' (undercount is per-shard), so truncation could evict it.
     # Output stays bounded at <= M rows per shard regardless of data.
     return partials.groupBy("user_id").agg(F.sum("est").alias("est_count"))
+
+
+MG_CHECK_TOPK = 20  # true-count top keys whose MG guarantees get hashed
+
+
+@register(
+    "agg_heavy_hitters_sketch",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, count(*) AS true_count
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, true_count,
+             row_number() OVER (ORDER BY true_count DESC, user_id)
+                 AS rn
+      FROM c
+    )
+    SELECT user_id, true_count,
+           true AS present_ok, true AS no_overcount,
+           true AS undercount_ok
+    FROM ranked WHERE rn <= {MG_CHECK_TOPK}
+    """,
+    doc=f"Heavy hitters via mergeable Misra-Gries sketches "
+    f"({MG_COUNTERS} counters/shard): each partition summarizes "
+    "locally in one Arrow pass (no shuffle of raw rows), the partial "
+    "sketches merge by key-summing — the same merge-without-rescan "
+    "contract as agg_sketch_mergeable, for top-k instead of "
+    "cardinality.  The surviving-key SET is cutoff-dependent (not "
+    "oracle-replayable), so the checkable contract hashes the MG "
+    f"GUARANTEES over the top-{MG_CHECK_TOPK} TRUE keys (a "
+    "deterministic, oracle-computable set): with an absent key read "
+    "as estimate 0, every key must satisfy est <= true (never "
+    "overcount) and true - est <= n/(M+1) (bounded undercount — for "
+    "an absent key this IS the contrapositive of the presence "
+    "guarantee), and keys hotter than n/(M+1) must be present.  At "
+    "100 TB the shuffle carries <= M rows per shard, independent of "
+    "data size — the constant-memory answer to 'top users' on an "
+    "unbounded stream.",
+)
+def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.tables import load
+
+    est = _heavy_hitters_raw(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    n = ev.count()
+    bound = n / (MG_COUNTERS + 1.0)
+    # TakeOrderedAndProject (never a global sort): top-K true keys,
+    # ties broken by user_id so the set is deterministic
+    top = true.orderBy(F.desc("true_count"), F.col("user_id")).limit(
+        MG_CHECK_TOPK
+    )
+    e0 = F.coalesce(F.col("est_count"), F.lit(0))
+    return top.join(F.broadcast(est), "user_id", "left").select(
+        "user_id",
+        "true_count",
+        (
+            (F.col("true_count") <= bound) | F.col("est_count").isNotNull()
+        ).alias("present_ok"),
+        (e0 <= F.col("true_count")).alias("no_overcount"),
+        ((F.col("true_count") - e0) <= bound).alias("undercount_ok"),
+    )
 
 
 # -- equi-width histogram -----------------------------------------------------

@@ -246,8 +246,9 @@ _R5_GATE: tuple[str, ...] = (
 )
 
 # Round-6 queue: the r5 overflow (round-4 additions that did not fit in
-# the 50-slot gate) fronted, then no-oracle sketch entries (rows-only
-# checks — kept OUT of any 50-prefix), then everything else in
+# the 50-slot gate) fronted, then the sketch entries — now carrying
+# exact-value + error-bound-boolean outputs their oracles can replay
+# (no more `err: no_oracle` rows anywhere), then everything else in
 # registration order.
 _R6_QUEUE: tuple[str, ...] = (
     "explain_cost_estimates",
@@ -256,6 +257,9 @@ _R6_QUEUE: tuple[str, ...] = (
     "sample_systematic_pps",
     "dedup_cluster_keep_best",
     "agg_heavy_hitters_sketch",
+    "agg_sketch_mergeable",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
 )
 
 _PRIORITY: tuple[str, ...] = (*_R5_GATE, *_R6_QUEUE, *_R4_GATE, *_R3_VERIFIED)

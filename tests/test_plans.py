@@ -87,9 +87,11 @@ def test_dedup_candidate_joins_are_keyed(spark, sf_dir):
 def test_approx_distinct_error_bound(spark, sf_dir):
     from pyspark.sql import functions as F
 
+    from risinglight_spark.operators.aggregates import _approx_distinct_raw
+
     approx = {
         r.event_type: r.approx_users
-        for r in ENTRIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
+        for r in _approx_distinct_raw(spark, sf_dir).collect()
     }
     from risinglight_spark.tables import load
 
@@ -238,9 +240,13 @@ def test_approx_percentile_error_bound(spark, sf_dir):
     # at rank +- n/accuracy)
     from pyspark.sql import functions as F
 
+    from risinglight_spark.operators.aggregates import (
+        _approx_percentile_raw,
+    )
+
     approx = {
         r.event_type: (r.p50_approx, r.p95_approx)
-        for r in ENTRIES["agg_approx_percentile"].fn(spark, sf_dir).collect()
+        for r in _approx_percentile_raw(spark, sf_dir).collect()
     }
     # the guarantee is on RANK, not value: the returned sample's rank
     # must be within n/accuracy (+1 slack — exact percentile
@@ -410,9 +416,13 @@ def test_mergeable_sketch_error_bound(spark, sf_dir):
 
     from risinglight_spark.tables import Tables
 
+    from risinglight_spark.operators.aggregates import (
+        _sketch_mergeable_raw,
+    )
+
     rows = {
         r.o_orderpriority: r.est_distinct
-        for r in ENTRIES["agg_sketch_mergeable"].fn(spark, sf_dir).collect()
+        for r in _sketch_mergeable_raw(spark, sf_dir).collect()
     }
     t = Tables(spark, sf_dir)
     exact = {
@@ -544,9 +554,11 @@ def test_heavy_hitters_sketch_bounds(spark, sf_dir):
     from risinglight_spark.operators.aggregates import MG_COUNTERS
     from risinglight_spark.tables import load
 
+    from risinglight_spark.operators.aggregates import _heavy_hitters_raw
+
     est = {
         r["user_id"]: r["est_count"]
-        for r in ENTRIES["agg_heavy_hitters_sketch"].fn(spark, sf_dir).collect()
+        for r in _heavy_hitters_raw(spark, sf_dir).collect()
     }
     ev = load(spark, sf_dir, "events")
     true = {
