@@ -271,6 +271,36 @@ def _doc_shingles(text: "pd.Series", n: int) -> list:
     return out
 
 
+def token_hashes_pandas():
+    """Arrow-batched per-token polynomial hashes — the vectorized twin
+    of ``token_hashes`` (char_hash over tokens of the normalized
+    text), for consumers that need PER-TOKEN rows (hashed-feature
+    models, token entropy): the char-level fold is an interpreted
+    higher-order lambda in Catalyst (~10x slower — see
+    shingle_hashes_pandas), so the Python replay wins on any
+    token-stream scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append([])
+                continue
+            toks = [x for x in _WS.split(t.lower().strip()) if x]
+            th = []
+            for tok in toks:
+                h = 0
+                for ch in tok:
+                    h = (h * CHAR_MULT + ord(ch)) % HASH_P
+                th.append(h)
+            out.append(th)
+        return pd.Series(out)
+
+    return _udf
+
+
 def shingle_hashes_pandas(n: int = 3):
     """Arrow-batched pandas UDF computing the SAME shingle hashes as
     ``shingle_hashes(token_hashes(text))``.
