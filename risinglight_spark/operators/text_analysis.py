@@ -1862,3 +1862,157 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.sum("n").over(w), 10),
         )
     )
+
+
+# -- Gopher quality rules (Rae et al. 2021, table A1) ------------------------
+# The explicit rule SET behind most production pretraining filters
+# (RedPajama / Dolma / DataTrove re-implement exactly these): hard
+# bounds on word count and mean word length, symbol-to-word ratio,
+# bullet/ellipsis line fractions, alphabetic-word fraction, and
+# stopword presence.  Distinct from text_quality_scores (a composite
+# heuristic score): this is the per-rule boolean report a curation
+# pipeline audits and tunes rule-by-rule.
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def _gopher_oracle() -> str:
+    toks = T.tokens_sql("text")
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, {toks} AS toks,
+             list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                        l -> trim(l)), l -> l <> '') AS lines
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id,
+        len(toks)::BIGINT AS word_count,
+        list_sum(list_transform(toks, t -> length(t)::BIGINT)) AS chars,
+        ((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
+            AS symbols,
+        len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))::BIGINT
+            AS bullet_lines,
+        len(list_filter(lines, l -> l LIKE '%...'))::BIGINT
+            AS ellipsis_lines,
+        len(lines)::BIGINT AS n_lines,
+        len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
+            AS alpha_words,
+        len(list_filter(toks, t -> lower(t) IN ({stops})))::BIGINT
+            AS stop_hits
+      FROM d
+    )
+    SELECT doc_id, word_count,
+      round(chars::DOUBLE / nullif(word_count, 0), 10) AS mean_word_len,
+      round(symbols::DOUBLE / nullif(word_count, 0), 10) AS symbol_ratio,
+      round(bullet_lines::DOUBLE / nullif(n_lines, 0), 10)
+          AS bullet_line_frac,
+      round(ellipsis_lines::DOUBLE / nullif(n_lines, 0), 10)
+          AS ellipsis_line_frac,
+      round(alpha_words::DOUBLE / nullif(word_count, 0), 10)
+          AS alpha_word_frac,
+      stop_hits,
+      coalesce(
+        word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND (chars::DOUBLE / nullif(word_count, 0)) BETWEEN 3 AND 10
+        AND (symbols::DOUBLE / nullif(word_count, 0)) < 0.1
+        AND (bullet_lines::DOUBLE / nullif(n_lines, 0)) < 0.9
+        AND (ellipsis_lines::DOUBLE / nullif(n_lines, 0)) < 0.3
+        AND (alpha_words::DOUBLE / nullif(word_count, 0)) > 0.8
+        AND stop_hits >= 2, false) AS keep
+    FROM m
+    """
+
+
+@register(
+    "text_gopher_rules",
+    oracle=_gopher_oracle(),
+    doc=f"Gopher quality rules (Rae et al. 2021 A1; the rule set "
+    "RedPajama/Dolma/DataTrove ship): per-document word-count bounds "
+    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in "
+    "[3, 10], symbol-to-word ratio (# and ...) < 0.1, < 90% bullet "
+    "lines, < 30% ellipsis lines, > 80% alphabetic words, >= 2 "
+    "stopwords — each reported as an exact count/ratio column plus "
+    "the conjunction `keep` flag.  One stateless scan, all codegen/"
+    "higher-order Column expressions (counts are exact integers; "
+    "ratios are int/int divisions — IEEE-identical on both engines); "
+    "no shuffle, embarrassingly parallel at any scale.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    d = t.documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", toks.alias("toks"), lines.alias("lines")
+    )
+    chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hashes = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    dots = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbols = (hashes + dots).cast("long")
+    bullet = F.size(
+        F.filter(
+            F.col("lines"),
+            lambda l: l.like("-%") | l.like("*%"),
+        )
+    ).cast("long")
+    ellipsis = F.size(
+        F.filter(F.col("lines"), lambda l: l.like("%..."))
+    ).cast("long")
+    n_lines = F.size("lines").cast("long")
+    alpha = F.size(
+        F.filter(F.col("toks"), lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    stops = F.size(
+        F.filter(F.col("toks"), lambda x: F.lower(x).isin(*GOPHER_STOPS))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("word_count"),
+        chars.alias("chars"),
+        symbols.alias("symbols"),
+        bullet.alias("bullet_lines"),
+        ellipsis.alias("ellipsis_lines"),
+        n_lines.alias("n_lines"),
+        alpha.alias("alpha_words"),
+        stops.alias("stop_hits"),
+    )
+    wc = F.nullif(F.col("word_count"), F.lit(0)).cast("double")
+    nl = F.nullif(F.col("n_lines"), F.lit(0)).cast("double")
+    mean_wl = F.col("chars") / wc
+    sym_r = F.col("symbols") / wc
+    bullet_r = F.col("bullet_lines") / nl
+    ell_r = F.col("ellipsis_lines") / nl
+    alpha_r = F.col("alpha_words") / wc
+    keep = F.coalesce(
+        F.col("word_count").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(3, 10)
+        & (sym_r < 0.1)
+        & (bullet_r < 0.9)
+        & (ell_r < 0.3)
+        & (alpha_r > 0.8)
+        & (F.col("stop_hits") >= 2),
+        F.lit(False),
+    )
+    return m.select(
+        "doc_id",
+        "word_count",
+        F.round(mean_wl, 10).alias("mean_word_len"),
+        F.round(sym_r, 10).alias("symbol_ratio"),
+        F.round(bullet_r, 10).alias("bullet_line_frac"),
+        F.round(ell_r, 10).alias("ellipsis_line_frac"),
+        F.round(alpha_r, 10).alias("alpha_word_frac"),
+        "stop_hits",
+        keep.alias("keep"),
+    )
