@@ -52,3 +52,63 @@ def test_histogram_constant_column(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["bin"] == 0 and out[0]["n"] == 10
     assert out[0]["bin_lo"] == 7.5 and out[0]["bin_hi"] == 7.5
+
+
+def test_gopher_rules_degenerate_docs(spark, tmp_path):
+    """text_gopher_rules on empty / whitespace-only / NULL / single-line
+    documents: NULL text is excluded; zero-token docs keep all-NULL
+    ratios and keep=false (no division-by-zero divergence between
+    engines)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and that dog be with it of", "en",
+             "web", 47),
+            (2, "", "en", "web", 0),
+            (3, "   \n  \n ", "en", "web", 8),
+            (4, None, "en", "web", 0),
+            (5, "- bullet\n- bullet two\n- three", "en", "web", 29),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    from risinglight_spark.operators.text_analysis import text_gopher_rules
+
+    rows = {r["doc_id"]: r for r in text_gopher_rules(spark, sf).collect()}
+    assert 4 not in rows  # NULL text excluded
+    assert rows[2]["word_count"] == 0
+    assert rows[2]["mean_word_len"] is None
+    assert rows[2]["keep"] is False
+    assert rows[3]["word_count"] == 0 and rows[3]["keep"] is False
+    # short doc: word-count rule fails but per-rule columns are exact
+    assert rows[1]["stop_hits"] >= 2 and rows[1]["keep"] is False
+    assert abs(rows[5]["bullet_line_frac"] - 1.0) < 1e-9
+
+
+def test_semdedup_zero_and_duplicate_vectors(spark, tmp_path):
+    """dedup_semdedup replica collapse: identical embeddings keep only
+    the min-vec_id representative; zero vectors (cos undefined) are
+    never dropped."""
+    import risinglight_spark.operators.dedup as D
+
+    dim = D.DIM
+    v1 = [1.0] + [0.0] * (dim - 1)
+    z = [0.0] * dim
+    emb = spark.createDataFrame(
+        [
+            (1, v1, 0),
+            (2, v1, 0),  # exact replica of 1 -> dropped
+            (3, z, 0),   # zero vector -> never dropped
+            (4, z, 0),   # zero replica -> still not dropped (cos NaN)
+        ],
+        f"vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT",
+    )
+    sf = str(tmp_path)
+    emb.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    rows = {
+        r["vec_id"]: r["is_dropped"]
+        for r in D.dedup_semdedup(spark, sf).collect()
+    }
+    assert rows[1] is False
+    assert rows[2] is True
+    assert rows[3] is False and rows[4] is False
