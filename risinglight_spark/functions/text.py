@@ -239,25 +239,33 @@ import re as _re
 _WS = _re.compile(r"\s+")
 
 
+def _token_hash_list(t: str | None) -> list:
+    """Per-token polynomial hashes of one document — the single Python
+    replay of ``token_hashes`` (char_hash over tokens of the normalized
+    text) that every Arrow UDF builds on, so tokenization/hash changes
+    stay bit-identical across all of them.  Tokenization caveat:
+    Python ``\\s`` is unicode-aware while Spark/Java's is ASCII —
+    identical on this corpus and on any ASCII-spaced text."""
+    if t is None:
+        return []
+    th = []
+    for tok in _WS.split(t.lower().strip()):
+        if not tok:
+            continue
+        h = 0
+        for ch in tok:
+            h = (h * CHAR_MULT + ord(ch)) % HASH_P
+        th.append(h)
+    return th
+
+
 def _doc_shingles(text: "pd.Series", n: int) -> list:
     """Per-doc word-n-gram shingle hashes — the Python replay of
     ``shingle_hashes(token_hashes(text))`` with exact integer
-    arithmetic, so the DuckDB oracle reproduces it bit-for-bit.
-    Tokenization caveat: Python ``\\s`` is unicode-aware while
-    Spark/Java's is ASCII — identical on this corpus and on any
-    ASCII-spaced text."""
+    arithmetic, so the DuckDB oracle reproduces it bit-for-bit."""
     out = []
     for t in text:
-        if t is None:
-            out.append([])
-            continue
-        toks = [x for x in _WS.split(t.lower().strip()) if x]
-        th = []
-        for tok in toks:
-            h = 0
-            for ch in tok:
-                h = (h * CHAR_MULT + ord(ch)) % HASH_P
-            th.append(h)
+        th = _token_hash_list(t)
         if len(th) >= n:
             sh = th[: len(th) - (n - 1)]
             for k in range(1, n):
@@ -283,20 +291,7 @@ def token_hashes_pandas():
 
     @pandas_udf("array<bigint>")
     def _udf(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            if t is None:
-                out.append([])
-                continue
-            toks = [x for x in _WS.split(t.lower().strip()) if x]
-            th = []
-            for tok in toks:
-                h = 0
-                for ch in tok:
-                    h = (h * CHAR_MULT + ord(ch)) % HASH_P
-                th.append(h)
-            out.append(th)
-        return pd.Series(out)
+        return pd.Series([_token_hash_list(t) for t in text])
 
     return _udf
 

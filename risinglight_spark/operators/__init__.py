@@ -94,3 +94,61 @@ def davg(c: Column) -> Column:
 
 def davg_sql(expr: str) -> str:
     return f"({dsum_sql(expr)} / count({expr}))"
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped cache of persisted "mined asset" DataFrames (collapsed
+# dedup signature tables, jaccard rep pairs, membership maps, trained
+# PQ/IVF index pieces, NB models, PPS bucket prefix sums).  Shared by
+# operators/dedup.py, operators/vector_search.py, and
+# operators/pipeline_ops.py: one materialization per (kind, sf_dir) per
+# SparkContext, reused across every consumer and bench sample — the
+# "train/mine once, store the asset" contract made literal.
+#
+# Entries are keyed by (kind, sf_dir) and guarded by the owning
+# SparkContext id: a stale entry from a stopped session is dropped
+# (best-effort unpersist) and rebuilt.  The cache is LRU-BOUNDED:
+# long-lived sessions that sweep many corpora (pytest tmp dirs, a
+# server switching datasets) evict + unpersist the oldest entries
+# instead of pinning executor memory without bound.  Builds are EAGER
+# (count() right after persist): a lazily-persisted table whose first
+# action is a self-join can run its build pipeline once per join side
+# before the cache populates — the measured double-Arrow-scan race the
+# old per-call count() barrier guarded against.
+# ---------------------------------------------------------------------------
+
+from collections import OrderedDict  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402, F811
+
+_ASSET_CACHE: OrderedDict[tuple[str, str], tuple[str, DataFrame]] = (
+    OrderedDict()
+)
+_ASSET_CACHE_MAX = 64
+
+
+def _cached_persisted(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> DataFrame:
+    key = (kind, sf_dir)
+    sess = spark.sparkContext.applicationId
+    hit = _ASSET_CACHE.get(key)
+    if hit is not None:
+        owner, df = hit
+        if owner == sess:
+            _ASSET_CACHE.move_to_end(key)
+            return df
+        try:  # stale session: release blocks if the context is alive
+            df.unpersist()
+        except Exception:
+            pass
+        del _ASSET_CACHE[key]
+    df = build().persist()
+    df.count()  # eager populate: exactly one build execution
+    _ASSET_CACHE[key] = (sess, df)
+    while len(_ASSET_CACHE) > _ASSET_CACHE_MAX:
+        _, (_, old) = _ASSET_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return df

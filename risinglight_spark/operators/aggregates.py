@@ -355,17 +355,18 @@ def _approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-verifiable.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact + sketch in ONE groupBy (no join): a NULL event_type group
+    # would be silently dropped by an equi-join on the group key, while
+    # both engines' GROUP BY retain it
     t = Tables(spark, sf_dir)
-    approx = _approx_distinct_raw(spark, sf_dir)
-    exact = t.events.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
-    )
-    return exact.join(F.broadcast(approx), "event_type").select(
-        "event_type",
-        "exact_users",
+    return t.events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
         (
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= F.greatest(0.05 * F.col("exact_users"), F.lit(2))
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.count_distinct("user_id")
+            )
+            <= F.greatest(0.05 * F.count_distinct("user_id"), F.lit(2))
         ).alias("within_bound"),
     )
 
@@ -561,12 +562,20 @@ def _approx_percentile_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     eps = 10.0 / APPROX_PCT_ACCURACY
-    approx = _approx_percentile_raw(spark, sf_dir)
+    approx = _approx_percentile_raw(spark, sf_dir).withColumnRenamed(
+        "event_type", "a_event_type"
+    )
     v = F.col("value")
+    # null-safe group-key join: a NULL event_type group exists in both
+    # engines' GROUP BY and must not be dropped by the check join
     joined = (
         t.events.filter(v.isNotNull())
         .select("event_type", "value")
-        .join(F.broadcast(approx), "event_type")
+        .join(
+            F.broadcast(approx),
+            F.col("event_type").eqNullSafe(F.col("a_event_type")),
+        )
+        .drop("a_event_type")
     )
 
     def rank_ok(p: float, col: str):
@@ -676,23 +685,42 @@ def _sketch_mergeable_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    est = _sketch_mergeable_raw(spark, sf_dir)
-    exact = t.orders.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_custkey").alias("exact_distinct")
-    ).unionByName(
-        t.orders.agg(
-            F.count_distinct("o_custkey").alias("exact_distinct")
-        ).select(F.lit("__ALL__").alias("o_orderpriority"), "exact_distinct")
+    bound_ok = (
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        <= F.greatest(0.05 * F.col("exact_distinct"), F.lit(2))
+    ).alias("within_bound")
+    # exact + sketch in ONE groupBy for the per-shard rows (a NULL
+    # group key would be dropped by a check join but is retained by
+    # GROUP BY on both engines)
+    shard = t.orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
     )
-    return est.join(F.broadcast(exact), "o_orderpriority").select(
+    per_shard = shard.select(
         "o_orderpriority",
         "n_rows",
         "exact_distinct",
-        (
-            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-            <= F.greatest(0.05 * F.col("exact_distinct"), F.lit(2))
-        ).alias("within_bound"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct"),
+    ).select("o_orderpriority", "n_rows", "exact_distinct", bound_ok)
+    # merged row: union of shard sketches vs the exact global distinct
+    # (two 1-row frames crossed — bounded metadata)
+    merged_est = shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_distinct"),
+        F.sum("n_rows").alias("n_rows"),
     )
+    merged_exact = t.orders.agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    merged = merged_est.crossJoin(merged_exact).select(
+        F.lit("__ALL__").alias("o_orderpriority"),
+        "n_rows",
+        "exact_distinct",
+        bound_ok,
+    )
+    return per_shard.unionByName(merged)
 
 
 @register(

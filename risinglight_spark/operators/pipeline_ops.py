@@ -1661,7 +1661,7 @@ NB_BUCKETS = 256  # hashed-unigram feature space bounds the model size
     "replays exactly on both engines.",
 )
 def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.operators.dedup import _cached_persisted
+    from risinglight_spark.operators import _cached_persisted
 
     t = Tables(spark, sf_dir)
     # Arrow-batched token hashing (interpreted char_hash lambdas are
@@ -1674,7 +1674,11 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.col("th") % NB_BUCKETS).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint: on the FIRST call per session the model build,
+    # priors build, and prediction join all read one materialization of
+    # the token stream (3x Arrow scans otherwise); on cache hits only
+    # the prediction scan materializes it
     # The TRAINED model (langs x buckets likelihoods + priors) is the
     # stored asset — session-memoized like the dedup signature tables,
     # so steady-state evaluation is one token-stream scan joined
@@ -2142,7 +2146,9 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One bucket-keyed window pass, shared across the offsets collect
     # and the final select (a second scan would redo the token-count
     # Arrow stage).
-    part_cum = _cached_persisted_pps(spark, sf_dir, build)
+    from risinglight_spark.operators import _cached_persisted
+
+    part_cum = _cached_persisted(spark, sf_dir, "pps_part_cum", build)
     # Per-bucket totals -> driver prefix-sum -> broadcast offsets.
     # n_buckets rows of (bkt, total): bounded metadata, the same class
     # of driver scalar as an iterative-algorithm convergence check.
@@ -2175,8 +2181,3 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("w").alias("weight"), (hi - lo).alias("n_hits")
     )
 
-
-def _cached_persisted_pps(spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    from risinglight_spark.operators.dedup import _cached_persisted
-
-    return _cached_persisted(spark, sf_dir, "pps_part_cum", build)

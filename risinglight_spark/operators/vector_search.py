@@ -1327,7 +1327,7 @@ def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     'train once, store the index' contract: every PQ consumer
     (pq_encode, ADC top-k, IVF-PQ) and every bench sample reads ONE
     materialization instead of re-aggregating the corpus."""
-    from risinglight_spark.operators.dedup import _cached_persisted
+    from risinglight_spark.operators import _cached_persisted
 
     t = Tables(spark, sf_dir)
     return _cached_persisted(
@@ -1340,7 +1340,7 @@ def _pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     code, d2) — the stored compressed index; ~4 small rows per vector,
     shared by ADC search, encode, and IVF-PQ (which semi-joins the
     probe cell's members against it)."""
-    from risinglight_spark.operators.dedup import _cached_persisted
+    from risinglight_spark.operators import _cached_persisted
 
     t = Tables(spark, sf_dir)
     return _cached_persisted(
@@ -1681,7 +1681,7 @@ def _ivf_pq_oracle() -> str:
 def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from risinglight_spark.operators import fpsum
 
-    from risinglight_spark.operators.dedup import _cached_persisted
+    from risinglight_spark.operators import _cached_persisted
 
     t = Tables(spark, sf_dir)
 

@@ -164,7 +164,10 @@ _R4_GATE: tuple[str, ...] = (
     "streaming_rocksdb_state",
     "tpch_refresh_rf1_rf2",
     "expr_try_functions",
-    "agg_sketch_mergeable",
+    # agg_sketch_mergeable held this r4 slot (it returned
+    # `err: no_oracle` there); now oracle-bearing, it is staged in
+    # _R6_QUEUE instead — listing it in both would put a duplicate in
+    # _PRIORITY and silently shift every later 50-slot gate boundary.
     "expr_higher_order_library",
     "events_watermark_lateness",
     "ann_index_partitioned",
