@@ -27,6 +27,36 @@ _DROP_RE = re.compile(r"^\s*drop\s+table\s+(if\s+exists\s+)?(\w+)", re.I)
 _DELETE_RE = re.compile(
     r"^\s*delete\s+from\s+(\w+)(?:\s+where\s+(.+?))?\s*;?\s*$", re.I | re.S
 )
+# UPDATE t SET a = expr [, b = expr ...] [WHERE cond] — a SUPERSET:
+# the reference never binds Statement::Update (src/binder/mod.rs
+# match arms end at Delete); implemented here because a real shell
+# user expects it, via the same copy-on-write staging as DELETE.
+_UPDATE_RE = re.compile(
+    r"^\s*update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def split_assignments(setlist: str) -> list[tuple[str, str]]:
+    """Split 'a = e1, b = e2' at top-level commas (parens respected)."""
+    parts, depth, cur = [], 0, []
+    for ch in setlist:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    out = []
+    for p in parts:
+        col, _, expr = p.partition("=")
+        out.append((col.strip(), expr.strip()))
+    return out
 _CREATE_FN_RE = re.compile(
     r"^\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+(\w+)"
     r"\s+language\s+sql\s+(as|return)\s+(.*)$",

@@ -36,7 +36,9 @@ from risinglight_spark.sql.dialect import (
     _PRAGMA_MAP,
     _PRAGMA_RE,
     _SET_MOCK_ROWCOUNT_RE,
+    _UPDATE_RE,
     rewrite_create_function,
+    split_assignments,
     rewrite_ddl,
     rewrite_era_literals,
     rewrite_query,
@@ -247,6 +249,40 @@ class StatementExecutor:
             # the same two-phase rewrite transactional).
             staging = tempfile.mkdtemp(prefix="rl_delete_")
             keep.write.mode("overwrite").parquet(staging)
+            self.spark.read.schema(tbl.schema).parquet(staging).write.insertInto(
+                t, overwrite=True
+            )
+            shutil.rmtree(staging, ignore_errors=True)
+            return "ok"
+        um = _UPDATE_RE.match(sql)
+        if um:
+            # UPDATE — a SUPERSET (the reference never binds
+            # Statement::Update): rewrite each assigned column as
+            # CASE WHEN <cond> THEN <expr> ELSE <col> END, cast back
+            # to the column's declared type, and run the same
+            # copy-on-write staging as DELETE above.
+            t, setlist, cond = um.group(1), um.group(2), um.group(3)
+            tbl = self.spark.table(t)
+            assigns = dict(split_assignments(setlist))
+            unknown = [c for c in assigns if c not in tbl.columns]
+            if unknown:
+                raise ValueError(f"UPDATE {t}: unknown column(s) {unknown}")
+            cond_sql = f"coalesce(({cond}), false)" if cond else "true"
+            cols = []
+            for f in tbl.schema.fields:
+                if f.name in assigns:
+                    cols.append(
+                        F.expr(
+                            f"CAST(CASE WHEN {cond_sql} THEN "
+                            f"({assigns[f.name]}) ELSE {f.name} END AS "
+                            f"{f.dataType.simpleString()})"
+                        ).alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            updated = tbl.select(*cols)
+            staging = tempfile.mkdtemp(prefix="rl_update_")
+            updated.write.mode("overwrite").parquet(staging)
             self.spark.read.schema(tbl.schema).parquet(staging).write.insertInto(
                 t, overwrite=True
             )

@@ -127,3 +127,33 @@ def test_create_index_with_options(spark):
         "nprobe": 2,
     }
     ex.execute_statement("DROP TABLE ivf_t")
+
+
+def test_update_statement_superset(shell):
+    """UPDATE is a deliberate superset (the reference never binds
+    Statement::Update): per-column CASE rewrite + the DELETE-style
+    copy-on-write staging, types preserved."""
+    assert shell.run(
+        "CREATE TABLE sh_u(v1 INT NOT NULL, v2 VARCHAR(8), v3 DOUBLE,"
+        " PRIMARY KEY(v1))"
+    ) == "ok"
+    assert shell.run(
+        "INSERT INTO sh_u VALUES (1,'a',1.5), (2,'b',2.5), (3,'c',3.5)"
+    ) == "ok"
+    # conditional multi-assignment, expression references old values
+    assert shell.run(
+        "UPDATE sh_u SET v2 = upper(v2), v3 = v3 + 10 WHERE v1 >= 2"
+    ) == "ok"
+    got = [tuple(r) for r in shell.run(
+        "SELECT * FROM sh_u ORDER BY v1").collect()]
+    assert got == [(1, "a", 1.5), (2, "B", 12.5), (3, "C", 13.5)]
+    # unconditional update touches every row
+    assert shell.run("UPDATE sh_u SET v3 = 0") == "ok"
+    vals = [r.v3 for r in shell.run("SELECT v3 FROM sh_u").collect()]
+    assert vals == [0.0, 0.0, 0.0]
+    # unknown column is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        shell.run("UPDATE sh_u SET nope = 1")
+    assert shell.run("DROP TABLE sh_u") == "ok"
