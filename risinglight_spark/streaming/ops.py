@@ -42,14 +42,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader, including the ns->us conversion)."""
     pin_semantics(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    sdf = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written corpus: events.parquet is a DIRECTORY of part
+        # files — stream it directly (a pathGlobFilter of
+        # 'events.parquet' matches no part file and yields a silent
+        # 0-row stream)
+        sdf = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # driver fixtures: events.parquet is a single FILE; readStream
+        # wants a directory, so stream the parent filtered to the file
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # Fixtures have shipped ts both as TIMESTAMP(NANOS) (read as int64
     # nanos under legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS)
     # (read natively); convert only in the legacy-int64 case, mirroring
