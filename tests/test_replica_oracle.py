@@ -1,0 +1,107 @@
+"""Oracle parity on a replica-HEAVY corpus.
+
+The driver fixtures contain no duplicate texts (max fingerprint-cluster
+size = 1 at every SF), so the sf0.001/sf0.01 oracle gates never
+exercise the exact-replica collapse fan-out with csize >= 2 — that
+arithmetic is covered only by Spark-vs-Spark equivalence tests
+(test_replica_collapse.py).  This file closes the loop: the collapsed
+miners and graph ops must ALSO hash-match DuckDB running the
+registered oracle SQL over a corpus where replica clusters of size
+2-4, normalize-equal variants, unshingleable shorts, and NULLs all
+appear.  The oracle SQL computes over the EXPANDED document set (it
+knows nothing of the collapse), so a green row here proves the
+collapse + fan-out reproduces the expanded semantics bit-for-bit on
+engine-independent data.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+from oracle_check import value_hash  # noqa: E402
+
+from risinglight_spark.registry import collect  # noqa: E402
+
+ENTRIES = collect()
+
+DOCS = [
+    # cluster A: 3 exact + 1 case/whitespace variant (same fingerprint)
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "The  quick brown fox jumps over the lazy  DOG"),
+    # near-dup of A (one word changed) -> cross-cluster edge
+    (5, "the quick brown fox leaps over the lazy dog"),
+    # cluster B: 2 copies, unrelated
+    (6, "completely different content about spark query engines"),
+    (7, "completely different content about spark query engines"),
+    # near-dup of B -> second cross-cluster edge (B-C), closing no
+    # triangle with A
+    (8, "completely different content about flink query engines"),
+    # singleton with no neighbors
+    (9, "a third topic entirely with no overlap whatsoever here"),
+    # short replicas (unshingleable)
+    (10, "hi there"),
+    (11, "hi there"),
+    # degenerate
+    (12, ""),
+    (13, None),
+]
+
+REPLICA_QUERIES = (
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_minhash_verified",
+    "dedup_exact_keep_best",
+    "graph_pagerank",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "text_gopher_rules",
+)
+
+
+@pytest.fixture(scope="module")
+def replica_dir(spark, tmp_path_factory) -> str:
+    sf = str(tmp_path_factory.mktemp("replica_oracle"))
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t or "")) for i, t in DOCS],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def replica_oracle(replica_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{replica_dir}/documents.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", REPLICA_QUERIES)
+def test_replica_corpus_matches_oracle(
+    name, spark, replica_dir, replica_oracle
+):
+    e = ENTRIES[name]
+    sdf = e.fn(spark, replica_dir).toPandas()
+    odf = replica_oracle.sql(e.oracle).df()
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} != {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf), f"{name}: hash mismatch"
+    # the corpus is built to produce non-trivial output everywhere
+    assert len(sdf) > 0, f"{name}: vacuous (empty) comparison"
