@@ -105,3 +105,68 @@ def test_replica_corpus_matches_oracle(
     assert value_hash(sdf) == value_hash(odf), f"{name}: hash mismatch"
     # the corpus is built to produce non-trivial output everywhere
     assert len(sdf) > 0, f"{name}: vacuous (empty) comparison"
+
+
+# -- embeddings with exact-replica vectors ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def replica_emb_dir(spark, tmp_path_factory) -> str:
+    import risinglight_spark.operators.dedup as D
+
+    dim = D.DIM
+    base = [0.1 * ((i % 7) - 3) for i in range(dim)]
+    near = list(base)
+    near[0] += 0.05  # high-cosine neighbor of base
+    other = [0.1 * ((i % 5) - 2) * (-1) ** i for i in range(dim)]
+    rows = [
+        (1, base, 0),
+        (2, base, 0),   # exact replica
+        (3, base, 0),   # exact replica
+        (4, near, 0),   # near-dup
+        (5, other, 1),
+        (6, other, 1),  # exact replica in another cell
+        (7, [0.0] * dim, 0),  # zero vector (cos undefined)
+    ]
+    sf = str(tmp_path_factory.mktemp("replica_emb"))
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def replica_emb_oracle(replica_emb_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{replica_emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_semdedup", "dedup_embedding_cosine"]
+)
+def test_replica_embeddings_match_oracle(
+    name, spark, replica_emb_dir, replica_emb_oracle
+):
+    e = ENTRIES[name]
+    sdf = e.fn(spark, replica_emb_dir).toPandas()
+    odf = replica_emb_oracle.sql(e.oracle).df()
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} != {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf), f"{name}: hash mismatch"
+    assert len(sdf) > 0
+
+
+def test_replica_connected_components_match_oracle(
+    spark, replica_dir, replica_oracle
+):
+    e = ENTRIES["dedup_connected_components"]
+    sdf = e.fn(spark, replica_dir).toPandas()
+    odf = replica_oracle.sql(e.oracle).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf)
