@@ -248,12 +248,15 @@ _R5_GATE: tuple[str, ...] = (
     "streaming_transform_with_state",
 )
 
-# Round-6 queue: the r5 overflow (round-4 additions that did not fit in
-# the 50-slot gate) fronted, then the sketch entries — now carrying
-# exact-value + error-bound-boolean outputs their oracles can replay
-# (no more `err: no_oracle` rows anywhere), then everything else in
-# registration order.
-_R6_QUEUE: tuple[str, ...] = (
+# Round-6 driver gate: the r5 overflow first (round-4 additions that
+# did not fit in the 50-slot gate), then the sketch entries — now
+# carrying exact-value + error-bound-boolean outputs their oracles can
+# replay (no more `err: no_oracle` rows anywhere) — then 41 more
+# never-driver-verified entries: salted/DPP joins, window frames,
+# subquery expressions, set operations, and the scalar-expression
+# libraries.  47 of the 50 have no prior driver row; the 3 sketch
+# entries convert old `err: no_oracle` rows to green.
+_R6_GATE: tuple[str, ...] = (
     "explain_cost_estimates",
     "ann_filtered_topk",
     "events_attribution_last_touch",
@@ -263,9 +266,101 @@ _R6_QUEUE: tuple[str, ...] = (
     "agg_sketch_mergeable",
     "agg_approx_distinct",
     "agg_approx_percentile",
+    "join_salted_skew",
+    "join_dpp_partition_pruned",
+    "agg_incremental_merge",
+    "window_rows_sliding_frame",
+    "window_range_frame",
+    "window_ntile",
+    "window_value_functions",
+    "window_percent_rank_cume",
+    "subquery_scalar",
+    "subquery_exists_correlated",
+    "subquery_not_exists",
+    "subquery_in_select",
+    "subquery_correlated_scalar",
+    "subquery_cte",
+    "subquery_scalar_in_select",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_except_all",
+    "expr_case_if",
+    "expr_in_between_like",
+    "expr_null_checks",
+    "expr_boolean_3vl",
+    "expr_div_by_zero",
+    "expr_string_funcs",
+    "expr_extract_date",
+    "expr_cast_matrix",
+    "expr_interval_arith",
+    "expr_typed_literals",
+    "expr_string_library",
+    "expr_math_library",
+    "expr_datetime_library",
+    "expr_regexp_library",
+    "expr_bitwise_ops",
+    "expr_array_library",
+    "expr_hash_json_library",
+    "vector_dim_variance_rank",
+    "pack_greedy_bins",
+    "sample_hash_stratified",
 )
 
-_PRIORITY: tuple[str, ...] = (*_R5_GATE, *_R6_QUEUE, *_R4_GATE, *_R3_VERIFIED)
+# Round-7 queue: the remaining 45 never-driver-verified entries, in the
+# order they should front next round (text miners, events analytics,
+# multimodal, DDL/catalog/copy round-trips, streaming built-ins).
+_R7_QUEUE: tuple[str, ...] = (
+    "text_quality_percentile_cut",
+    "sample_token_budget",
+    "mix_source_weights",
+    "text_ccnet_buckets",
+    "text_unigram_logprob",
+    "text_repetition_filter",
+    "text_gopher_rules",
+    "events_sliding_window",
+    "events_json_props",
+    "events_user_daily",
+    "events_funnel",
+    "events_hourly_gapfill",
+    "events_retention_cohorts",
+    "events_windowed_topk",
+    "events_anomaly_zscore",
+    "events_ewma_user",
+    "events_time_rollup",
+    "events_ohlc_bars",
+    "mm_binary_payload",
+    "mm_metadata_struct",
+    "mm_frame_sample",
+    "mm_resize_stub",
+    "ddl_create_insert_delete",
+    "ddl_create_view",
+    "ddl_sql_udf",
+    "copy_roundtrip_csv",
+    "catalog_pg_tables",
+    "catalog_pg_attribute",
+    "explain_plan_props",
+    "pragma_session_vars",
+    "ddl_create_index",
+    "analyze_query_stats",
+    "copy_roundtrip_json",
+    "copy_partitioned_parquet",
+    "copy_roundtrip_orc",
+    "source_tbl_roundtrip",
+    "copy_parquet_codecs",
+    "streaming_tumbling_counts",
+    "streaming_dedup_keys",
+    "streaming_stateful_max",
+    "streaming_session_window",
+    "streaming_interval_join",
+    "streaming_sliding_counts",
+    "streaming_static_enrich",
+    "streaming_dropdup_within_watermark",
+)
+
+_PRIORITY: tuple[str, ...] = (*_R6_GATE, *_R7_QUEUE, *_R5_GATE, *_R4_GATE, *_R3_VERIFIED)
 
 
 def collect() -> dict[str, QueryEntry]:
