@@ -152,3 +152,137 @@ def _cached_persisted(
         except Exception:
             pass
     return df
+
+
+# ---------------------------------------------------------------------------
+# Distributed rank over a (count DESC) total order.  The last two
+# rank-over-aggregate consumers (text_zipf_fit's vocabulary rank,
+# events_pareto_share's user-activity rank) used
+# row_number().over(Window.orderBy(...)) — a single-partition funnel
+# whose input grows with the corpus (vocabulary / user base, easily
+# 1e8-1e9 at 100 TB).  This helper computes the exact same rank (and
+# running total) with only keyed exchanges, generalizing the PPS
+# bucketed prefix-sum (pipeline_ops.py sample_systematic_pps):
+#
+#   1. histogram: group items by exact count n -> m_n items per value
+#      (sqrt-of-corpus sized);
+#   2. distributed prefix over the histogram in n-DESC order: bucket by
+#      floor(log2(n)) (<= 64 range buckets of the DESC order), window
+#      per bucket, per-bucket totals (<= 64 rows, bounded driver
+#      metadata) prefix-summed on the driver and broadcast back ->
+#      every count value n gets its start rank s_n and start running
+#      total c_n;
+#   3. tie-group numbering: items sharing n need distinct indexes
+#      1..m_n but NO particular order (callers must be tie-order
+#      invariant); hash items into `sub_buckets` sub-buckets, window
+#      per (n, sub-bucket) — each task sees ~m_n/sub_buckets rows even
+#      for the heaviest tie group (the Zipfian freq=1 half-vocabulary).
+#
+# rk = s_n + i is a bijection onto 1..N consistent with n DESC, and
+# cum = c_n + i*n is the exact running sum of n over ranks 1..rk.
+# Any per-rank or per-tie-group aggregate downstream (log-rank moment
+# sums, decile counts/shares) is invariant to the within-tie
+# assignment, so oracle parity with ORDER BY n DESC, item holds.
+# ---------------------------------------------------------------------------
+
+
+def ranked_by_count_desc(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build_per_item,
+    item_col: str,
+    n_col: str,
+    *,
+    sub_buckets: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Return ``(ranked, n_items, total)`` where ``ranked`` carries
+    ``item_col, n_col, rk, cum`` (see block comment above; ``n_col``
+    must be a positive integral count) and ``n_items``/``total`` are
+    the global item count and count sum (driver scalars, read from the
+    <=64 bucket totals — no extra pass).  ``build_per_item`` is a
+    zero-arg builder of the (item, count) aggregate; it is materialized
+    once via :func:`_cached_persisted` (keyed ``rank_<tag>``) because
+    the rank derivation consumes it on four lazy paths (histogram,
+    bucket totals, sub-bucket counts, final join) — unpersisted, the
+    corpus-wide aggregate would recompute per path."""
+    from pyspark.sql import Window
+
+    if sub_buckets is None:
+        sub_buckets = 4 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    per_item = _cached_persisted(
+        spark, sf_dir, f"rank_{tag}", build_per_item
+    )
+    hist = per_item.groupBy(n_col).agg(F.count("*").alias("m"))
+    histb = hist.withColumn(
+        "hb", F.floor(F.log2(F.col(n_col))).cast("int")
+    )
+    wb = (
+        Window.partitionBy("hb")
+        .orderBy(F.desc(n_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    histp = histb.select(
+        n_col,
+        "m",
+        "hb",
+        F.sum("m").over(wb).alias("pm"),
+        F.sum(F.col("m") * F.col(n_col)).over(wb).alias("pe"),
+    )
+    btots = (
+        histp.groupBy("hb")
+        .agg(F.max("pm").alias("tm"), F.max("pe").alias("te"))
+        .collect()
+    )
+    offs: list[tuple[int, int, int]] = []
+    accm = acce = 0
+    for r in sorted(btots, key=lambda r: -r["hb"]):
+        offs.append((r["hb"], accm, acce))
+        accm += r["tm"]
+        acce += r["te"]
+    off_df = spark.createDataFrame(
+        offs, "hb INT, offm BIGINT, offe BIGINT"
+    )
+    # start rank / start running-total per distinct count value; the
+    # distinct-count table is sqrt-of-corpus sized -> broadcast (a
+    # shuffle join here would funnel every n=1 item through one
+    # reducer, exactly the skew this helper exists to avoid).
+    starts = histp.join(F.broadcast(off_df), "hb").select(
+        n_col,
+        (F.col("offm") + F.col("pm") - F.col("m")).alias("_s"),
+        (F.col("offe") + F.col("pe") - F.col("m") * F.col(n_col)).alias(
+            "_c"
+        ),
+    )
+    itm = per_item.withColumn(
+        "_sb",
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(sub_buckets)).cast(
+            "int"
+        ),
+    )
+    sbc = itm.groupBy(n_col, "_sb").agg(F.count("*").alias("_sm"))
+    ws = (
+        Window.partitionBy(n_col)
+        .orderBy("_sb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sb_off = sbc.select(
+        n_col,
+        "_sb",
+        (F.sum("_sm").over(ws) - F.col("_sm")).alias("_soff"),
+    )
+    wrn = Window.partitionBy(n_col, "_sb").orderBy(item_col)
+    idx = F.col("_soff") + F.row_number().over(wrn)
+    ranked = (
+        itm.join(sb_off, [n_col, "_sb"])
+        .join(F.broadcast(starts), n_col)
+        .select(
+            item_col,
+            n_col,
+            (F.col("_s") + idx).alias("rk"),
+            (F.col("_c") + idx * F.col(n_col)).alias("cum"),
+        )
+    )
+    return ranked, accm, acce

@@ -955,30 +955,36 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed into deciles, with each decile's cumulative share of "
     "all events — the who-generates-the-data skew profile that "
     "decides salting/partitioning strategy before a pipeline runs.  "
-    "One per-user count, one ranked window over the (small) user "
-    "aggregate, one decile rollup — the wide stages all operate on "
-    "user-cardinality data, never raw events.",
+    "One per-user count, then the distributed count-desc rank "
+    "(ranked_by_count_desc: histogram prefix via log2 buckets + "
+    "hash-sub-bucketed tie numbering — no user-base-sized "
+    "single-partition window), one decile rollup.  The wide stages "
+    "all operate on user-cardinality data, never raw events.",
 )
 def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import ranked_by_count_desc
+
     t = Tables(spark, sf_dir)
-    per_user = t.events.groupBy("user_id").agg(F.count("*").alias("n"))
-    w_rank = Window.orderBy(F.desc("n"), "user_id")
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "n",
-        F.sum("n")
-        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_n"),
-        F.row_number().over(w_rank).alias("rk"),
-        F.count("*").over(w_all).alias("n_users"),
-        F.sum("n").over(w_all).alias("total"),
+
+    def per_user() -> DataFrame:
+        return t.events.groupBy("user_id").agg(F.count("*").alias("n"))
+
+    # Distributed rank + running total (no user-base-sized
+    # single-partition window).  The decile rollup is tie-order
+    # invariant: users in an equal-n tie group are interchangeable —
+    # per-decile counts depend only on rank positions, per-decile event
+    # sums add the same n per slot, and max(cum_share) is the running
+    # total at the decile's last rank — so parity with the oracle's
+    # ORDER BY n DESC, user_id holds under any tie assignment.
+    ranked, n_users, total = ranked_by_count_desc(
+        spark, sf_dir, "pareto_users", per_user, "user_id", "n"
     )
     binned = ranked.select(
-        F.ceil(F.col("rk") * 10.0 / F.col("n_users"))
+        F.ceil(F.col("rk") * 10.0 / F.lit(n_users))
         .cast("int")
         .alias("decile"),
         "n",
-        (F.col("cum_n") / F.col("total").cast("double")).alias("cum_share"),
+        (F.col("cum") / F.lit(float(total))).alias("cum_share"),
     )
     return binned.groupBy("decile").agg(
         F.count("*").alias("n_users"),

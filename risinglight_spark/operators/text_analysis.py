@@ -1043,24 +1043,31 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpora — a cheap generation-quality smell test).  Token counts "
     "are exact; the log points quantize to fixed-point before the "
     "moment sums (same determinism discipline as events_linear_trend); "
-    "the regression runs over vocabulary-sized data.",
+    "the rank is the distributed count-desc rank "
+    "(ranked_by_count_desc) — no vocabulary-sized single-partition "
+    "window anywhere in the plan.",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from risinglight_spark.operators import ranked_by_count_desc
 
     t = Tables(spark, sf_dir)
-    tf = (
-        t.documents.select(
-            F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+
+    def tf() -> DataFrame:
+        return (
+            t.documents.select(
+                F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+            )
+            .groupBy("t")
+            .agg(F.count("*").alias("freq"))
         )
-        .groupBy("t")
-        .agg(F.count("*").alias("freq"))
-    )
-    ranked = tf.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.desc("freq"), "t"))
-        .alias("rk"),
+
+    # Distributed rank (no vocabulary-sized single-partition window).
+    # The regression only consumes (ln rk, ln freq) moment sums; within
+    # an equal-freq tie group the rank multiset is the same consecutive
+    # integers under any assignment, so the sums — and oracle parity
+    # with ORDER BY freq DESC, t — are tie-order invariant.
+    ranked, _, _ = ranked_by_count_desc(
+        spark, sf_dir, "zipf_tf", tf, "t", "freq"
     )
     pts = ranked.select(
         F.round(F.log(F.col("rk").cast("double")), 9).alias("x"),

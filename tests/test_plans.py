@@ -665,3 +665,33 @@ def test_pps_has_no_single_partition_window(spark, sf_dir):
     assert "hashpartitioning(bkt" in plan
     # offsets join stays a broadcast (bounded metadata side)
     assert "BroadcastHashJoin" in plan
+
+
+def test_zipf_rank_has_no_single_partition_window(spark, sf_dir):
+    """text_zipf_fit: the vocabulary rank is the distributed
+    count-desc rank (ranked_by_count_desc) — log2-bucketed histogram
+    prefix + hash-sub-bucketed tie numbering; no global-order
+    single-partition Sort/Window funnels the vocabulary through one
+    task, and the start-rank / offset joins stay broadcasts.  The one
+    allowed SinglePartition Exchange is the final moment-sum merge,
+    which carries one partial row per partition (bounded)."""
+    plan = _plan(spark, sf_dir, "text_zipf_fit")
+    lines = plan.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(sp) <= 1
+    for i in sp:  # only the global-agg partial merge may funnel
+        assert "HashAggregate" in lines[i + 1]
+        assert "partial_" in lines[i + 1]
+    # every Window in the plan is partitioned (keyed), never global
+    for ln in lines:
+        if "windowspecdefinition" in ln:
+            assert "windowspecdefinition(t#" not in ln  # no bare order-only spec
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pareto_rank_has_no_single_partition_window(spark, sf_dir):
+    """events_pareto_share: same distributed-rank shape as
+    text_zipf_fit for the user-activity ranking."""
+    plan = _plan(spark, sf_dir, "events_pareto_share")
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
