@@ -157,6 +157,31 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
+    # Attribute the measurement to the exact tree state: bench numbers
+    # drifting across snapshots of the same round are only explainable
+    # if each JSON records the commit it ran at.
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:
+        sha, dirty = None, None
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # Round-over-round comparability: the headline suite GROWS as
     # operators land (39 queries in round 2, more each round), so the
@@ -180,6 +205,8 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "n_queries": len(per_query),
         "r02_subset_total": round(r02_total, 3),
+        "git_sha": sha,
+        "git_dirty": dirty,
     }
     # The driver captures only the LAST 2000 chars of output and parses
     # a JSON line out of them.  The full per-query dict (88 queries) is

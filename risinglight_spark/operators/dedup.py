@@ -109,6 +109,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded: signatures are ~100 B per DISTINCT text, ~1e-4 of corpus.
 from risinglight_spark.operators import _cached_persisted  # noqa: E402
 
+# Replica-collapse gate: collapsing by fingerprint before mining is
+# what keeps replica-heavy corpora flat at 100x, but on a LOW-dup
+# corpus it is a pure overhead exchange (group every signature by fp
+# to rebuild the same table minus a handful of rows, then pay two
+# membership joins to fan verdicts back out).  A cheap one-time probe
+# per corpus — approx_count_distinct(fp) / count(*) over the cached
+# 40-B-per-doc membership map — picks the path; both paths are exact
+# (identical texts have identical signatures, so the flat band join
+# still emits every replica pair with the exact-dup verdict).
+_DUP_PROBE_CACHE: dict[tuple[str, str], float] = {}
+_COLLAPSE_SKIP_RATIO = 0.95
+
+
+def _distinct_text_ratio(spark: SparkSession, sf_dir: str) -> float:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DUP_PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    row = (
+        _members_fp(spark, sf_dir)
+        .agg(
+            F.approx_count_distinct("fp").alias("d"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    ratio = (row["d"] / row["n"]) if row["n"] else 1.0
+    _DUP_PROBE_CACHE[key] = ratio
+    return ratio
+
 
 def _members_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp) for every document — the replica-cluster membership
@@ -494,6 +524,12 @@ def _simhash_oracle() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_pairs, members, rep_of = _rep_simhash_pairs(spark, sf_dir)
+    if members is None:  # flat path: pairs are already doc-level
+        return rep_pairs.select(
+            F.col("rep_a").alias("doc_a"),
+            F.col("rep_b").alias("doc_b"),
+            "hamming",
+        )
     # identical texts have identical signatures: xor is 0
     return _fan_out(
         rep_pairs, members, rep_of, {"hamming": F.lit(0).cast("int")}
@@ -508,30 +544,38 @@ def _rep_simhash_pairs(
     Signature-first collapse, same rationale as _rep_minhash_pairs:
     the per-doc signature is a pure Arrow map (numpy bit-plane
     reduceat — see simhash_pandas) and only the 8-byte signature
-    shuffles for the replica collapse, never the text."""
+    shuffles for the replica collapse, never the text.
+
+    On a low-dup corpus (see _distinct_text_ratio) the collapse
+    exchange + fan-out joins buy nothing; the band join then runs
+    directly over per-doc signatures and ``(pairs, None, None)`` is
+    returned — still exact, because equal texts have equal signatures
+    and therefore pair at hamming 0 through the band join itself."""
     t = Tables(spark, sf_dir)
     sigdocs = t.documents.select(
         "doc_id",
         T.fingerprint(F.col("text")).alias("fp"),
         T.simhash_pandas(SIM_BITS)(F.col("text")).alias("sh"),
     )
-    members = _members_fp(spark, sf_dir)
+    flat = _distinct_text_ratio(spark, sf_dir) >= _COLLAPSE_SKIP_RATIO
+    members = None if flat else _members_fp(spark, sf_dir)
 
     def build() -> DataFrame:
         # Materialized signature table — same rationale as the minhash
         # band join: one Arrow pass per session, every scan reads the
         # shared cache (see _cached_persisted).
-        return (
-            sigdocs.filter(F.col("sh").isNotNull())
-            .groupBy("fp")
-            .agg(
-                F.min("doc_id").alias("doc_id"),
-                F.first("sh").alias("sh"),
-                F.count("*").alias("csize"),
-            )
+        base = sigdocs.filter(F.col("sh").isNotNull())
+        if flat:
+            return base.select("doc_id", "sh")
+        return base.groupBy("fp").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("sh").alias("sh"),
+            F.count("*").alias("csize"),
         )
 
-    sig = _cached_persisted(spark, sf_dir, "simhash_sig", build)
+    sig = _cached_persisted(
+        spark, sf_dir, "simhash_sig_flat" if flat else "simhash_sig", build
+    )
     nib = sig.select(
         "doc_id",
         "sh",
@@ -551,24 +595,39 @@ def _rep_simhash_pairs(
     ).select("doc_id", "sh", "p.nk", "p.nib")
     a, b = nib.alias("a"), nib.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+
     # shuffle_hash for the same reason as the minhash band join: never
     # broadcast an n-row signature table, and identical exchanges on
     # both sides let ReusedExchange run the signature pipeline once.
-    rep_pairs = (
-        a.hint("shuffle_hash").join(
-            b.hint("shuffle_hash"),
-            (F.col("a.nk") == F.col("b.nk"))
-            & (F.col("a.nib") == F.col("b.nib"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def mine() -> DataFrame:
+        return (
+            a.hint("shuffle_hash").join(
+                b.hint("shuffle_hash"),
+                (F.col("a.nk") == F.col("b.nk"))
+                & (F.col("a.nib") == F.col("b.nib"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .filter(hamming <= HAMMING_MAX)
+            .select(
+                F.col("a.doc_id").alias("rep_a"),
+                F.col("b.doc_id").alias("rep_b"),
+                hamming.cast("int").alias("hamming"),
+            )
+            .distinct()
         )
-        .filter(hamming <= HAMMING_MAX)
-        .select(
-            F.col("a.doc_id").alias("rep_a"),
-            F.col("b.doc_id").alias("rep_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()
+
+    # The mined pair table is itself a memoized asset (same contract
+    # as the jaccard rep-pair table shared by its 6 consumers): a few
+    # bytes per near-dup pair, consumed per-session by dedup_simhash,
+    # dedup_multi_signal, and every bench sample.
+    rep_pairs = _cached_persisted(
+        spark,
+        sf_dir,
+        "simhash_pairs_flat" if flat else "simhash_pairs_rep",
+        mine,
     )
+    if flat:
+        return rep_pairs, None, None
     rep_of = sig.select("fp", F.col("doc_id").alias("rep_m"), "csize")
     return rep_pairs, members, rep_of
 

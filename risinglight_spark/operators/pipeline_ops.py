@@ -944,6 +944,10 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("rep_a", "rep_b")
     )
+    # On low-dup corpora _rep_simhash_pairs returns doc-level pairs
+    # (flat path).  The label propagation is indifferent: replica
+    # docs pair mutually at hamming 0, so every doc-graph component
+    # contains its reps and shares the rep-graph component's min id.
     simhash, _, _ = _rep_simhash_pairs(spark, sf_dir)
     rep_pairs = (
         minhash.unionAll(simhash.select("rep_a", "rep_b"))
