@@ -19,7 +19,31 @@ sql/           SQL front door shim (PRAGMA, \\dt, DISTINCT ON, SQL UDFs)
 streaming/     Structured Streaming pipelines over the events table
 """
 
-from risinglight_spark.session import get_spark
+# Vendored google.protobuf fallback (wire-format-complete proto3
+# subset, see _vendor/google/protobuf/_mini.py): PySpark's
+# transformWithStateInPandas worker requires it, and this container
+# ships no protobuf distribution.  Appended (not prepended) so a real
+# installation always wins; workers pick it up because the pickled
+# stateful processor imports risinglight_spark on deserialization.
+def _ensure_protobuf() -> None:
+    import importlib.util
+
+    try:
+        present = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace at all
+        present = False
+    if not present:
+        import os
+        import sys
+
+        sys.path.append(
+            os.path.join(os.path.dirname(__file__), "_vendor")
+        )
+
+
+_ensure_protobuf()
+
+from risinglight_spark.session import get_spark  # noqa: E402
 
 
 def open(path):  # noqa: A001 - mirrors risinglight.open (python/mod.rs:46)

@@ -35,6 +35,30 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"
+
+    # Python WORKERS must also see the vendored google.protobuf
+    # fallback (transformWithStateInPandas state clients import it in
+    # the worker process, where the pickled-by-value processor never
+    # triggers a risinglight_spark import).  Workers inherit
+    # PYTHONPATH through the JVM, so extend it before the JVM starts;
+    # appended, so a real protobuf installation still wins.
+    import importlib.util
+
+    vendor = os.path.join(os.path.dirname(__file__), "_vendor")
+    try:
+        _spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:
+        _spec = None
+    # Export when protobuf is absent OR when the driver already
+    # resolves it to our vendored copy (risinglight_spark/__init__.py
+    # put _vendor on this process's sys.path, which workers do not
+    # inherit — only PYTHONPATH reaches them).
+    if _spec is None or (_spec.origin or "").startswith(vendor):
+        pp = os.environ.get("PYTHONPATH", "")
+        if vendor not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                f"{pp}{os.pathsep}{vendor}" if pp else vendor
+            )
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 32)
 

@@ -445,10 +445,11 @@ def _make_range_processor():
 
 def _has_protobuf() -> bool:
     # transformWithState's Python worker talks to the state server
-    # over protobuf; this container ships no google.protobuf, so the
-    # entry registers only where the dependency exists (the same
-    # custom-stateful capability is covered in-container by
-    # streaming_stateful_max / applyInPandasWithState).
+    # over protobuf.  Where no real distribution exists, the vendored
+    # mini runtime (risinglight_spark/_vendor/google/protobuf,
+    # path-installed by risinglight_spark/__init__.py and exported to
+    # workers via PYTHONPATH in session.get_spark) satisfies this, so
+    # the real typed-state path runs in this container as well.
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -473,11 +474,12 @@ def _has_protobuf() -> bool:
     "shuffle; the API adds typed composite state, timers, and TTL "
     "for production unbounded streams.  Environment gate: the typed-"
     "state Python worker talks to the state server over protobuf; "
-    "where google.protobuf is absent (this container), the SAME "
-    "per-key processor logic runs through applyInPandasWithState — "
-    "identical state semantics and output, minus timers/TTL — so the "
-    "operator stays green everywhere and exercises the typed-state "
-    "API wherever the dependency exists.",
+    "where no google.protobuf distribution exists, the session "
+    "factory exports the vendored wire-format-complete mini runtime "
+    "(risinglight_spark/_vendor/google/protobuf) to the workers, so "
+    "the REAL transformWithStateInPandas path runs in this container "
+    "too.  The applyInPandasWithState twin below remains as the "
+    "fallback for environments where neither is possible.",
 )
 def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
