@@ -1,16 +1,20 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, decode / feature-extract / frame-sample stages.
 
-The container has no image/audio libraries, so the *real* decoders are
-stubbed (`decode_image_real` raises NotImplementedError); what is real
-— and tested — is everything Spark-side: the binary column schema, the
-metadata struct, the Arrow-batched ``mapInPandas`` plumbing (batch
-shapes, output schema, partition behavior), and a deterministic fake
-feature extractor whose formula the DuckDB oracle replays exactly.
+Pixel decode is REAL for dependency-free formats: mm_decode_pixels
+round-trips genuine 24-bit BMP and binary PPM payloads through the
+codecs in functions/imaging.py (header parsing, bottom-up/BGR/row-pad
+inversion) inside the Arrow mapInPandas stage, and its DuckDB oracle
+replays the decoded statistics in closed form.  Compressed formats
+(JPEG/PNG/video) still need external libraries this container lacks —
+on a cluster with them installed, swap the codec dispatch in
+imaging.decode_image; every Spark-side piece (binary column schema,
+metadata struct, batch shapes, partitioning) is shared and tested.
 
-Payloads are synthesized from ``documents.text`` (utf-8 bytes) because
-the fixture set has no true image table; at 100 TB the same plan shape
-reads parquet ``binary`` columns directly.
+Payloads are synthesized from ``documents.text`` (utf-8 bytes) or the
+deterministic pixel formula because the fixture set has no true image
+table; at 100 TB the same plan shape reads parquet ``binary`` columns
+directly.
 
 Scale notes:
 - Binary payloads stay opaque until the one mapInPandas stage; column
@@ -37,15 +41,9 @@ from risinglight_spark.registry import register
 FRAME_BYTES = 100  # fake "frame" granularity for sampling
 
 
-def decode_image_real(payload: bytes) -> "object":
-    """REAL image decode — NOT IMPLEMENTED in this container (no
-    PIL/opencv).  The Spark-side plumbing around it (schema, batching,
-    partitioning) is what this module exercises; swap this function for
-    a real decoder on a cluster with the libs installed."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available here; "
-        "use fake_features (deterministic stand-in) instead"
-    )
+# Real decode lives in functions/imaging.py (BMP/PPM, dependency-free)
+# and is exercised by mm_decode_pixels below; the former
+# NotImplementedError stub is retired.
 
 
 def _poly_hash_bytes(data: bytes) -> int:
@@ -137,9 +135,10 @@ _DECODE_SCHEMA = (
            ((ph % 256)::DOUBLE / 255.0) AS mean_px
     FROM h
     """,
-    doc="Arrow-batched mapInPandas 'decode' stage with a deterministic "
-    "fake extractor (real decoder: decode_image_real, stubbed — no "
-    "image libs in container).  The Python side recomputes the "
+    doc="Arrow-batched mapInPandas feature stage with a deterministic "
+    "extractor over the payload's polynomial byte hash (name kept for "
+    "driver-history continuity; real pixel decode is the "
+    "mm_decode_pixels entry).  The Python side recomputes the "
     "engine-portable polynomial byte hash, so the oracle verifies the "
     "full UDF round trip, not just row counts.",
 )
@@ -216,11 +215,12 @@ _RESIZE_SCHEMA = (
 
 
 def _resize_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-    """Arrow-batched 'resize' stage.  The real pixel resample is
-    stubbed (no PIL/opencv in this container — see decode_image_real);
-    source dims are derived deterministically from the payload and the
-    letterbox geometry (aspect-preserving scale into TARGET_WxTARGET_H)
-    is computed exactly as a real resizer would."""
+    """Arrow-batched 'resize' stage.  The pixel resample itself is
+    elided (nearest-neighbor over BMP/PPM payloads would be possible
+    via functions/imaging.py, but this entry pins the GEOMETRY
+    contract): source dims derive deterministically from the payload
+    and the letterbox math (aspect-preserving scale into
+    TARGET_WxTARGET_H) is computed exactly as a real resizer would."""
     for pdf in batches:
         n = pdf["n_bytes"]
         src_w = (n % 640 + 32).astype("int32")
@@ -291,3 +291,130 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bytes"),
     )
     return src.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel decode: genuine BMP/PPM payloads round-tripped through the
+# dependency-free codecs in functions/imaging.py.
+# ---------------------------------------------------------------------------
+
+_PIXEL_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, channels int, "
+    "mean_px double, px00 int"
+)
+
+
+def _pixel_formula(doc_id: int, n: int):
+    """Deterministic per-doc pixel bytes: v(i) = (doc_id*31 + i*7) % 256
+    — chosen so the DuckDB oracle can replay the DECODED statistics in
+    closed form (generate_series sum), making the codec round trip
+    value-verified, not just row-counted."""
+    import numpy as np
+
+    return (
+        (doc_id * 31 + np.arange(n, dtype=np.int64) * 7) % 256
+    ).astype(np.uint8)
+
+
+@register(
+    "mm_decode_pixels",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             (8 + doc_id % 9) AS w,
+             (8 + doc_id % 7) AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             unnest(generate_series(0, w * h * 3 - 1)) AS i
+      FROM d
+    ), s AS (
+      SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+             sum((doc_id * 31 + i * 7) % 256) AS s, count(*) AS n
+      FROM px GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           w::INT AS width,
+           h::INT AS height,
+           3 AS channels,
+           (s::DOUBLE / n / 255.0) AS mean_px,
+           ((doc_id * 31) % 256)::INT AS px00
+    FROM s
+    """,
+    doc="REAL image decode: per doc, a genuine 24-bit BMP (even ids) "
+    "or binary PPM (odd ids) payload is encoded from a deterministic "
+    "pixel formula, then decoded by the format parsers in "
+    "functions/imaging.py — BMP header fields, bottom-up row order, "
+    "BGR channel swap, and 4-byte row padding are all inverted for "
+    "real (px00 pins the top-left pixel, which a flipped or "
+    "channel-swapped decode would get wrong).  Both stages are Arrow "
+    "mapInPandas scans, embarrassingly parallel, no shuffle; at "
+    "100 TB the encode stage is replaced by reading the parquet "
+    "binary column and the decode stage is unchanged.",
+)
+def mm_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from risinglight_spark.functions.imaging import (
+        decode_image,
+        encode_bmp24,
+        encode_ppm,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                px = _pixel_formula(doc_id, w * h * 3)
+                payloads.append(
+                    encode_bmp24(w, h, px)
+                    if doc_id % 2 == 0
+                    else encode_ppm(w, h, px)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_df = base.mapInPandas(
+        encode_batches, schema="doc_id bigint, payload binary"
+    )
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "fmt": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "mean_px": [],
+                "px00": [],
+            }
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, c, px = decode_image(bytes(data))
+                s = int(px.sum(dtype=np.int64))
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_px"].append(s / (w * h * c) / 255.0)
+                out["px00"].append(int(px[0]))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            pdf_out["channels"] = pdf_out["channels"].astype("int32")
+            pdf_out["px00"] = pdf_out["px00"].astype("int32")
+            yield pdf_out
+
+    return payload_df.mapInPandas(decode_batches, schema=_PIXEL_SCHEMA)

@@ -309,7 +309,8 @@ _R6_GATE: tuple[str, ...] = (
     "sample_hash_stratified",
 )
 
-# Round-7 queue: the remaining 45 never-driver-verified entries, in the
+# Round-7 queue: the remaining never-driver-verified entries (45 from
+# the r6 rotation + later additions like mm_decode_pixels), in the
 # order they should front next round (text miners, events analytics,
 # multimodal, DDL/catalog/copy round-trips, streaming built-ins).
 _R7_QUEUE: tuple[str, ...] = (
@@ -335,6 +336,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "mm_metadata_struct",
     "mm_frame_sample",
     "mm_resize_stub",
+    "mm_decode_pixels",
     "ddl_create_insert_delete",
     "ddl_create_view",
     "ddl_sql_udf",
