@@ -117,13 +117,32 @@ def davg_sql(expr: str) -> str:
 # old per-call count() barrier guarded against.
 # ---------------------------------------------------------------------------
 
+import os  # noqa: E402
+import threading  # noqa: E402
 from collections import OrderedDict  # noqa: E402
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402, F811
 
-_ASSET_CACHE: OrderedDict[tuple[str, str], tuple[str, DataFrame]] = (
+_ASSET_CACHE: OrderedDict[tuple[str, str], tuple[str, str, DataFrame]] = (
     OrderedDict()
 )
 _ASSET_CACHE_MAX = 64
+_ASSET_LOCK = threading.Lock()
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap invalidation token for a corpus directory: name + mtime of
+    its top-level entries.  Rewriting a table (tests overwriting tmp
+    parquet, incremental ingest) changes file or directory mtimes, so
+    stale persisted assets are rebuilt instead of silently served.
+    Cost: one readdir + ~10 stats per cache probe."""
+    try:
+        with os.scandir(sf_dir) as it:
+            parts = sorted(
+                f"{e.name}:{e.stat().st_mtime_ns}" for e in it
+            )
+        return ";".join(parts)
+    except OSError:
+        return "<unreadable>"
 
 
 def _cached_persisted(
@@ -131,26 +150,40 @@ def _cached_persisted(
 ) -> DataFrame:
     key = (kind, sf_dir)
     sess = spark.sparkContext.applicationId
-    hit = _ASSET_CACHE.get(key)
-    if hit is not None:
-        owner, df = hit
-        if owner == sess:
-            _ASSET_CACHE.move_to_end(key)
-            return df
-        try:  # stale session: release blocks if the context is alive
-            df.unpersist()
-        except Exception:
-            pass
-        del _ASSET_CACHE[key]
+    fp = _corpus_fingerprint(sf_dir)
+    with _ASSET_LOCK:
+        hit = _ASSET_CACHE.get(key)
+        if hit is not None:
+            owner, owner_fp, df = hit
+            if owner == sess and owner_fp == fp:
+                _ASSET_CACHE.move_to_end(key)
+                return df
+            # stale session or rewritten corpus: drop and rebuild
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            del _ASSET_CACHE[key]
+    # build OUTSIDE the lock (Spark jobs run here; holding the lock
+    # would serialize unrelated corpora behind one build)
     df = build().persist()
     df.count()  # eager populate: exactly one build execution
-    _ASSET_CACHE[key] = (sess, df)
-    while len(_ASSET_CACHE) > _ASSET_CACHE_MAX:
-        _, (_, old) = _ASSET_CACHE.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    with _ASSET_LOCK:
+        race = _ASSET_CACHE.get(key)
+        if race is not None and race[0] == sess and race[1] == fp:
+            # another thread built concurrently; keep theirs
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            return race[2]
+        _ASSET_CACHE[key] = (sess, fp, df)
+        while len(_ASSET_CACHE) > _ASSET_CACHE_MAX:
+            _, (_, _, old) = _ASSET_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
     return df
 
 

@@ -118,12 +118,18 @@ from risinglight_spark.operators import _cached_persisted  # noqa: E402
 # 40-B-per-doc membership map — picks the path; both paths are exact
 # (identical texts have identical signatures, so the flat band join
 # still emits every replica pair with the exact-dup verdict).
-_DUP_PROBE_CACHE: dict[tuple[str, str], float] = {}
+_DUP_PROBE_CACHE: dict[tuple[str, str, str], float] = {}
 _COLLAPSE_SKIP_RATIO = 0.95
 
 
 def _distinct_text_ratio(spark: SparkSession, sf_dir: str) -> float:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from risinglight_spark.operators import _corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _corpus_fingerprint(sf_dir),
+    )
     hit = _DUP_PROBE_CACHE.get(key)
     if hit is not None:
         return hit

@@ -31,21 +31,68 @@ _DELETE_RE = re.compile(
 # the reference never binds Statement::Update (src/binder/mod.rs
 # match arms end at Delete); implemented here because a real shell
 # user expects it, via the same copy-on-write staging as DELETE.
+# The SET/WHERE split is done by split_set_where (quote- and
+# paren-aware), NOT a non-greedy regex: `SET v = 'a where b'` must not
+# split at the 'where' inside the string literal.
 _UPDATE_RE = re.compile(
-    r"^\s*update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*;?\s*$",
-    re.I | re.S,
+    r"^\s*update\s+(\w+)\s+set\s+(.+?)\s*;?\s*$", re.I | re.S
 )
 
 
-def split_assignments(setlist: str) -> list[tuple[str, str]]:
-    """Split 'a = e1, b = e2' at top-level commas (parens respected)."""
-    parts, depth, cur = [], 0, []
-    for ch in setlist:
-        if ch == "(":
+def _scan_sql(text: str):
+    """Yield (index, char, depth, in_string) over ``text`` tracking
+    paren depth and single-quoted strings with doubled-quote escapes
+    ('it''s').  Positions inside strings report in_string=True."""
+    depth, in_str, i = 0, False, 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if text[i + 1 : i + 2] == "'":  # escaped ''
+                    yield i, ch, depth, True
+                    yield i + 1, text[i + 1], depth, True
+                    i += 2
+                    continue
+                in_str = False
+                yield i, ch, depth, True
+                i += 1
+                continue
+            yield i, ch, depth, True
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+        yield i, ch, depth, False
+        i += 1
+
+
+def split_set_where(rest: str) -> tuple[str, str | None]:
+    """Split the text after ``SET`` into (assignments, where-cond) at
+    the first top-level WHERE keyword outside quotes and parens."""
+    low = rest.lower()
+    for i, ch, depth, in_str in _scan_sql(rest):
+        if in_str or depth != 0 or ch not in ("w", "W"):
+            continue
+        if low.startswith("where", i):
+            before = rest[i - 1] if i else " "
+            after = rest[i + 5] if i + 5 < len(rest) else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                return rest[:i].rstrip(), rest[i + 5 :].strip() or None
+    return rest, None
+
+
+def split_assignments(setlist: str) -> list[tuple[str, str]]:
+    """Split 'a = e1, b = e2' at top-level commas (parens and string
+    literals respected: `SET v = 'a,b'` is one assignment)."""
+    parts, cur = [], []
+    for i, ch, depth, in_str in _scan_sql(setlist):
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(cur))
             cur = []
         else:
@@ -57,6 +104,8 @@ def split_assignments(setlist: str) -> list[tuple[str, str]]:
         col, _, expr = p.partition("=")
         out.append((col.strip(), expr.strip()))
     return out
+
+
 _CREATE_FN_RE = re.compile(
     r"^\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+(\w+)"
     r"\s+language\s+sql\s+(as|return)\s+(.*)$",

@@ -39,6 +39,7 @@ from risinglight_spark.sql.dialect import (
     _UPDATE_RE,
     rewrite_create_function,
     split_assignments,
+    split_set_where,
     rewrite_ddl,
     rewrite_era_literals,
     rewrite_query,
@@ -213,15 +214,38 @@ class StatementExecutor:
                 sep=delim, header=header, emptyValue=""
             ).mode("overwrite").csv(staging)
             part = next(
-                p
-                for p in sorted(os.listdir(staging))
-                if p.startswith("part-") and not p.endswith(".crc")
+                (
+                    p
+                    for p in sorted(os.listdir(staging))
+                    if p.startswith("part-") and not p.endswith(".crc")
+                ),
+                None,
             )
             if os.path.isdir(path):
+                # only replace directories that LOOK like a previous
+                # COPY TO staging leftover (empty or part-files only);
+                # refuse to silently delete arbitrary user directories.
+                leftover = all(
+                    q.startswith(("part-", "_SUCCESS", "."))
+                    for q in os.listdir(path)
+                )
+                if not leftover:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise ValueError(
+                        f"COPY TO target {path!r} is a non-empty "
+                        "directory; refusing to replace it"
+                    )
                 shutil.rmtree(path)
             elif os.path.exists(path):
                 os.remove(path)
-            shutil.move(os.path.join(staging, part), path)
+            if part is None:
+                # zero-partition input (empty table): the reference
+                # still produces a file — emit header-only or empty.
+                with open(path, "w") as fh:
+                    if header:
+                        fh.write(delim.join(tbl.columns) + "\n")
+            else:
+                shutil.move(os.path.join(staging, part), path)
             shutil.rmtree(staging, ignore_errors=True)
         return self.spark.createDataFrame([(n,)], "count BIGINT")
 
@@ -261,7 +285,8 @@ class StatementExecutor:
             # CASE WHEN <cond> THEN <expr> ELSE <col> END, cast back
             # to the column's declared type, and run the same
             # copy-on-write staging as DELETE above.
-            t, setlist, cond = um.group(1), um.group(2), um.group(3)
+            t = um.group(1)
+            setlist, cond = split_set_where(um.group(2))
             tbl = self.spark.table(t)
             assigns = dict(split_assignments(setlist))
             unknown = [c for c in assigns if c not in tbl.columns]

@@ -157,3 +157,54 @@ def test_update_statement_superset(shell):
     with _pytest.raises(Exception):
         shell.run("UPDATE sh_u SET nope = 1")
     assert shell.run("DROP TABLE sh_u") == "ok"
+
+
+def test_update_quote_aware_parsing(shell):
+    """String literals containing ',' or ' where ' must not confuse
+    the SET-list / WHERE split (round-5 advisor finding)."""
+    shell.run("CREATE TABLE qsplit (id INT, v VARCHAR, w VARCHAR)")
+    shell.run("INSERT INTO qsplit VALUES (1, 'a', 'b'), (2, 'c', 'd')")
+    shell.run(
+        "UPDATE qsplit SET v = 'x,y where z', w = 'it''s' WHERE id = 1"
+    )
+    rows = {r.id: (r.v, r.w) for r in shell.run("SELECT * FROM qsplit").collect()}
+    assert rows[1] == ("x,y where z", "it's")
+    assert rows[2] == ("c", "d")
+    shell.run("DROP TABLE qsplit")
+
+
+def test_split_helpers_quote_handling():
+    from risinglight_spark.sql.dialect import (
+        split_assignments,
+        split_set_where,
+    )
+
+    assert split_assignments("v = 'a,b', z = 1") == [
+        ("v", "'a,b'"),
+        ("z", "1"),
+    ]
+    s, w = split_set_where("v = 'a where b' WHERE id = 1")
+    assert (s, w) == ("v = 'a where b'", "id = 1")
+    s, w = split_set_where("v = (SELECT 1 WHERE true) where id=2")
+    assert (s, w) == ("v = (SELECT 1 WHERE true)", "id=2")
+    s, w = split_set_where("v = 'it''s where'")
+    assert w is None
+
+
+def test_copy_to_empty_table_and_dir_refusal(shell, tmp_path):
+    """COPY TO on an empty table still writes a file; a non-empty
+    directory target is refused, not silently deleted (round-5
+    advisor finding)."""
+    import os
+
+    shell.run("CREATE TABLE qcopy (id INT)")
+    target = str(tmp_path / "out.csv")
+    shell.run(f"COPY qcopy TO '{target}'")
+    assert os.path.isfile(target) and open(target).read() == ""
+    keep = tmp_path / "data"
+    keep.mkdir()
+    (keep / "precious.txt").write_text("!")
+    with pytest.raises(Exception):
+        shell.run(f"COPY qcopy TO '{keep}'")
+    assert (keep / "precious.txt").read_text() == "!"
+    shell.run("DROP TABLE qcopy")
