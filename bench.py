@@ -57,6 +57,7 @@ HEADLINE_EXTRA = (
     "text_kl_source_divergence",
     "dedup_duplicate_ngram_spans",
     "ml_knn_eval",
+    "ml_knn_eval_ivf",
     "events_scd2_history",
     "graph_triangle_count",
     "vector_pca_power_iteration",

@@ -1482,6 +1482,262 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_NPROBE = 3  # coarse cells probed per test vector
+KNN_AUDIT_MOD = KNN_TEST_MOD * 10  # recall audited on 1/10 of tests
+# Bounded eval batch: the scaled eval holds out test vectors only from
+# a fixed id range, so eval cost grows with the TRAIN corpus (linear
+# scan partitioned by cell), not quadratically with corpus x corpus.
+# Every driver SF (<= sf1-equivalent ids) is unaffected; the 10x/100x
+# replica probes (ids shifted by 1e7 per replica) keep a constant-size
+# test batch, which is exactly how a production eval is run.
+KNN_TEST_CAP = 1_000_000
+
+
+def _knn_ivf_oracle() -> str:
+    from risinglight_spark.operators.vector_search import (
+        DIM,
+        _centroid_cols_sql,
+    )
+
+    adist = "0.0 + " + " + ".join(
+        f"(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        f"*(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        for i in range(DIM)
+    )
+    tdist = "sqrt(0.0 + " + " + ".join(
+        f"(CAST(t.t_emb[{i+1}] AS DOUBLE) - c.c{i})"
+        f"*(CAST(t.t_emb[{i+1}] AS DOUBLE) - c.c{i})"
+        for i in range(DIM)
+    ) + ")"
+    sq_tc = " + ".join(
+        f"(CAST(t.t_emb[{i+1}] AS DOUBLE) - CAST(r.c_emb[{i+1}] AS DOUBLE))"
+        f" * (CAST(t.t_emb[{i+1}] AS DOUBLE) - CAST(r.c_emb[{i+1}] AS DOUBLE))"
+        for i in range(DIM)
+    )
+    sq_ab = " + ".join(
+        f"(CAST(a.embedding[{i+1}] AS DOUBLE) - CAST(b.embedding[{i+1}] AS DOUBLE))"
+        f" * (CAST(a.embedding[{i+1}] AS DOUBLE) - CAST(b.embedding[{i+1}] AS DOUBLE))"
+        for i in range(DIM)
+    )
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT label AS cell, {_centroid_cols_sql()}
+      FROM embeddings GROUP BY label
+    ),
+    assign AS MATERIALIZED (
+      SELECT e.vec_id, (array_agg(c.cell ORDER BY sqrt({adist}), c.cell))[1]
+               AS cell
+      FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id
+    ),
+    test AS (
+      SELECT vec_id AS test_id, embedding AS t_emb, label AS true_label
+      FROM embeddings
+      WHERE vec_id % {KNN_TEST_MOD} = 0 AND vec_id <= {KNN_TEST_CAP}
+    ),
+    train AS (
+      SELECT e.vec_id AS train_id, e.embedding AS c_emb,
+             e.label AS nn_label, a.cell
+      FROM embeddings e JOIN assign a USING (vec_id)
+      WHERE e.vec_id % {KNN_TEST_MOD} <> 0
+    ),
+    probes AS (
+      SELECT test_id, cell FROM (
+        SELECT t.test_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY t.test_id ORDER BY {tdist}, c.cell
+               ) AS crn
+        FROM test t CROSS JOIN cents c
+      ) WHERE crn <= {KNN_NPROBE}
+    ),
+    topk AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT t.test_id, t.true_label, r.nn_label, r.train_id,
+               row_number() OVER (
+                 PARTITION BY t.test_id
+                 ORDER BY sqrt(0.0 + {sq_tc}), r.train_id
+               ) AS rn
+        FROM probes p
+        JOIN train r ON p.cell = r.cell
+        JOIN test t ON t.test_id = p.test_id
+      ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT test_id, true_label, nn_label, count(*) AS v
+      FROM topk GROUP BY test_id, true_label, nn_label
+    ),
+    pred AS (
+      SELECT test_id, true_label,
+             min(({KNN_K} - v) * {_VOTE_RADIX} + nn_label) % {_VOTE_RADIX}
+                 AS predicted
+      FROM votes GROUP BY test_id, true_label
+    ),
+    acc AS (
+      SELECT true_label AS label, count(*) AS n_test,
+             sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)::BIGINT
+                 AS n_correct,
+             round(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                   / count(*), 10) AS accuracy
+      FROM pred GROUP BY true_label
+    ),
+    exact_top AS (
+      SELECT test_id, vec_id AS train_id FROM (
+        SELECT a.vec_id AS test_id, b.vec_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY sqrt(0.0 + {sq_ab}), b.vec_id
+               ) AS rn
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id % {KNN_AUDIT_MOD} = 0
+          AND a.vec_id <= {KNN_TEST_CAP}
+          AND b.vec_id % {KNN_TEST_MOD} <> 0
+      ) WHERE rn <= {KNN_K}
+    ),
+    hits AS (
+      SELECT au.test_id, au.true_label, count(x.train_id) AS n_hit
+      FROM (SELECT * FROM test WHERE test_id % {KNN_AUDIT_MOD} = 0) au
+      LEFT JOIN (
+        SELECT i.test_id, i.train_id
+        FROM topk i JOIN exact_top x
+          ON i.test_id = x.test_id AND i.train_id = x.train_id
+      ) x ON x.test_id = au.test_id
+      GROUP BY au.test_id, au.true_label
+    ),
+    recl AS (
+      SELECT true_label AS label, count(*)::BIGINT AS n_audit,
+             round(sum(n_hit)::DOUBLE / ({KNN_K} * count(*)), 10)
+                 AS recall_at_k
+      FROM hits GROUP BY true_label
+    )
+    SELECT a.label, a.n_test, a.n_correct, a.accuracy,
+           coalesce(r.n_audit, 0)::BIGINT AS n_audit, r.recall_at_k
+    FROM acc a LEFT JOIN recl r USING (label)
+    """
+
+
+@register(
+    "ml_knn_eval_ivf",
+    oracle=_knn_ivf_oracle(),
+    doc=f"Bucketed (IVF-cell) kNN evaluation — the scaled path beside "
+    f"ml_knn_eval's exact scan: each test vector probes its "
+    f"{KNN_NPROBE} nearest coarse cells (the memoized IVF centroid/"
+    "assignment assets shared with ann_ivf_pq_search) and scores only "
+    "those cells' train vectors through a CELL-KEYED join — no "
+    "broadcast-times-full-corpus scan, candidate work ~nprobe/cells "
+    "of exact.  A recall@k column audits quality against the exact "
+    f"neighbor set on a 1/{KNN_AUDIT_MOD // KNN_TEST_MOD} subsample "
+    "of test points (the standard ANN-eval practice: measure recall "
+    "on a bounded audit batch, never the full test set).  Exact "
+    "integer recall sum (no float-avg drift); distances and argmin "
+    "ties order-pinned as everywhere else.",
+)
+def ml_knn_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.functions.vector import l2_distance, l2_unrolled
+    from risinglight_spark.operators.vector_search import (
+        DIM,
+        ivf_assign_cached,
+        ivf_centroids_cached,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    test = emb.filter(
+        (F.col("vec_id") % KNN_TEST_MOD == 0)
+        & (F.col("vec_id") <= KNN_TEST_CAP)
+    ).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("label").alias("true_label"),
+    )
+    train = (
+        emb.filter(F.col("vec_id") % KNN_TEST_MOD != 0)
+        .join(ivf_assign_cached(spark, sf_dir), "vec_id")
+        .select(
+            F.col("vec_id").alias("train_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("label").alias("nn_label"),
+            "cell",
+        )
+    )
+    cents = ivf_centroids_cached(spark, sf_dir)
+    cvecs = cents.select(
+        "cell", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("cvec")
+    )
+    wp = Window.partitionBy("test_id").orderBy("cd", "cell")
+    probes = (
+        test.crossJoin(F.broadcast(cvecs))
+        .select(
+            "test_id",
+            "cell",
+            l2_distance(F.col("t_emb"), F.col("cvec")).alias("cd"),
+        )
+        .withColumn("crn", F.row_number().over(wp))
+        .filter(F.col("crn") <= KNN_NPROBE)
+        .select("test_id", "cell")
+    )
+    d = l2_unrolled(F.col("t_emb"), F.col("c_emb"), DIM)
+    w = Window.partitionBy("test_id").orderBy("dist", "train_id")
+    # Broadcast the (bounded) probe batch and hash-join it map-side:
+    # a shuffle join keyed on `cell` would cap parallelism at the cell
+    # count (10 tasks at any scale); broadcasting keeps the train scan
+    # partition-parallel while still pruning candidates to the probed
+    # cells (~nprobe/cells of the corpus).
+    topk = (
+        train.join(F.broadcast(probes.join(test, "test_id")), "cell")
+        .select(
+            "test_id", "true_label", "nn_label", "train_id", d.alias("dist")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = topk.groupBy("test_id", "true_label", "nn_label").agg(
+        F.count("*").alias("v")
+    )
+    key = (F.lit(KNN_K) - F.col("v")) * _VOTE_RADIX + F.col("nn_label")
+    pred = votes.groupBy("test_id", "true_label").agg(
+        (F.min(key) % _VOTE_RADIX).alias("predicted")
+    )
+    correct = F.when(F.col("predicted") == F.col("true_label"), 1)
+    acc = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n_test"),
+        F.count(correct).cast("bigint").alias("n_correct"),
+        F.round(F.count(correct) / F.count("*"), 10).alias("accuracy"),
+    )
+    # recall audit on the bounded subsample
+    audit = test.filter(F.col("test_id") % KNN_AUDIT_MOD == 0)
+    we = Window.partitionBy("test_id").orderBy("dist", "train_id")
+    exact_top = (
+        train.drop("cell")
+        .crossJoin(F.broadcast(audit))
+        .select("test_id", "train_id", d.alias("dist"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= KNN_K)
+        .select("test_id", "train_id")
+    )
+    matched = topk.join(exact_top, ["test_id", "train_id"]).select(
+        "test_id", "train_id"
+    )
+    hits = (
+        audit.select("test_id", "true_label")
+        .join(matched, "test_id", "left")
+        .groupBy("test_id", "true_label")
+        .agg(F.count("train_id").alias("n_hit"))
+    )
+    recl = hits.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_audit"),
+        F.round(
+            F.sum("n_hit").cast("double") / (KNN_K * F.count("*")), 10
+        ).alias("recall_at_k"),
+    )
+    return acc.join(recl, "label", "left").select(
+        "label",
+        "n_test",
+        "n_correct",
+        "accuracy",
+        F.coalesce(F.col("n_audit"), F.lit(0)).cast("bigint").alias("n_audit"),
+        "recall_at_k",
+    )
+
+
 # -- triangle counting on the near-dup graph ---------------------------------
 
 

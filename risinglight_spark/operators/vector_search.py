@@ -1662,25 +1662,10 @@ def _ivf_pq_oracle() -> str:
     """
 
 
-@register(
-    "ann_ivf_pq_search",
-    oracle=_ivf_pq_oracle(),
-    doc="The full IVF-PQ index path (the FAISS billion-scale "
-    "architecture, composed from this module's pieces): a coarse "
-    "quantizer (per-label centroids) routes the query to ONE inverted "
-    "list — at scale a partition-pruned read of ~1/cells of the "
-    "corpus (ann_index_partitioned materializes exactly that layout) "
-    "— then the cell's members scan as compressed PQ codes with "
-    "ADC lookup-table scoring, exact distances joined back only for "
-    "the bounded top-k.  Broadcast sizes: cells x 64 centroids, "
-    "16-entry LUT.  Every stage is the oracle-verified building "
-    "block: centroid means are exact fixed-point, assignment argmin "
-    "is order-pinned, ADC sums are fixed-point — the whole composed "
-    "pipeline replays bit-identically.",
-)
-def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.operators import fpsum
-
+def ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer centroids (cell, c0..cDIM-1) — exact
+    fixed-point per-label means, session-memoized (the trained IVF
+    index piece shared by ann_ivf_pq_search and ml_knn_eval_ivf)."""
     from risinglight_spark.operators import _cached_persisted
 
     t = Tables(spark, sf_dir)
@@ -1701,21 +1686,17 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return t.embeddings.groupBy(F.col("label").alias("cell")).agg(*means)
 
-    # The trained index pieces (coarse centroids, per-vector cell
-    # assignment, PQ codebook/codes) are session-memoized — at scale
-    # they are trained/encoded ONCE and stored; a query pays only the
-    # probe + ADC scan.
-    cents = _cached_persisted(spark, sf_dir, "ivf_centroids", build_cents)
-    qdist = F.lit(0.0)
-    for i in range(DIM):
-        d = F.col(f"c{i}") - F.lit(QUERY_VEC[i])
-        qdist = qdist + d * d
-    probe = (
-        cents.select("cell", F.sqrt(qdist).alias("qd"))
-        .orderBy("qd", "cell")
-        .limit(1)
-        .select(F.col("cell").alias("probe_cell"))
-    )
+    return _cached_persisted(spark, sf_dir, "ivf_centroids", build_cents)
+
+
+def ivf_assign_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector coarse-cell assignment (vec_id, cell) — argmin over
+    the broadcast centroids, order-pinned on (distance, cell);
+    session-memoized alongside the centroids."""
+    from risinglight_spark.operators import _cached_persisted
+
+    t = Tables(spark, sf_dir)
+    cents = ivf_centroids_cached(spark, sf_dir)
 
     def build_assign() -> DataFrame:
         carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
@@ -1733,7 +1714,47 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("m.cell").alias("cell"))
         )
 
-    assign = _cached_persisted(spark, sf_dir, "ivf_assign", build_assign)
+    return _cached_persisted(spark, sf_dir, "ivf_assign", build_assign)
+
+
+@register(
+    "ann_ivf_pq_search",
+    oracle=_ivf_pq_oracle(),
+    doc="The full IVF-PQ index path (the FAISS billion-scale "
+    "architecture, composed from this module's pieces): a coarse "
+    "quantizer (per-label centroids) routes the query to ONE inverted "
+    "list — at scale a partition-pruned read of ~1/cells of the "
+    "corpus (ann_index_partitioned materializes exactly that layout) "
+    "— then the cell's members scan as compressed PQ codes with "
+    "ADC lookup-table scoring, exact distances joined back only for "
+    "the bounded top-k.  Broadcast sizes: cells x 64 centroids, "
+    "16-entry LUT.  Every stage is the oracle-verified building "
+    "block: centroid means are exact fixed-point, assignment argmin "
+    "is order-pinned, ADC sums are fixed-point — the whole composed "
+    "pipeline replays bit-identically.",
+)
+def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import fpsum
+
+    t = Tables(spark, sf_dir)
+
+    # The trained index pieces (coarse centroids, per-vector cell
+    # assignment, PQ codebook/codes) are session-memoized — at scale
+    # they are trained/encoded ONCE and stored; a query pays only the
+    # probe + ADC scan.
+    cents = ivf_centroids_cached(spark, sf_dir)
+    qdist = F.lit(0.0)
+    for i in range(DIM):
+        d = F.col(f"c{i}") - F.lit(QUERY_VEC[i])
+        qdist = qdist + d * d
+    probe = (
+        cents.select("cell", F.sqrt(qdist).alias("qd"))
+        .orderBy("qd", "cell")
+        .limit(1)
+        .select(F.col("cell").alias("probe_cell"))
+    )
+
+    assign = ivf_assign_cached(spark, sf_dir)
     member_ids = assign.join(
         F.broadcast(probe), F.col("cell") == F.col("probe_cell")
     ).select("vec_id")

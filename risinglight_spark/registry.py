@@ -337,6 +337,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize_stub",
     "mm_decode_pixels",
+    "ml_knn_eval_ivf",
     "ddl_create_insert_delete",
     "ddl_create_view",
     "ddl_sql_udf",
