@@ -1550,3 +1550,142 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(dup) / F.count("*"), 10).alias("dup_frac"),
         )
     )
+
+
+# -- asymmetric containment near-dup (sub-document / boilerplate) ------------
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def _containment_oracle() -> str:
+    sh = T.word_shingles_sql("text")
+    return f"""
+    WITH reps AS MATERIALIZED (
+      SELECT md5({T.normalized_text_sql('text')}) AS fp,
+             min(doc_id) AS rep, arbitrary(text) AS text,
+             count(*) AS csize
+      FROM documents GROUP BY 1
+    ),
+    sh AS MATERIALIZED (
+      SELECT rep, unnest(list_distinct({sh})) AS s
+      FROM reps WHERE len({sh}) > 0
+    ),
+    sz AS (SELECT rep, count(*) AS n FROM sh GROUP BY rep),
+    shared AS (
+      SELECT a.rep AS rep_a, b.rep AS rep_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.rep < b.rep
+      GROUP BY 1, 2
+    ),
+    rp AS (
+      SELECT rep_a, rep_b,
+             round(n_shared::DOUBLE / x.n, 9) AS contain_ab,
+             round(n_shared::DOUBLE / y.n, 9) AS contain_ba
+      FROM shared
+      JOIN sz x ON rep_a = x.rep
+      JOIN sz y ON rep_b = y.rep
+      WHERE n_shared::DOUBLE / x.n >= {CONTAIN_THRESHOLD}
+         OR n_shared::DOUBLE / y.n >= {CONTAIN_THRESHOLD}
+    ),
+    members AS (
+      SELECT d.doc_id, r.rep, r.fp
+      FROM documents d
+      JOIN reps r ON md5({T.normalized_text_sql('d.text')}) = r.fp
+    ),
+    eligible AS (
+      SELECT DISTINCT r.fp FROM reps r JOIN sh ON sh.rep = r.rep),
+    cross_pairs AS (
+      SELECT least(u.doc_id, v.doc_id) AS doc_a,
+             greatest(u.doc_id, v.doc_id) AS doc_b,
+             p.contain_ab, p.contain_ba
+      FROM rp p
+      JOIN members u ON u.rep = p.rep_a
+      JOIN members v ON v.rep = p.rep_b
+    ),
+    within_pairs AS (
+      SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b,
+             1.0 AS contain_ab, 1.0 AS contain_ba
+      FROM members m1
+      JOIN members m2 ON m1.fp = m2.fp AND m1.doc_id < m2.doc_id
+      JOIN eligible e ON e.fp = m1.fp
+    )
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs
+    """
+
+
+@register(
+    "dedup_containment",
+    oracle=_containment_oracle(),
+    doc=f"Asymmetric containment near-dup: C(A in B) = |shingles(A) "
+    "intersect shingles(B)| / |shingles(A)| — catches sub-document "
+    "duplication (a doc wholly quoted inside a longer one, boilerplate "
+    "wrappers) that symmetric Jaccard under-scores because the union "
+    f"is dominated by the longer side.  Pairs kept when either "
+    f"direction >= {CONTAIN_THRESHOLD}.  Same scale shape as the "
+    "jaccard miner: replica collapse first, inverted-index postings "
+    "join over DISTINCT texts (O(u x postings), never all-pairs), "
+    "replica fan-out after (within-cluster pairs are exactly 1.0 both "
+    "ways).",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    _, reps = _replicas(t)
+    members = _members_fp(spark, sf_dir)
+    uniq = reps.select(
+        "fp",
+        "rep",
+        T.word_shingles_pandas(3)(F.col("text")).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    def build_pairs() -> DataFrame:
+        sh = uniq.select(
+            "rep", F.explode(F.array_distinct("shingles")).alias("s")
+        )
+        sz = sh.groupBy("rep").agg(F.count("*").alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.rep") < F.col("b.rep")),
+            )
+            .groupBy(
+                F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b")
+            )
+            .agg(F.count("*").alias("n_shared"))
+        )
+        x, y = sz.alias("x"), sz.alias("y")
+        c_ab = F.col("n_shared").cast("double") / F.col("x.n")
+        c_ba = F.col("n_shared").cast("double") / F.col("y.n")
+        return (
+            shared.join(x, F.col("rep_a") == F.col("x.rep"))
+            .join(y, F.col("rep_b") == F.col("y.rep"))
+            .filter(
+                (c_ab >= CONTAIN_THRESHOLD) | (c_ba >= CONTAIN_THRESHOLD)
+            )
+            .select(
+                "rep_a",
+                "rep_b",
+                F.round(c_ab, 9).alias("contain_ab"),
+                F.round(c_ba, 9).alias("contain_ba"),
+            )
+        )
+
+    rep_pairs = _cached_persisted(
+        spark, sf_dir, "containment_rep_pairs", build_pairs
+    )
+    # csize filter in _fan_out needs real counts for the within side
+    rep_of = (
+        members.groupBy("fp")
+        .agg(F.count("*").alias("csize"))
+        .join(uniq.select("fp", F.col("rep").alias("rep_m")), "fp")
+        .select("fp", "rep_m", "csize")
+    )
+    return _fan_out(
+        rep_pairs,
+        members,
+        rep_of,
+        {
+            "contain_ab": F.lit(1.0),
+            "contain_ba": F.lit(1.0),
+        },
+    )

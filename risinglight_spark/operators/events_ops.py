@@ -1946,3 +1946,105 @@ def events_attribution_last_touch(
         ),
         F.when(in_window, lag).alias("lag_seconds"),
     )
+
+
+@register(
+    "events_asof_nearest",
+    oracle="""
+    WITH unioned AS (
+      SELECT user_id, ts, event_id, 0 AS kind FROM events
+      WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS kind FROM events
+      WHERE event_type = 'click'
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, kind,
+             last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS UNBOUNDED PRECEDING) AS back_ts,
+             first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fwd_ts
+      FROM unioned
+    )
+    SELECT user_id, event_id AS click_id, ts AS click_ts,
+           CASE
+             WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+             WHEN fwd_ts IS NULL THEN back_ts
+             WHEN back_ts IS NULL THEN fwd_ts
+             WHEN epoch_us(ts) - epoch_us(back_ts)
+                  <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+             ELSE fwd_ts
+           END AS nearest_view_ts,
+           CASE
+             WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+             WHEN fwd_ts IS NULL THEN 'backward'
+             WHEN back_ts IS NULL THEN 'forward'
+             WHEN epoch_us(ts) - epoch_us(back_ts)
+                  <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'backward'
+             ELSE 'forward'
+           END AS direction
+    FROM filled WHERE kind = 1
+    """,
+    doc="Nearest as-of join: each click pairs with its closest view "
+    "in TIME, either direction (ties and same-timestamp views go "
+    "backward — views sort before clicks at equal ts).  The "
+    "events_asof_join backward pass plus a mirrored forward "
+    "first_value over the SAME one ordered exchange — two frames, "
+    "one sort, no per-row range subquery; gap comparison in exact "
+    "integer microseconds on both engines.",
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    views = t.events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    order = ["ts", "kind", "event_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    vts = F.when(F.col("kind") == 0, F.col("ts"))
+    filled = views.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(vts, ignorenulls=True).over(wb).alias("back_ts"),
+        F.first(vts, ignorenulls=True).over(wf).alias("fwd_ts"),
+    )
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast to
+    # TIMESTAMP is identity and unix_micros gives exact integers
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    gb = us(F.col("ts")) - us(F.col("back_ts"))
+    gf = us(F.col("fwd_ts")) - us(F.col("ts"))
+    backward = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (gb <= gf)
+    )
+    none = F.col("back_ts").isNull() & F.col("fwd_ts").isNull()
+    return filled.filter(F.col("kind") == 1).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.when(none, F.lit(None).cast("timestamp"))
+        .when(backward, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+        .alias("nearest_view_ts"),
+        F.when(none, F.lit(None).cast("string"))
+        .when(backward, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

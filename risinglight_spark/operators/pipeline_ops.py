@@ -2441,3 +2441,56 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("w").alias("weight"), (hi - lo).alias("n_hits")
     )
 
+
+
+# -- weighted reservoir sampling (Efraimidis–Spirakis A-ES) ------------------
+
+RESERVOIR_K = 100
+
+
+@register(
+    "sample_reservoir_weighted",
+    oracle=f"""
+    WITH pr AS (
+      SELECT doc_id, w,
+             ln(CAST(h + 1 AS DOUBLE) / {T.HASH_P + 1}.0) / w AS priority
+      FROM (
+        SELECT doc_id, {T.token_count_sql("text")} AS w,
+               {T.char_hash_sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+      )
+      WHERE w > 0
+    )
+    SELECT doc_id, w AS weight, round(priority, 9) AS priority
+    FROM pr ORDER BY priority DESC, doc_id LIMIT {RESERVOIR_K}
+    """,
+    doc=f"Weighted reservoir sample (k={RESERVOIR_K}) via the "
+    "Efraimidis–Spirakis A-ES scheme: priority = u^(1/w) compared in "
+    "log space (ln(u)/w), with u the portable char-hash uniform — no "
+    "RNG state, so the draw is a pure per-row function and the SAME "
+    "sample falls out at any parallelism or cluster size.  Selection "
+    "is top-k by priority = TakeOrderedAndProject: per-partition "
+    "heaps + a k-row driver merge, the canonical distributed "
+    "reservoir (no shuffle of the corpus, no single-partition sort). "
+    " Complements sample_systematic_pps (exact integer PPS): A-ES is "
+    "the streaming-friendly variant whose reservoirs merge by "
+    "re-ranking priorities.",
+)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("w"),
+        T.char_hash(F.col("doc_id").cast("string")).alias("h"),
+    ).filter(F.col("w") > 0)
+    u = (F.col("h") + 1).cast("double") / F.lit(float(T.HASH_P + 1))
+    priority = F.log(u) / F.col("w")
+    return (
+        base.select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            F.round(priority, 9).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(RESERVOIR_K)
+    )

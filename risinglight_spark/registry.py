@@ -338,6 +338,9 @@ _R7_QUEUE: tuple[str, ...] = (
     "mm_resize_stub",
     "mm_decode_pixels",
     "ml_knn_eval_ivf",
+    "sample_reservoir_weighted",
+    "events_asof_nearest",
+    "dedup_containment",
     "ddl_create_insert_delete",
     "ddl_create_view",
     "ddl_sql_udf",
