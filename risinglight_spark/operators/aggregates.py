@@ -1101,3 +1101,106 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("total").alias("total_weight"),
         )
     )
+
+
+# -- Count-Min Sketch (mergeable frequency estimation) -----------------------
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 64  # buckets per row
+CMS_PROBE_TOPK = 20  # probe the estimates for the true top-k tokens
+
+
+def _cms_oracle() -> str:
+    from risinglight_spark.functions.text import (
+        char_hash_sql,
+        tokens_sql,
+    )
+
+    hash_i = [
+        f"({char_hash_sql(expr)} % {CMS_WIDTH})"
+        for expr in (f"t || '#cms{i}'" for i in range(CMS_DEPTH))
+    ]
+    counter_arms = " UNION ALL ".join(
+        f"SELECT {i} AS row_i, {hash_i[i]} AS bucket, count(*) AS c "
+        f"FROM tok GROUP BY 2"
+        for i in range(CMS_DEPTH)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT t, true_count, {i} AS row_i, {hash_i[i]} AS bucket "
+        f"FROM probe"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest({tokens_sql("lower(text)")}) AS t FROM documents
+    ),
+    tf AS (SELECT t, count(*) AS true_count FROM tok GROUP BY t),
+    probe AS (
+      SELECT t, true_count FROM tf
+      ORDER BY true_count DESC, t LIMIT {CMS_PROBE_TOPK}
+    ),
+    counters AS ({counter_arms}),
+    probed AS ({probe_arms})
+    SELECT p.t AS token, p.true_count,
+           min(c.c)::BIGINT AS cms_estimate,
+           bool_and(c.c >= p.true_count) AS never_undercounts
+    FROM probed p JOIN counters c
+      ON p.row_i = c.row_i AND p.bucket = c.bucket
+    GROUP BY p.t, p.true_count
+    """
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=_cms_oracle(),
+    doc=f"Count-Min Sketch frequency estimation ({CMS_DEPTH} hash rows "
+    f"x {CMS_WIDTH} buckets) over the corpus token stream, probed at "
+    f"the true top-{CMS_PROBE_TOPK} tokens.  The sketch is exact "
+    "integer counters keyed by portable char-hashes, so unlike most "
+    "sketches it is FULLY oracle-replayable (DuckDB rebuilds the "
+    "identical counter matrix).  Counters are plain sums -> mergeable "
+    "across shards/streams by cell-wise addition; the estimate is "
+    "min over rows and can only overcount (never_undercounts is the "
+    "CMS guarantee, hash-checked per probe).  At 100 TB the shuffle "
+    f"carries {CMS_DEPTH}x{CMS_WIDTH} counter cells per shard — "
+    "constant, independent of corpus size; the probe join broadcasts "
+    "the 256-cell sketch.",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.functions.text import char_hash, tokens
+    from risinglight_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("t")
+    )
+
+    def buckets(tcol):
+        return [
+            (char_hash(F.concat(tcol, F.lit(f"#cms{i}"))) % CMS_WIDTH)
+            for i in range(CMS_DEPTH)
+        ]
+
+    # one pass, 4 (row, bucket) cells per token via posexplode: the
+    # groupBy reduces map-side to <= 256 cells per partition
+    cells = tok.select(
+        F.posexplode(F.array(*buckets(F.col("t")))).alias("row_i", "bucket")
+    )
+    counters = cells.groupBy("row_i", "bucket").agg(F.count("*").alias("c"))
+    tf = tok.groupBy("t").agg(F.count("*").alias("true_count"))
+    probe = tf.orderBy(F.desc("true_count"), "t").limit(CMS_PROBE_TOPK)
+    probed = probe.select(
+        "t",
+        "true_count",
+        F.posexplode(F.array(*buckets(F.col("t")))).alias("row_i", "bucket"),
+    )
+    return (
+        probed.join(F.broadcast(counters), ["row_i", "bucket"])
+        .groupBy(F.col("t").alias("token"), "true_count")
+        .agg(
+            F.min("c").cast("bigint").alias("cms_estimate"),
+            F.min(F.col("c") >= F.col("true_count")).alias(
+                "never_undercounts"
+            ),
+        )
+    )

@@ -341,6 +341,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "sample_reservoir_weighted",
     "events_asof_nearest",
     "dedup_containment",
+    "agg_count_min_sketch",
     "ddl_create_insert_delete",
     "ddl_create_view",
     "ddl_sql_udf",
