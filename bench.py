@@ -101,6 +101,31 @@ HEADLINE_EXTRA = (
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Attribute the measurement to the exact tree state AT START (the
+    # tree can move while a long bench runs): drift across snapshots is
+    # only explainable if each JSON records the commit it measured.
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:
+        sha, dirty = None, None
+
     from risinglight_spark.registry import collect
     from risinglight_spark.session import get_spark
 
@@ -157,31 +182,6 @@ def main() -> None:
         per_query[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
-
-    # Attribute the measurement to the exact tree state: bench numbers
-    # drifting across snapshots of the same round are only explainable
-    # if each JSON records the commit it ran at.
-    try:
-        import subprocess
-
-        sha = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True,
-            text=True,
-            timeout=10,
-        ).stdout.strip() or None
-        dirty = bool(
-            subprocess.run(
-                ["git", "status", "--porcelain"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True,
-                text=True,
-                timeout=10,
-            ).stdout.strip()
-        )
-    except Exception:
-        sha, dirty = None, None
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # Round-over-round comparability: the headline suite GROWS as
