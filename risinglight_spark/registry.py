@@ -91,11 +91,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #      kNN/NB/PQ/ADC/IVF-PQ, SCD2+PIT, co-occurrence, DAU/WAU, bitmap
 #      distinct, fuzzy join, LPA/PageRank/triangles, MLM, entropy,
 #      hybrid RRF, data quality, ANY/ALL, BPE, graphs, windows;
-#   r6 (_R6_QUEUE, staged next): the round-4 additions that overflowed
-#      the r5 gate (explain CBO, filtered ANN, attribution, PPS,
-#      cluster keep-best) + no-oracle sketch entries;
-#   r7+ front the remainder (scalar libraries, setops, catalog/copy,
-#      mm, leftover events/text, streaming built-ins).
+#   r6 (this list's first 50 = _R6_GATE): r5 overflow + the
+#      now-oracle-bearing sketch entries + salted/DPP joins, window
+#      frames, subqueries, set ops, scalar-expression libraries;
+#   r7 (_R7_QUEUE, staged next): text miners, events analytics,
+#      multimodal, DDL/catalog/copy round-trips, streaming built-ins,
+#      plus the round-6 additions (mm_decode_pixels, ml_knn_eval_ivf,
+#      reservoir/asof-nearest/containment, count-min sketch).
 # Check locally: python tools/oracle_check.py <sf0.01> --first 50.
 
 # Driver-verified in CORRECTNESS_r03.json (kept behind the rotation).

@@ -458,6 +458,55 @@ def _has_protobuf() -> bool:
         return False
 
 
+_VENDOR_SHIPPED: set[str] = set()
+
+
+def _ensure_worker_protobuf(spark: SparkSession) -> None:
+    """Ship the vendored protobuf to Python workers when the JVM was
+    started WITHOUT the PYTHONPATH export (a vanilla driver-style
+    session: the env route in session.get_spark never ran).  addPyFile
+    distributes a zip of the vendor tree and prepends it to every
+    worker's sys.path — including the streaming preinit runner."""
+    import importlib.util
+
+    try:
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:
+        spec = None
+    import risinglight_spark
+
+    vendor = os.path.join(
+        os.path.dirname(risinglight_spark.__file__), "_vendor"
+    )
+    if spec is not None and not (spec.origin or "").startswith(vendor):
+        return  # a real distribution is importable everywhere
+    app = spark.sparkContext.applicationId
+    if app in _VENDOR_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(
+        tempfile.gettempdir(), "rl_vendor_protobuf.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(vendor):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        p = os.path.join(root, fn)
+                        z.write(p, os.path.relpath(p, vendor))
+    spark.sparkContext.addPyFile(zpath)
+    # The streaming preinit runner builds its worker env from the
+    # context's environment map rather than the pyFiles path — export
+    # the vendor dir there too (workers merge PYTHONPATH).
+    env = spark.sparkContext.environment
+    pp = env.get("PYTHONPATH", "")
+    if vendor not in pp.split(os.pathsep):
+        env["PYTHONPATH"] = f"{pp}{os.pathsep}{vendor}" if pp else vendor
+    _VENDOR_SHIPPED.add(app)
+
+
 @register(
     "streaming_transform_with_state",
     oracle="""
@@ -489,6 +538,7 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("user_id")
     )
     if _has_protobuf():
+        _ensure_worker_protobuf(spark)
         # transformWithState requires the RocksDB state store (typed
         # state with schema evolution lives outside the HDFS default)
         spark.conf.set(

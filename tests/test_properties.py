@@ -495,3 +495,48 @@ def test_era_literal_rewrite_roundtrip(spark):
         )
         out = reference_render_datetimes(spark.sql(sql)).collect()[0].ts
         assert out == want, (lit, out, want)
+
+
+# -- distributed count-desc rank (operators/__init__.ranked_by_count_desc) ---
+
+
+@settings(**{**SETTINGS, "max_examples": 8, "deadline": None})
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=1 << 40),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ranked_by_count_desc_is_exact(spark, tmp_path_factory, counts):
+    """rk must be a bijection onto 1..N consistent with count DESC
+    (tie assignment free), and cum must equal the exact running sum of
+    counts over ranks 1..rk — for arbitrary count multisets including
+    heavy ties and values spanning many log2 buckets."""
+    from risinglight_spark.operators import ranked_by_count_desc
+
+    items = [(f"item{i:04d}", int(c)) for i, c in enumerate(counts)]
+    sf_tag = tmp_path_factory.mktemp("rankprop")
+
+    def build():
+        return spark.createDataFrame(items, "item string, n bigint")
+
+    ranked, n_items, total = ranked_by_count_desc(
+        spark, str(sf_tag), f"prop_{abs(hash(tuple(counts)))}", build,
+        "item", "n",
+    )
+    rows = ranked.collect()
+    assert n_items == len(items)
+    assert total == sum(c for _, c in items)
+    # bijection onto 1..N
+    rks = sorted(r["rk"] for r in rows)
+    assert rks == list(range(1, len(items) + 1))
+    # rank order consistent with n DESC
+    by_rk = sorted(rows, key=lambda r: r["rk"])
+    ns = [r["n"] for r in by_rk]
+    assert ns == sorted(ns, reverse=True)
+    # cum = exact prefix sum over ranks
+    acc = 0
+    for r in by_rk:
+        acc += r["n"]
+        assert r["cum"] == acc
