@@ -1460,17 +1460,26 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    rep_dropped = (
-        a.hint("shuffle_hash")
-        .join(
-            b.hint("shuffle_hash"),
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.rep") < F.col("b.rep")),
+
+    def mine_dropped() -> DataFrame:
+        return (
+            a.hint("shuffle_hash")
+            .join(
+                b.hint("shuffle_hash"),
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.rep") < F.col("b.rep")),
+            )
+            .filter(cos >= SEM_TAU)
+            .select(F.col("b.rep").alias("rep"))
+            .distinct()
+            .withColumn("hit", F.lit(True))
         )
-        .filter(cos >= SEM_TAU)
-        .select(F.col("b.rep").alias("rep"))
-        .distinct()
-        .withColumn("hit", F.lit(True))
+
+    # The per-rep drop verdict is itself a mined asset (bytes per
+    # dropped representative): memoized like the simhash/jaccard pair
+    # tables, so repeat consumers pay only the final membership join.
+    rep_dropped = _cached_persisted(
+        spark, sf_dir, "semdedup_dropped", mine_dropped
     )
     return base.join(rep_dropped, "rep", "left").select(
         "vec_id",
