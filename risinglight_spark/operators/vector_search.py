@@ -1896,3 +1896,158 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cos_dist", "vec_id")
         .limit(10)
     )
+
+
+# -- graph-based ANN: NSW-style layered beam search --------------------------
+
+NSW_M = 8  # out-degree of the neighbor graph
+NSW_LAYER_MOD = 16  # upper layer = vec_id % 16 == 0 (~1/16 sample)
+NSW_TOPK = 10
+NSW_SEED_K = 4  # upper-layer entry beam width
+NSW_GRAPH_PLANES = 4  # LSH planes bounding the graph-build candidates
+
+
+def _nsw_oracle() -> str:
+    bucket = "(" + " + ".join(
+        f"(CASE WHEN {_dot_sql('e.embedding', PLANES[p])} >= 0.0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(NSW_GRAPH_PLANES)
+    ) + ")"
+    adist = "0.0 + " + " + ".join(
+        f"(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        f"*(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        for i in range(DIM)
+    )
+    pdist = "sqrt(0.0 + " + " + ".join(
+        f"(CAST(x.embedding[{i+1}] AS DOUBLE) - CAST(y.embedding[{i+1}] AS DOUBLE))"
+        f"*(CAST(x.embedding[{i+1}] AS DOUBLE) - CAST(y.embedding[{i+1}] AS DOUBLE))"
+        for i in range(DIM)
+    ) + ")"
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT label AS cell, {_centroid_cols_sql()}
+      FROM embeddings GROUP BY label
+    ),
+    assign AS MATERIALIZED (
+      SELECT e.vec_id, (array_agg(c.cell ORDER BY sqrt({adist}), c.cell))[1]
+               AS cell
+      FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id
+    ),
+    nodes AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, a.cell, {bucket} AS bkt
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT x.vec_id AS src, y.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY x.vec_id ORDER BY {pdist}, y.vec_id
+               ) AS rn
+        FROM nodes x JOIN nodes y
+          ON x.cell = y.cell AND x.bkt = y.bkt AND x.vec_id <> y.vec_id
+      ) WHERE rn <= {NSW_M}
+    ),
+    layer1 AS (
+      SELECT vec_id, {_l2_sql('embedding', QUERY_VEC)} AS qd
+      FROM embeddings WHERE vec_id % {NSW_LAYER_MOD} = 0
+    ),
+    seeds AS (
+      SELECT vec_id, qd FROM layer1 ORDER BY qd, vec_id LIMIT {NSW_SEED_K}
+    ),
+    entry AS (SELECT vec_id FROM seeds ORDER BY qd, vec_id LIMIT 1),
+    hop1 AS (
+      SELECT g.dst AS vec_id FROM edges g JOIN entry s ON g.src = s.vec_id
+    ),
+    hop2 AS (
+      SELECT g.dst AS vec_id FROM edges g JOIN hop1 h ON g.src = h.vec_id
+    ),
+    cand AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT vec_id FROM seeds
+        UNION ALL SELECT vec_id FROM hop1
+        UNION ALL SELECT vec_id FROM hop2
+      )
+    )
+    SELECT c.vec_id,
+           round({_l2_sql('x.embedding', QUERY_VEC)}, 8) AS nsw_dist
+    FROM cand c JOIN embeddings x ON c.vec_id = x.vec_id
+    ORDER BY nsw_dist, c.vec_id LIMIT {NSW_TOPK}
+    """
+
+
+@register(
+    "ann_nsw_graph_search",
+    oracle=_nsw_oracle(),
+    doc=f"Graph-based ANN (the HNSW family the reference only DECLARES "
+    "— binder/create_index.rs:35 accepts USING hnsw but never builds "
+    "one; this is a working navigable-graph search): a materialized "
+    f"neighbor graph (top-{NSW_M} per node, candidates bounded by "
+    f"(coarse cell x {NSW_GRAPH_PLANES}-plane LSH bucket) groups — "
+    "the distributed stand-in for HNSW's inherently sequential "
+    "insert-time wiring; at 100 TB the plane count scales so group "
+    "sizes stay bounded), an upper layer of 1/"
+    f"{NSW_LAYER_MOD} sampled nodes for entry, and a 2-hop beam from "
+    f"the best {NSW_SEED_K} upper-layer seeds, re-ranked by exact "
+    "distance.  The graph is a memoized index asset (built once, "
+    "probed per query); every stage is deterministic and the oracle "
+    "replays the identical graph, beam, and ranking.",
+)
+def ann_nsw_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from risinglight_spark.operators import _cached_persisted
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    emb = F.col("embedding")
+    bucket = sum(
+        F.when(dot(emb, lit_vector(PLANES[p])) >= 0.0, 1 << p).otherwise(0)
+        for p in range(NSW_GRAPH_PLANES)
+    )
+
+    def build_edges() -> DataFrame:
+        nodes = e.join(ivf_assign_cached(spark, sf_dir), "vec_id").select(
+            "vec_id", "embedding", "cell", bucket.alias("bkt")
+        )
+        x, y = nodes.alias("x"), nodes.alias("y")
+        d = l2_distance(F.col("x.embedding"), F.col("y.embedding"))
+        w = Window.partitionBy("src").orderBy("d", "dst")
+        return (
+            x.hint("shuffle_hash")
+            .join(
+                y.hint("shuffle_hash"),
+                (F.col("x.cell") == F.col("y.cell"))
+                & (F.col("x.bkt") == F.col("y.bkt"))
+                & (F.col("x.vec_id") != F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("src"),
+                F.col("y.vec_id").alias("dst"),
+                d.alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= NSW_M)
+            .select("src", "dst")
+        )
+
+    edges = _cached_persisted(spark, sf_dir, "nsw_edges", build_edges)
+    qd = l2_distance(emb, lit_vector(QUERY_VEC))
+    layer1 = e.filter(F.col("vec_id") % NSW_LAYER_MOD == 0).select(
+        "vec_id", qd.alias("qd")
+    )
+    seeds = layer1.orderBy("qd", "vec_id").limit(NSW_SEED_K)
+    entry = seeds.orderBy("qd", "vec_id").limit(1).select("vec_id")
+    seeds = seeds.select("vec_id")
+    hop1 = edges.join(
+        F.broadcast(entry.withColumnRenamed("vec_id", "src")), "src"
+    ).select(F.col("dst").alias("vec_id"))
+    hop2 = edges.join(
+        F.broadcast(hop1.withColumnRenamed("vec_id", "src")), "src"
+    ).select(F.col("dst").alias("vec_id"))
+    cand = seeds.unionAll(hop1).unionAll(hop2).distinct()
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .select("vec_id", F.round(qd, 8).alias("nsw_dist"))
+        .orderBy("nsw_dist", "vec_id")
+        .limit(NSW_TOPK)
+    )

@@ -344,6 +344,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "events_asof_nearest",
     "dedup_containment",
     "agg_count_min_sketch",
+    "ann_nsw_graph_search",
     "ddl_create_insert_delete",
     "ddl_create_view",
     "ddl_sql_udf",
