@@ -112,3 +112,88 @@ def test_semdedup_zero_and_duplicate_vectors(spark, tmp_path):
     assert rows[1] is False
     assert rows[2] is True
     assert rows[3] is False and rows[4] is False
+
+
+def _write_docs(spark, tmp_path, rows):
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_zipf_fit_empty_and_tiny_corpus(spark, tmp_path):
+    """The distributed rank must survive an empty vocabulary (no
+    bucket offsets at all) and a single-token corpus (one log point
+    makes the regression denominator 0 -> NULL slope, not a crash)."""
+    from risinglight_spark.operators.text_analysis import text_zipf_fit
+
+    sf = _write_docs(spark, tmp_path / "a", [(1, "", "en", "w", 0), (2, None, "en", "w", 0)])
+    row = text_zipf_fit(spark, sf).collect()[0]
+    assert row["n_types"] == 0
+
+    sf = _write_docs(spark, tmp_path / "b", [(1, "word word word", "en", "w", 14)])
+    row = text_zipf_fit(spark, sf).collect()[0]
+    assert row["n_types"] == 1
+    assert row["zipf_slope"] is None  # single point: no slope
+
+
+def test_reservoir_smaller_than_k(spark, tmp_path):
+    from risinglight_spark.operators.pipeline_ops import (
+        RESERVOIR_K,
+        sample_reservoir_weighted,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a b c", "en", "w", 5), (2, "", "en", "w", 0), (3, None, "en", "w", 0)],
+    )
+    rows = sample_reservoir_weighted(spark, sf).collect()
+    # only the weighted (w > 0) doc qualifies; fewer rows than K is fine
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    assert len(rows) <= RESERVOIR_K
+
+
+def test_containment_degenerate_docs(spark, tmp_path):
+    from risinglight_spark.operators.dedup import dedup_containment
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "w", 10),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "w", 10),
+            (3, "", "en", "w", 0),
+            (4, None, "en", "w", 0),
+            (5, "xy", "en", "w", 2),  # unshingleable (< 3 tokens)
+        ],
+    )
+    rows = dedup_containment(spark, sf).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    # doc 1's shingles are a subset of doc 2's -> containment 1.0 a->b
+    assert (1, 2) in pairs and pairs[(1, 2)]["contain_ab"] == 1.0
+    # degenerate docs never appear
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in pairs)
+
+
+def test_asof_nearest_no_views_for_user(spark, tmp_path):
+    from risinglight_spark.operators.events_ops import events_asof_nearest
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "click", 1.0, None),
+            (2, "2024-01-01 00:01:00", 20, "view", 1.0, None),
+            (3, "2024-01-01 00:02:00", 20, "click", 1.0, None),
+        ],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    sf = str(tmp_path)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    rows = {r["user_id"]: r for r in events_asof_nearest(spark, sf).collect()}
+    assert rows[10]["nearest_view_ts"] is None
+    assert rows[10]["direction"] is None
+    assert rows[20]["direction"] == "backward"
