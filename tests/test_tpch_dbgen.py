@@ -74,14 +74,26 @@ def _statements(path: str) -> list[str]:
     return [s.strip() for s in sql.split(";") if s.strip()]
 
 
+_VIEW_RE = r"(?is)^create\s+view\s+(\w+)\s*(?:\(([^)]*)\))?\s*as\s*(.+)$"
+
+
 def _run_spark(spark, stmt: str):
     s = stmt.strip()
-    m = re.match(r"(?is)^create\s+view\s+(\w+)\s*(\([^)]*\))?\s*as\s*(.+)$", s)
+    m = re.match(_VIEW_RE, s)
     if m:
-        name, collist, body = m.group(1), m.group(2) or "", m.group(3)
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW {name} {collist} AS {body}"
-        )
+        name, collist, body = m.group(1), m.group(2), m.group(3)
+        df = spark.sql(body)
+        if collist:
+            df = df.toDF(*[c.strip() for c in collist.split(",")])
+        # Materialize the view ONCE.  q15's view feeds two consumers
+        # (the outer join and the max() subquery); re-evaluating a
+        # double sum with different partial orders can disagree in the
+        # last ULP and flip the `total_revenue = max(...)` equality to
+        # 0 rows at SF1.  The reference evaluates views by re-running
+        # the stored plan single-threaded (deterministic), so a single
+        # materialized evaluation is the faithful semantics here.
+        df = df.localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
         return None
     m = re.match(r"(?i)^drop\s+view\s+(\w+)$", s)
     if m:
@@ -92,8 +104,19 @@ def _run_spark(spark, stmt: str):
 
 def _run_duck(con, stmt: str):
     s = stmt.strip()
-    if re.match(r"(?i)^(create|drop)\s+view\b", s):
-        con.sql(s)
+    m = re.match(_VIEW_RE, s)
+    if m:
+        # Same single-evaluation semantics as the Spark side: DuckDB's
+        # parallel aggregation is order-nondeterministic for double
+        # sums too, so materialize instead of re-running the view body
+        # per consumer.
+        name, collist, body = m.group(1), m.group(2), m.group(3)
+        sub = f"({body}) AS _v({collist})" if collist else f"({body}) AS _v"
+        con.sql(f"CREATE OR REPLACE TEMP TABLE {name} AS SELECT * FROM {sub}")
+        return None
+    m = re.match(r"(?i)^drop\s+view\s+(\w+)$", s)
+    if m:
+        con.sql(f"DROP TABLE IF EXISTS {m.group(1)}")
         return None
     return con.sql(s).fetchall()
 
