@@ -1975,6 +1975,111 @@ def _nsw_oracle() -> str:
     """
 
 
+def nsw_edges(nodes: DataFrame) -> DataFrame:
+    """Top-``NSW_M`` neighbor edges per node, candidates bounded to the
+    node's (cell, bkt) group — the NSW graph build, replica-collapsed.
+
+    Semantics (what a direct formulation computes): for each node x,
+    rank every same-group y != x by (l2(x, y), y.vec_id) and keep the
+    first NSW_M.  A direct member-level pair join is O(group_size^2),
+    which blows up quadratically on duplicate-heavy corpora (identical
+    embeddings share cell AND bucket, so exact replicas always land in
+    one group — the same shape SemDeDup had before its collapse).
+
+    Collapse argument (exact, not approximate): only identical vectors
+    reach l2 = 0, so x's nearest neighbors are FIRST its duplicate-class
+    siblings in vec_id order, THEN external classes by (d, vec_id).
+    Every needed candidate is derivable from per-class bounded sets:
+
+    * intra: any member's top-M siblings lie among the class's smallest
+      M+1 ids (drop self, take M);
+    * external: the global external top-M of a class can only contain
+      the M nearest classes by (d, rep_id) — each nearer class puts its
+      rep ahead of a dropped class's best candidate — and within a kept
+      class only its smallest M member ids.
+
+    So the quadratic stage runs on DISTINCT vectors per group (reps),
+    and members fan in via keyed joins against <= M+1-row per-class
+    lists.  On a duplicate-free corpus reps == nodes and the rep join
+    IS the direct join — no regression.
+    """
+    from pyspark.sql import Window
+
+    wcls = Window.partitionBy("cell", "bkt", "embedding").orderBy("vec_id")
+    mem = nodes.withColumn("crn", F.row_number().over(wcls))
+    sib = mem.filter(F.col("crn") <= NSW_M + 1).select(
+        "cell", "bkt", "embedding", "crn", F.col("vec_id").alias("dst")
+    )
+    reps = mem.filter(F.col("crn") == 1).select(
+        "cell", "bkt", "embedding", F.col("vec_id").alias("rep")
+    )
+    x, y = reps.alias("x"), reps.alias("y")
+    d = l2_distance(F.col("x.embedding"), F.col("y.embedding"))
+    # rep-level class pairs; distinct classes in a group differ in
+    # embedding, hence in rep id — the int inequality is the cheap test
+    wclass = Window.partitionBy("cell", "bkt", "embedding").orderBy(
+        "d", "y_rep"
+    )
+    near_classes = (
+        x.hint("shuffle_hash")
+        .join(
+            y.hint("shuffle_hash"),
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.rep") != F.col("y.rep")),
+        )
+        .select(
+            F.col("x.cell").alias("cell"),
+            F.col("x.bkt").alias("bkt"),
+            F.col("x.embedding").alias("embedding"),
+            F.col("y.embedding").alias("y_emb"),
+            F.col("y.rep").alias("y_rep"),
+            d.alias("d"),
+        )
+        .withColumn("krn", F.row_number().over(wclass))
+        .filter(F.col("krn") <= NSW_M)
+        .drop("krn", "y_rep")
+    )
+    # expand kept classes to their smallest-M members, re-rank, keep the
+    # class's global external top-M (identical for every member)
+    wext = Window.partitionBy("cell", "bkt", "embedding").orderBy(
+        "d", "dst"
+    )
+    ext = (
+        near_classes.join(
+            sib.filter(F.col("crn") <= NSW_M).select(
+                F.col("cell").alias("cell"),
+                F.col("bkt").alias("bkt"),
+                F.col("embedding").alias("y_emb"),
+                "dst",
+            ),
+            ["cell", "bkt", "y_emb"],
+        )
+        .select("cell", "bkt", "embedding", "dst", "d")
+        .withColumn("ern", F.row_number().over(wext))
+        .filter(F.col("ern") <= NSW_M)
+        .drop("ern")
+    )
+    # per-member candidates: <= M+1 siblings at d = 0 plus <= M externals
+    intra = (
+        mem.join(sib.drop("crn"), ["cell", "bkt", "embedding"])
+        .filter(F.col("dst") != F.col("vec_id"))
+        .select(
+            F.col("vec_id").alias("src"), "dst", F.lit(0.0).alias("d")
+        )
+    )
+    extm = mem.join(ext, ["cell", "bkt", "embedding"]).select(
+        F.col("vec_id").alias("src"), "dst", "d"
+    )
+    w = Window.partitionBy("src").orderBy("d", "dst")
+    return (
+        intra.unionAll(extm)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+    )
+
+
 @register(
     "ann_nsw_graph_search",
     oracle=_nsw_oracle(),
@@ -1989,12 +2094,13 @@ def _nsw_oracle() -> str:
     f"{NSW_LAYER_MOD} sampled nodes for entry, and a 2-hop beam from "
     f"the best {NSW_SEED_K} upper-layer seeds, re-ranked by exact "
     "distance.  The graph is a memoized index asset (built once, "
-    "probed per query); every stage is deterministic and the oracle "
-    "replays the identical graph, beam, and ranking.",
+    "probed per query); the build is replica-collapsed (see "
+    "nsw_edges: the member-level pair join runs on distinct vectors "
+    "only — exact, duplicate classes wire through bounded per-class "
+    "lists); every stage is deterministic and the oracle replays the "
+    "identical graph, beam, and ranking.",
 )
 def ann_nsw_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from risinglight_spark.operators import _cached_persisted
 
     t = Tables(spark, sf_dir)
@@ -2009,26 +2115,7 @@ def ann_nsw_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes = e.join(ivf_assign_cached(spark, sf_dir), "vec_id").select(
             "vec_id", "embedding", "cell", bucket.alias("bkt")
         )
-        x, y = nodes.alias("x"), nodes.alias("y")
-        d = l2_distance(F.col("x.embedding"), F.col("y.embedding"))
-        w = Window.partitionBy("src").orderBy("d", "dst")
-        return (
-            x.hint("shuffle_hash")
-            .join(
-                y.hint("shuffle_hash"),
-                (F.col("x.cell") == F.col("y.cell"))
-                & (F.col("x.bkt") == F.col("y.bkt"))
-                & (F.col("x.vec_id") != F.col("y.vec_id")),
-            )
-            .select(
-                F.col("x.vec_id").alias("src"),
-                F.col("y.vec_id").alias("dst"),
-                d.alias("d"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= NSW_M)
-            .select("src", "dst")
-        )
+        return nsw_edges(nodes)
 
     edges = _cached_persisted(spark, sf_dir, "nsw_edges", build_edges)
     qd = l2_distance(emb, lit_vector(QUERY_VEC))

@@ -254,3 +254,103 @@ def test_collapsed_triangles_equal_direct(spark, corpus_dir):
         for x in graph_triangle_count(spark, corpus_dir).collect()
     )
     assert got == want
+
+
+# -- NSW graph build: collapsed member wiring vs direct pair join ------------
+
+# Vector corpus with forced replica classes: identical embeddings share
+# (cell, bkt) by construction, so a direct member-level pair join is
+# quadratic in class size — the collapsed build must produce EXACTLY
+# the same edge set.
+_VECS = [
+    # class A: 5 exact replicas
+    *[(i, [1.0, 0.0, 0.5, -0.25]) for i in (1, 2, 3, 4, 5)],
+    # class B: near A (nonzero distance), 3 replicas
+    *[(i, [1.0, 0.05, 0.5, -0.25]) for i in (6, 7, 8)],
+    # class C: singleton near A/B
+    (9, [0.9, 0.0, 0.55, -0.2]),
+    # class D: far singleton (likely separate cell/bucket)
+    (10, [-1.0, 1.0, -1.0, 1.0]),
+    # class E: 2 replicas of another far point
+    (11, [-1.0, 0.9, -1.0, 1.0]),
+    (12, [-1.0, 0.9, -1.0, 1.0]),
+    # 10 more replicas of A with higher ids (exceeds NSW_M so intra
+    # wiring alone must fill every A-member's top-M)
+    *[(i, [1.0, 0.0, 0.5, -0.25]) for i in range(13, 23)],
+]
+
+
+def test_collapsed_nsw_edges_equal_direct(spark):
+    from pyspark.sql import Window
+
+    from risinglight_spark.functions.vector import l2_distance
+    from risinglight_spark.operators.vector_search import NSW_M, nsw_edges
+
+    nodes = spark.createDataFrame(
+        [
+            (vid, [float(x) for x in emb], int(vid % 2), int(vid % 3))
+            for vid, emb in _VECS
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT, bkt INT",
+    )
+    # direct (pre-collapse) formulation: every member pairs with every
+    # same-group member
+    x, y = nodes.alias("x"), nodes.alias("y")
+    d = l2_distance(F.col("x.embedding"), F.col("y.embedding"))
+    w = Window.partitionBy("src").orderBy("d", "dst")
+    direct = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("src"),
+            F.col("y.vec_id").alias("dst"),
+            d.alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+    )
+    want = sorted((r["src"], r["dst"]) for r in direct.collect())
+    got = sorted((r["src"], r["dst"]) for r in nsw_edges(nodes).collect())
+    assert got == want and len(got) > 0
+
+
+def test_collapsed_nsw_edges_equal_direct_one_group(spark):
+    # production cell/bkt derive from the embedding, so exact replicas
+    # ALWAYS co-locate: the one-big-group shape is the quadratic hazard
+    # the collapse exists for (class sizes 15/3/1/1/2 here)
+    from pyspark.sql import Window
+
+    from risinglight_spark.functions.vector import l2_distance
+    from risinglight_spark.operators.vector_search import NSW_M, nsw_edges
+
+    nodes = spark.createDataFrame(
+        [(vid, [float(x) for x in emb], 0, 0) for vid, emb in _VECS],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT, bkt INT",
+    )
+    x, y = nodes.alias("x"), nodes.alias("y")
+    d = l2_distance(F.col("x.embedding"), F.col("y.embedding"))
+    w = Window.partitionBy("src").orderBy("d", "dst")
+    direct = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("src"),
+            F.col("y.vec_id").alias("dst"),
+            d.alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+    )
+    want = sorted((r["src"], r["dst"]) for r in direct.collect())
+    got = sorted((r["src"], r["dst"]) for r in nsw_edges(nodes).collect())
+    assert got == want and len(got) == len(_VECS) * NSW_M
