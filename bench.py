@@ -89,6 +89,7 @@ HEADLINE_EXTRA = (
     "events_attribution_last_touch",
     "sample_systematic_pps",
     "text_gopher_rules",
+    "ann_nsw_graph_search",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.
