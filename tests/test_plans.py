@@ -385,6 +385,7 @@ _PIPELINE_SWEEP = [
     "pack_sequences", "sample_topk_per_group",
     "pipeline_clean_corpus", "pipeline_dataset_card",
     "join_bloom_prefilter", "agg_mode_deterministic",
+    "ann_nsw_graph_search", "pipeline_drop_reasons",
 ]
 
 

@@ -191,6 +191,36 @@ def test_doc_features_udf_matches_expressions(spark, sf_dir):
     assert a == b  # exact, including float bits
 
 
+def test_doc_features_cache_invalidates_on_rewrite(spark, tmp_path):
+    # the shared memoized feature table must rebuild when the corpus
+    # directory is rewritten (the _corpus_fingerprint guard), not serve
+    # stale persisted rows
+    import time
+
+    from risinglight_spark.operators.text_analysis import doc_features_cached
+
+    sf = str(tmp_path)
+
+    def write(texts):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars INT",
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    write(["hello world", "the quick brown fox"])
+    first = {r.doc_id: r.ws for r in doc_features_cached(spark, sf).collect()}
+    assert first == {0: 2, 1: 4}
+    # cached: same object served (no rebuild) while the corpus is
+    # untouched
+    again = doc_features_cached(spark, sf)
+    assert again is doc_features_cached(spark, sf)
+    time.sleep(0.05)  # mtime tick
+    write(["one two three", "a", "b c d e f"])
+    second = {r.doc_id: r.ws for r in doc_features_cached(spark, sf).collect()}
+    assert second == {0: 3, 1: 1, 2: 5}
+
+
 def test_pack_greedy_bins_invariants(spark, sf_dir):
     from risinglight_spark.operators.pipeline_ops import BIN_CAP_TOKENS
     from risinglight_spark.registry import collect
