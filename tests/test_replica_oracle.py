@@ -170,3 +170,60 @@ def test_replica_connected_components_match_oracle(
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert value_hash(sdf) == value_hash(odf)
+
+
+# -- NSW graph search on a replica-heavy vector corpus ----------------------
+
+
+@pytest.fixture(scope="module")
+def nsw_emb_dir(spark, tmp_path_factory) -> str:
+    """64-dim corpus with exact-replica classes (sizes 4/3/2) plus
+    near-dups and singletons; ids 16/32/48 populate the 1/16 upper
+    layer so the beam search is non-vacuous.  The oracle SQL builds
+    the graph by the DIRECT member-level pair join, so hash parity
+    here proves the collapsed build end-to-end (graph + beam +
+    re-rank), not just the edge set."""
+    from risinglight_spark.operators import vector_search as V
+
+    dim = V.DIM
+
+    def vec(seed: int, eps: float = 0.0) -> list:
+        v = [0.05 * (((i * seed) % 11) - 5) for i in range(dim)]
+        v[0] += eps
+        return v
+
+    rows = [
+        # class A: 4 exact replicas (16 is an upper-layer node)
+        *[(vid, vec(3), 0) for vid in (16, 17, 18, 19)],
+        (20, vec(3, 0.04), 0),  # near-dup of A
+        # class B: 3 exact replicas (32 in layer)
+        *[(vid, vec(7), 1) for vid in (32, 33, 34)],
+        (35, vec(7, 0.05), 1),  # near-dup of B
+        # class C: 2 replicas of a far point (48 in layer)
+        *[(vid, vec(5), 2) for vid in (48, 49)],
+        # singletons
+        *[(vid, vec(vid + 11), vid % 3) for vid in (1, 2, 3, 4, 5)],
+    ]
+    sf = str(tmp_path_factory.mktemp("nsw_emb"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def test_nsw_replica_corpus_matches_oracle(spark, nsw_emb_dir):
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{nsw_emb_dir}/embeddings.parquet/*.parquet')"
+        )
+        e = ENTRIES["ann_nsw_graph_search"]
+        sdf = e.fn(spark, nsw_emb_dir).toPandas()
+        odf = con.sql(e.oracle).df()
+        assert len(sdf) == len(odf) > 0
+        assert sorted(sdf.columns) == sorted(odf.columns)
+        assert value_hash(sdf) == value_hash(odf)
+    finally:
+        con.close()
