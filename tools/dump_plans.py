@@ -115,6 +115,15 @@ FLAGSHIPS = [
         "join would cap parallelism at the cell count); candidate "
         "ranking windows are keyed on test_id.",
     ),
+    (
+        "ann_nsw_graph_search",
+        "Graph ANN probe (round 6): the memoized edge table is an "
+        "InMemoryTableScan; beam hops are BroadcastHashJoins of the "
+        "bounded frontier against edges; final re-rank is "
+        "TakeOrderedAndProject.  The (replica-collapsed) build pairs "
+        "DISTINCT vectors only — every member-level stage is a keyed "
+        "join against <= M+1-row per-class lists, no cartesian.",
+    ),
 ]
 
 
