@@ -2060,12 +2060,19 @@ def nsw_edges(nodes: DataFrame) -> DataFrame:
         .filter(F.col("ern") <= NSW_M)
         .drop("ern")
     )
-    # per-member candidates: <= M+1 siblings at d = 0 plus <= M externals
+    # per-member candidates: <= M+1 siblings plus <= M externals.  The
+    # sibling distance is computed as the class vector's self-distance
+    # rather than a 0.0 literal: identical FINITE arrays give exactly
+    # 0.0 either way, but a NaN/Inf-containing class must rank its
+    # siblings at d = NaN (sorts last) precisely like the direct
+    # member-pair formulation would.
     intra = (
         mem.join(sib.drop("crn"), ["cell", "bkt", "embedding"])
         .filter(F.col("dst") != F.col("vec_id"))
         .select(
-            F.col("vec_id").alias("src"), "dst", F.lit(0.0).alias("d")
+            F.col("vec_id").alias("src"),
+            "dst",
+            l2_distance(F.col("embedding"), F.col("embedding")).alias("d"),
         )
     )
     extm = mem.join(ext, ["cell", "bkt", "embedding"]).select(

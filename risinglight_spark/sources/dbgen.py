@@ -194,12 +194,35 @@ def _sizes(sf: float) -> dict[str, int]:
     }
 
 
+TPCH_TABLES = (
+    "region", "nation", "supplier", "part",
+    "partsupp", "customer", "orders", "lineitem",
+)
+
+
 def generate(
-    spark: SparkSession, out_dir: str, sf: float, partitions: int | None = None
+    spark: SparkSession,
+    out_dir: str,
+    sf: float,
+    partitions: int | None = None,
+    reuse: bool = False,
 ) -> dict[str, str]:
     """Generate all 8 TPC-H tables (full original schema) at scale
     factor ``sf`` into ``out_dir/{table}.parquet``; returns the path
-    map.  Deterministic: same sf -> identical data, any parallelism."""
+    map.  Deterministic: same sf -> identical data, any parallelism.
+    With ``reuse=True``, a fully-written prior corpus at ``out_dir``
+    (every table dir carrying its _SUCCESS marker) is returned as-is —
+    generation is deterministic per sf, so repeat bench runs skip the
+    minutes of corpus I/O."""
+    if reuse:
+        paths = {
+            t: os.path.join(out_dir, f"{t}.parquet") for t in TPCH_TABLES
+        }
+        if all(
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            for p in paths.values()
+        ):
+            return paths
     n = _sizes(sf)
     parts = partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 4

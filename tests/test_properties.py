@@ -208,6 +208,8 @@ def test_doc_features_cache_invalidates_on_rewrite(spark, tmp_path):
             "n_chars INT",
         ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
 
+    from risinglight_spark.operators import _corpus_fingerprint
+
     write(["hello world", "the quick brown fox"])
     first = {r.doc_id: r.ws for r in doc_features_cached(spark, sf).collect()}
     assert first == {0: 2, 1: 4}
@@ -215,8 +217,15 @@ def test_doc_features_cache_invalidates_on_rewrite(spark, tmp_path):
     # untouched
     again = doc_features_cached(spark, sf)
     assert again is doc_features_cached(spark, sf)
-    time.sleep(0.05)  # mtime tick
-    write(["one two three", "a", "b c d e f"])
+    # rewrite until the fingerprint actually ticks (filesystems with
+    # coarse mtime granularity could otherwise serve the stale cache)
+    before = _corpus_fingerprint(sf)
+    for _ in range(50):
+        write(["one two three", "a", "b c d e f"])
+        if _corpus_fingerprint(sf) != before:
+            break
+        time.sleep(0.1)
+    assert _corpus_fingerprint(sf) != before
     second = {r.doc_id: r.ws for r in doc_features_cached(spark, sf).collect()}
     assert second == {0: 3, 1: 1, 2: 5}
 

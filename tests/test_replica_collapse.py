@@ -277,6 +277,11 @@ _VECS = [
     # 10 more replicas of A with higher ids (exceeds NSW_M so intra
     # wiring alone must fill every A-member's top-M)
     *[(i, [1.0, 0.0, 0.5, -0.25]) for i in range(13, 23)],
+    # class F: NaN-containing replicas — distances involving them are
+    # NaN (sorts LAST), including to each other; the collapse must
+    # reproduce the direct build's ordering, not pin siblings at 0.0
+    (23, [float("nan"), 0.0, 0.5, -0.25]),
+    (24, [float("nan"), 0.0, 0.5, -0.25]),
 ]
 
 

@@ -18,11 +18,23 @@ from __future__ import annotations
 
 import math
 import os
-import re
+import sys
 from datetime import date, datetime
 
 import duckdb
 import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+from tpch_runner import (  # noqa: E402
+    run_duck_stmt,
+    run_spark_stmt,
+    statements,
+)
 
 QUERY_DIR = "/root/reference/tests/sql/tpch"
 TABLES = (
@@ -69,56 +81,19 @@ def _rows_equal(got: list[tuple], want: list[tuple]) -> bool:
     )
 
 
+_CHECKPOINTS: dict = {}  # view name -> checkpointed df (unpersist on drop)
+
+
 def _statements(path: str) -> list[str]:
-    sql = open(path).read()
-    return [s.strip() for s in sql.split(";") if s.strip()]
-
-
-_VIEW_RE = r"(?is)^create\s+view\s+(\w+)\s*(?:\(([^)]*)\))?\s*as\s*(.+)$"
+    return statements(path)
 
 
 def _run_spark(spark, stmt: str):
-    s = stmt.strip()
-    m = re.match(_VIEW_RE, s)
-    if m:
-        name, collist, body = m.group(1), m.group(2), m.group(3)
-        df = spark.sql(body)
-        if collist:
-            df = df.toDF(*[c.strip() for c in collist.split(",")])
-        # Materialize the view ONCE.  q15's view feeds two consumers
-        # (the outer join and the max() subquery); re-evaluating a
-        # double sum with different partial orders can disagree in the
-        # last ULP and flip the `total_revenue = max(...)` equality to
-        # 0 rows at SF1.  The reference evaluates views by re-running
-        # the stored plan single-threaded (deterministic), so a single
-        # materialized evaluation is the faithful semantics here.
-        df = df.localCheckpoint(eager=True)
-        df.createOrReplaceTempView(name)
-        return None
-    m = re.match(r"(?i)^drop\s+view\s+(\w+)$", s)
-    if m:
-        spark.catalog.dropTempView(m.group(1))
-        return None
-    return spark.sql(s).collect()
+    return run_spark_stmt(spark, stmt, _CHECKPOINTS)
 
 
 def _run_duck(con, stmt: str):
-    s = stmt.strip()
-    m = re.match(_VIEW_RE, s)
-    if m:
-        # Same single-evaluation semantics as the Spark side: DuckDB's
-        # parallel aggregation is order-nondeterministic for double
-        # sums too, so materialize instead of re-running the view body
-        # per consumer.
-        name, collist, body = m.group(1), m.group(2), m.group(3)
-        sub = f"({body}) AS _v({collist})" if collist else f"({body}) AS _v"
-        con.sql(f"CREATE OR REPLACE TEMP TABLE {name} AS SELECT * FROM {sub}")
-        return None
-    m = re.match(r"(?i)^drop\s+view\s+(\w+)$", s)
-    if m:
-        con.sql(f"DROP TABLE IF EXISTS {m.group(1)}")
-        return None
-    return con.sql(s).fetchall()
+    return run_duck_stmt(con, stmt)
 
 
 def _check_all_queries(spark, con, dirpath: str) -> None:

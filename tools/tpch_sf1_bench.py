@@ -14,40 +14,17 @@ times it.
 from __future__ import annotations
 
 import os
-import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tpch_runner import run_spark_stmt, statements  # noqa: E402
+
 QUERY_DIR = "/root/reference/tests/sql/tpch"
 TABLES = (
     "region nation supplier part partsupp customer orders lineitem".split()
 )
-_VIEW_RE = r"(?is)^create\s+view\s+(\w+)\s*(?:\(([^)]*)\))?\s*as\s*(.+)$"
-
-
-def _statements(path: str) -> list[str]:
-    with open(path) as f:
-        sql = re.sub(r"--[^\n]*", "", f.read())
-    return [s.strip() for s in sql.split(";") if s.strip()]
-
-
-def _run(spark, stmt: str):
-    m = re.match(_VIEW_RE, stmt)
-    if m:
-        name, collist, body = m.group(1), m.group(2), m.group(3)
-        df = spark.sql(body)
-        if collist:
-            df = df.toDF(*[c.strip() for c in collist.split(",")])
-        # one materialized evaluation per view (see test_tpch_dbgen.py)
-        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
-        return None
-    m = re.match(r"(?i)^drop\s+view\s+(\w+)$", stmt)
-    if m:
-        spark.catalog.dropTempView(m.group(1))
-        return None
-    return spark.sql(stmt).collect()
 
 
 def main() -> None:
@@ -56,22 +33,23 @@ def main() -> None:
     from risinglight_spark.sources.dbgen import generate
 
     spark = get_spark(app_name=f"tpch_sf{sf}_bench")
-    paths = generate(spark, f"/tmp/dbgen_sf{sf:g}", sf)
+    paths = generate(spark, f"/tmp/dbgen_sf{sf:g}", sf, reuse=True)
     for t in TABLES:
         spark.read.parquet(paths[t]).createOrReplaceTempView(t)
     n = spark.sql("select count(*) from lineitem").collect()[0][0]
     print(f"# dbgen SF{sf:g}: lineitem rows = {n:,}", file=sys.stderr)
 
     total = 0.0
+    checkpoints: dict = {}
     print("| query | best-of-2 s |")
     print("|---|---|")
     for qn in range(1, 23):
-        stmts = _statements(os.path.join(QUERY_DIR, f"q{qn}.sql"))
+        stmts = statements(os.path.join(QUERY_DIR, f"q{qn}.sql"))
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
             for s in stmts:
-                _run(spark, s)
+                run_spark_stmt(spark, s, checkpoints)
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         total += best
