@@ -2145,3 +2145,136 @@ def ann_nsw_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nsw_dist", "vec_id")
         .limit(NSW_TOPK)
     )
+
+
+# -- incremental IVF index maintenance: upsert without re-clustering ---------
+
+UPSERT_DELTA_MOD = 10  # vec_id % 10 == 9 -> the "newly arrived" batch
+UPSERT_NPROBE = 2
+UPSERT_TOPK = 10
+
+
+def _upsert_oracle() -> str:
+    adist = "sqrt(0.0 + " + " + ".join(
+        f"(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        f"*(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        for i in range(DIM)
+    ) + ")"
+    new = f"e.vec_id % {UPSERT_DELTA_MOD} = {UPSERT_DELTA_MOD - 1}"
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT label AS cell, {_centroid_cols_sql()}
+      FROM embeddings
+      WHERE vec_id % {UPSERT_DELTA_MOD} <> {UPSERT_DELTA_MOD - 1}
+      GROUP BY label
+    ),
+    probe AS (
+      SELECT cell FROM cents
+      ORDER BY {_centroid_dist_sql(QUERY_VEC)}, cell
+      LIMIT {UPSERT_NPROBE}
+    ),
+    assign AS MATERIALIZED (
+      SELECT e.vec_id,
+             (array_agg(c.cell ORDER BY {adist}, c.cell))[1] AS cell
+      FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id
+    )
+    SELECT e.vec_id, CAST({new} AS BOOLEAN) AS is_new,
+           round({_l2_sql('e.embedding', QUERY_VEC)}, 8) AS l2_dist
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    WHERE a.cell IN (SELECT cell FROM probe)
+    ORDER BY l2_dist, e.vec_id
+    LIMIT {UPSERT_TOPK}
+    """
+
+
+@register(
+    "ann_ivf_incremental_upsert",
+    oracle=_upsert_oracle(),
+    doc=f"Incremental IVF index maintenance — the 100-TB upsert "
+    "contract: centroids are trained on the BASE corpus only "
+    f"(vec_id % {UPSERT_DELTA_MOD} != {UPSERT_DELTA_MOD - 1}, exact "
+    "fixed-point per-label means) and a newly-arrived delta batch "
+    "joins the index by ASSIGNMENT to the existing cells (one argmin "
+    "scan over broadcast centroids), never by re-clustering the "
+    "corpus.  A query probed through the merged index "
+    f"(nprobe={UPSERT_NPROBE}) returns delta rows beside base rows "
+    "(is_new flags them), proving the upsert is immediately "
+    "searchable.  Both the base centroids and the merged assignment "
+    "are memoized index assets (built once, probed per query) — the "
+    "same contract as the other stored ANN indexes; at cluster scale "
+    "the assignment is a partitioned write and the probe is partition "
+    "pruning.  Companions: dedup_incremental_batch/_minhash (the same "
+    "pattern for dedup state), ann_index_partitioned (the pruned "
+    "probe).",
+)
+def ann_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import _cached_persisted
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    is_new = (F.col("vec_id") % UPSERT_DELTA_MOD) == (UPSERT_DELTA_MOD - 1)
+
+    def build_cents() -> DataFrame:
+        means = [
+            (
+                F.sum(
+                    F.round(
+                        F.col("embedding").getItem(i).cast("double") * 1e14,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e14)
+                / F.count("*")
+            ).alias(f"c{i}")
+            for i in range(DIM)
+        ]
+        return (
+            emb.filter(~is_new)
+            .groupBy(F.col("label").alias("cell"))
+            .agg(*means)
+        )
+
+    cents = _cached_persisted(spark, sf_dir, "ivf_upsert_cents", build_cents)
+    carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
+    cvecs = cents.select("cell", carr.alias("cvec"))
+
+    def build_assign() -> DataFrame:
+        return (
+            emb.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cvecs))
+            .select(
+                "vec_id",
+                "cell",
+                l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cell")).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"))
+        )
+
+    assign = _cached_persisted(
+        spark, sf_dir, "ivf_upsert_assign", build_assign
+    )
+    probe = (
+        cvecs.select(
+            "cell",
+            l2_distance(F.col("cvec"), lit_vector(QUERY_VEC)).alias("qd"),
+        )
+        .orderBy("qd", "cell")
+        .limit(UPSERT_NPROBE)
+        .select("cell")
+    )
+    qd = l2_distance(F.col("embedding"), lit_vector(QUERY_VEC))
+    return (
+        emb.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .join(F.broadcast(probe), "cell", "left_semi")
+        .select(
+            "vec_id",
+            is_new.alias("is_new"),
+            F.round(qd, 8).alias("l2_dist"),
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(UPSERT_TOPK)
+    )

@@ -345,6 +345,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "dedup_containment",
     "agg_count_min_sketch",
     "ann_nsw_graph_search",
+    "ann_ivf_incremental_upsert",
     "ddl_create_insert_delete",
     "ddl_create_view",
     "ddl_sql_udf",

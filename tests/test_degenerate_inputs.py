@@ -197,3 +197,44 @@ def test_asof_nearest_no_views_for_user(spark, tmp_path):
     assert rows[10]["nearest_view_ts"] is None
     assert rows[10]["direction"] is None
     assert rows[20]["direction"] == "backward"
+
+
+def test_ivf_upsert_degenerate_bases(spark, tmp_path):
+    """ann_ivf_incremental_upsert: an all-delta corpus has no base to
+    train on (no centroids -> nothing assignable -> 0 rows, matching
+    the SQL oracle's empty probe); a single-cell base still makes the
+    delta batch searchable with is_new flagged."""
+    from risinglight_spark.operators import vector_search as V
+
+    dim = V.DIM
+    mod = V.UPSERT_DELTA_MOD
+
+    def vec(seed):
+        return [float(0.01 * ((i * seed) % 9 - 4)) for i in range(dim)]
+
+    # every id = mod-1 (mod mod) -> pure delta, empty base
+    all_delta = spark.createDataFrame(
+        [(mod - 1 + mod * k, vec(k + 2), 0) for k in range(4)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    sf1 = str(tmp_path / "all_delta")
+    all_delta.write.mode("overwrite").parquet(f"{sf1}/embeddings.parquet")
+    assert V.ann_ivf_incremental_upsert(spark, sf1).count() == 0
+
+    # one-label base + deltas: deltas assign to the only cell and are
+    # searchable
+    rows = [(k, vec(3), 0) for k in (1, 2, 3)] + [
+        (mod - 1, vec(5), 0),
+        (2 * mod - 1, vec(7), 0),
+    ]
+    base_delta = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    sf2 = str(tmp_path / "one_cell")
+    base_delta.write.mode("overwrite").parquet(f"{sf2}/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["is_new"]
+        for r in V.ann_ivf_incremental_upsert(spark, sf2).collect()
+    }
+    assert got == {1: False, 2: False, 3: False,
+                   mod - 1: True, 2 * mod - 1: True}
