@@ -386,6 +386,7 @@ _PIPELINE_SWEEP = [
     "pipeline_clean_corpus", "pipeline_dataset_card",
     "join_bloom_prefilter", "agg_mode_deterministic",
     "ann_nsw_graph_search", "pipeline_drop_reasons",
+    "ann_ivf_incremental_upsert",
 ]
 
 
