@@ -579,3 +579,76 @@ def test_ranked_by_count_desc_is_exact(spark, tmp_path_factory, counts):
     for r in by_rk:
         acc += r["n"]
         assert r["cum"] == acc
+
+
+# -- NSW collapsed graph build vs a pure-Python direct model -----------------
+
+_nsw_pool_vec = st.lists(
+    st.floats(
+        min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False,
+        width=32,
+    ),
+    min_size=3, max_size=3,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pool=st.lists(_nsw_pool_vec, min_size=2, max_size=4),
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # pool index
+            st.integers(min_value=0, max_value=1),  # cell
+            st.integers(min_value=0, max_value=1),  # bkt
+        ),
+        min_size=1, max_size=18,
+    ),
+    with_nan=st.booleans(),
+)
+def test_nsw_collapsed_edges_match_python_model(spark, pool, rows, with_nan):
+    """The replica-collapsed NSW graph build must equal an INDEPENDENT
+    direct model (pure Python, not Spark-vs-Spark): for each node, rank
+    every same-(cell,bkt) other node by (l2, vec_id) — NaN distances
+    last like Spark's ordering — and keep the first NSW_M.  Pool-drawn
+    vectors force duplicate classes; the optional NaN vector exercises
+    the non-finite ordering path."""
+    import math
+
+    import numpy as np
+
+    from risinglight_spark.operators.vector_search import NSW_M, nsw_edges
+
+    if with_nan:
+        pool = pool + [[float("nan"), 0.0, 0.0]]
+    nodes = [
+        (3 * i + 1, pool[pi % len(pool)], cell, bkt)
+        for i, (pi, cell, bkt) in enumerate(rows)
+    ]
+
+    def f32(v):
+        return [float(np.float32(x)) for x in v]
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(f32(a), f32(b)):
+            d = x - y
+            acc = acc + d * d
+        return math.sqrt(acc)
+
+    want = set()
+    for vid, emb, cell, bkt in nodes:
+        cands = [
+            (l2(emb, e2), v2)
+            for v2, e2, c2, b2 in nodes
+            if (c2, b2) == (cell, bkt) and v2 != vid
+        ]
+        cands.sort(key=lambda t: (math.isnan(t[0]), t[0] if not math.isnan(t[0]) else 0.0, t[1]))
+        want |= {(vid, dst) for _, dst in cands[:NSW_M]}
+
+    df = spark.createDataFrame(
+        [(vid, f32(emb), cell, bkt) for vid, emb, cell, bkt in nodes],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT, bkt INT",
+    )
+    got = {(r["src"], r["dst"]) for r in nsw_edges(df).collect()}
+    assert got == want
