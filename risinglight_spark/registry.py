@@ -97,7 +97,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   r7 (_R7_QUEUE, staged next): text miners, events analytics,
 #      multimodal, DDL/catalog/copy round-trips, streaming built-ins,
 #      plus the round-6 additions (mm_decode_pixels, ml_knn_eval_ivf,
-#      reservoir/asof-nearest/containment, count-min sketch).
+#      reservoir/asof-nearest/containment, count-min sketch, NSW
+#      graph search, incremental IVF upsert).  53 entries — the gate
+#      fronts the first 50; the remainder rolls to r8, after which
+#      every registry entry will have a driver-verified row.
 # Check locally: python tools/oracle_check.py <sf0.01> --first 50.
 
 # Driver-verified in CORRECTNESS_r03.json (kept behind the rotation).
