@@ -418,3 +418,140 @@ def mm_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf_out
 
     return payload_df.mapInPandas(decode_batches, schema=_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel resize: decode -> nearest-neighbor resample -> stats, all
+# value-verified in closed form (completes the mm_resize_stub geometry
+# stage with actual pixel work, the way mm_decode_pixels completed the
+# decode stub).
+# ---------------------------------------------------------------------------
+
+RSZ_W = 6
+RSZ_H = 5
+
+_RESIZE_PX_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, "
+    "mean_resized double, px00 int, px_br int"
+)
+
+
+def _resize_px_oracle() -> str:
+    k_per_row = RSZ_W * 3
+    n = RSZ_H * k_per_row
+    return f"""
+    WITH d AS (
+      SELECT doc_id, (8 + doc_id % 9) AS w, (8 + doc_id % 7) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, {n - 1})) AS k
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, w, h,
+             ((k // {k_per_row}) * h) // {RSZ_H} AS sy,
+             (((k % {k_per_row}) // 3) * w) // {RSZ_W} AS sx,
+             k % 3 AS c
+      FROM px
+    ),
+    v AS (
+      SELECT doc_id, w, h,
+             (doc_id * 31 + ((sy * w + sx) * 3 + c) * 7) % 256 AS val
+      FROM m
+    )
+    SELECT doc_id,
+           any_value(w)::INT AS src_w, any_value(h)::INT AS src_h,
+           {RSZ_W} AS dst_w, {RSZ_H} AS dst_h,
+           (sum(val)::DOUBLE / {n} / 255.0) AS mean_resized,
+           ((doc_id * 31) % 256)::INT AS px00,
+           ((doc_id * 31
+             + (((({RSZ_H - 1} * any_value(h)) // {RSZ_H}) * any_value(w)
+                 + (({RSZ_W - 1} * any_value(w)) // {RSZ_W})) * 3 + 2) * 7)
+            % 256)::INT AS px_br
+    FROM v GROUP BY doc_id
+    """
+
+
+@register(
+    "mm_resize_pixels",
+    oracle=_resize_px_oracle(),
+    doc=f"REAL pixel resize: each doc's BMP/PPM payload (same codec "
+    "round trip as mm_decode_pixels) is decoded and nearest-neighbor "
+    f"resampled to {RSZ_W}x{RSZ_H} with integer source mapping "
+    f"(sx = x*w//{RSZ_W}, sy = y*h//{RSZ_H}) — the deterministic "
+    "resample every vision-data pipeline runs before feature "
+    "extraction.  px00 and px_br pin the top-left and bottom-right-"
+    "blue samples, so a flipped row order, swapped channels, or an "
+    "off-by-one in the index mapping all fail the hash.  Both stages "
+    "are Arrow mapInPandas scans, embarrassingly parallel, zero "
+    "shuffle; at 100 TB the encode stage is replaced by reading the "
+    "parquet binary column and the resample is unchanged.",
+)
+def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from risinglight_spark.functions.imaging import (
+        decode_image,
+        encode_bmp24,
+        encode_ppm,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                px = _pixel_formula(doc_id, w * h * 3)
+                payloads.append(
+                    encode_bmp24(w, h, px)
+                    if doc_id % 2 == 0
+                    else encode_ppm(w, h, px)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_df = base.mapInPandas(
+        encode_batches, schema="doc_id bigint, payload binary"
+    )
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "src_w": [], "src_h": [],
+                "dst_w": [], "dst_h": [],
+                "mean_resized": [], "px00": [], "px_br": [],
+            }
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                _, w, h, c, px = decode_image(bytes(data))
+                arr = px.reshape(h, w, c)
+                sy = (np.arange(RSZ_H, dtype=np.int64) * h) // RSZ_H
+                sx = (np.arange(RSZ_W, dtype=np.int64) * w) // RSZ_W
+                res = arr[sy][:, sx, :]
+                out["doc_id"].append(int(doc_id))
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(RSZ_W)
+                out["dst_h"].append(RSZ_H)
+                out["mean_resized"].append(
+                    int(res.sum(dtype=np.int64))
+                    / (RSZ_W * RSZ_H * c)
+                    / 255.0
+                )
+                out["px00"].append(int(res[0, 0, 0]))
+                out["px_br"].append(int(res[-1, -1, 2]))
+            pdf_out = pd.DataFrame(out)
+            for col in ("src_w", "src_h", "dst_w", "dst_h", "px00", "px_br"):
+                pdf_out[col] = pdf_out[col].astype("int32")
+            yield pdf_out
+
+    return payload_df.mapInPandas(resize_batches, schema=_RESIZE_PX_SCHEMA)

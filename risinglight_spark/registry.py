@@ -342,6 +342,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize_stub",
     "mm_decode_pixels",
+    "mm_resize_pixels",
     "ml_knn_eval_ivf",
     "sample_reservoir_weighted",
     "events_asof_nearest",
