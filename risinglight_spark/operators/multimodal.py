@@ -555,3 +555,117 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf_out
 
     return payload_df.mapInPandas(resize_batches, schema=_RESIZE_PX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode: genuine PCM16 WAV payloads round-tripped through
+# the dependency-free codec in functions/audio.py — the audio leg of
+# the multimodal column family (image decode/resize are above).
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+_AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, duration_ms double, "
+    "first_sample int, mean_amp double, rms double"
+)
+
+
+def _audio_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, (160 + doc_id % 81) AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM d
+    ),
+    v AS (
+      SELECT doc_id, n,
+             ((doc_id * 13 + i * 11) % 4096) - 2048 AS val
+      FROM s
+    )
+    SELECT doc_id,
+           {WAV_RATE} AS sample_rate,
+           any_value(n)::BIGINT AS n_samples,
+           (any_value(n) * 1000.0 / {WAV_RATE}) AS duration_ms,
+           ((doc_id * 13) % 4096 - 2048)::INT AS first_sample,
+           (sum(val)::DOUBLE / any_value(n)) AS mean_amp,
+           sqrt(sum(val * val)::DOUBLE / any_value(n)) AS rms
+    FROM v GROUP BY doc_id
+    """
+
+
+@register(
+    "mm_audio_wav_features",
+    oracle=_audio_oracle(),
+    doc="REAL audio decode: per doc, a genuine PCM16 WAV payload "
+    "(44-byte RIFF header + little-endian samples, encoded from a "
+    "deterministic sample formula) is parsed back by the chunk-walking "
+    "decoder in functions/audio.py, and the standard audio-curation "
+    "features come off the decoded samples: duration, first sample "
+    "(pins byte order — a big-endian read fails the hash), mean "
+    "amplitude (DC offset) and RMS (loudness — the gate feature "
+    "audio-dataset pipelines threshold on).  Closed-form oracle "
+    "replays the decoded values exactly; both stages are Arrow "
+    "mapInPandas scans, zero shuffle; at 100 TB the encode stage is "
+    "replaced by reading the parquet binary column and the decode "
+    "stage is unchanged.",
+)
+def mm_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from risinglight_spark.functions.audio import decode_wav, encode_wav_pcm16
+
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                n = 160 + doc_id % 81
+                i = np.arange(n, dtype=np.int64)
+                samples = ((doc_id * 13 + i * 11) % 4096) - 2048
+                payloads.append(
+                    encode_wav_pcm16(WAV_RATE, samples.astype(np.int16))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_df = base.mapInPandas(
+        encode_batches, schema="doc_id bigint, payload binary"
+    )
+
+    def feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "first_sample": [],
+                "mean_amp": [], "rms": [],
+            }
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _ch, s = decode_wav(bytes(data))
+                s64 = s.astype(np.int64)
+                n = len(s)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000.0 / rate)
+                out["first_sample"].append(int(s[0]))
+                out["mean_amp"].append(int(s64.sum()) / n)
+                out["rms"].append(
+                    float(np.sqrt(int((s64 * s64).sum()) / n))
+                )
+            pdf_out = pd.DataFrame(out)
+            pdf_out["sample_rate"] = pdf_out["sample_rate"].astype("int32")
+            pdf_out["first_sample"] = pdf_out["first_sample"].astype("int32")
+            yield pdf_out
+
+    return payload_df.mapInPandas(feature_batches, schema=_AUDIO_SCHEMA)

@@ -343,6 +343,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "mm_resize_stub",
     "mm_decode_pixels",
     "mm_resize_pixels",
+    "mm_audio_wav_features",
     "ml_knn_eval_ivf",
     "sample_reservoir_weighted",
     "events_asof_nearest",

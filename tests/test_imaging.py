@@ -85,3 +85,54 @@ def test_decode_image_dispatch_and_unknown():
     assert decode_image(encode_ppm(1, 1, px))[0] == "ppm"
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG....")
+
+
+# -- WAV codec (functions/audio.py) -----------------------------------------
+
+
+def test_wav_round_trip():
+    import numpy as np
+
+    from risinglight_spark.functions.audio import decode_wav, encode_wav_pcm16
+
+    s = np.array([-2048, -1, 0, 1, 2047, 32767, -32768], dtype=np.int16)
+    rate, ch, got = decode_wav(encode_wav_pcm16(8000, s))
+    assert (rate, ch) == (8000, 1)
+    assert got.dtype == np.dtype("<i2") and list(got) == list(s)
+
+
+def test_wav_decoder_walks_unknown_chunks():
+    # a LIST/INFO chunk between fmt and data must be skipped by
+    # declared size, including the odd-size word-alignment pad
+    import struct
+
+    import numpy as np
+
+    from risinglight_spark.functions.audio import decode_wav, encode_wav_pcm16
+
+    s = np.array([5, -7, 11], dtype=np.int16)
+    base = encode_wav_pcm16(4000, s)
+    fmt_chunk = base[12:36]
+    data_chunk = base[36:]
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad
+    body = fmt_chunk + extra + data_chunk
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    rate, ch, got = decode_wav(wav)
+    assert rate == 4000 and list(got) == [5, -7, 11]
+
+
+def test_wav_rejects_non_pcm():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from risinglight_spark.functions.audio import decode_wav, encode_wav_pcm16
+
+    s = np.array([1, 2], dtype=np.int16)
+    wav = bytearray(encode_wav_pcm16(8000, s))
+    struct.pack_into("<H", wav, 20, 3)  # fmt tag 3 = IEEE float
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFXjunkWAVE")
