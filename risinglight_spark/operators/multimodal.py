@@ -669,3 +669,159 @@ def mm_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf_out
 
     return payload_df.mapInPandas(feature_batches, schema=_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup dedup via difference hash (dHash) over REAL decoded
+# pixels — the image leg of the dedup family (LAION-style image
+# dedup: perceptual hash -> hash-keyed grouping).  Payloads are keyed
+# by doc_id % IMG_POOL so exact image replicas exist and the dedup is
+# non-vacuous.
+# ---------------------------------------------------------------------------
+
+IMG_POOL = 50
+DHASH_W = 9  # grayscale grid: 9 wide x 8 tall -> 8x8 comparisons
+DHASH_H = 8
+
+_DHASH_SCHEMA = (
+    "doc_id bigint, dhash string, keeper bigint, n_copies bigint, "
+    "is_dup boolean"
+)
+
+
+def _dhash_oracle() -> str:
+    gray = lambda sx, sy, seed: (  # noqa: E731
+        "(("
+        + " + ".join(
+            f"(({seed} * 31 + ((({sy}) * w + ({sx})) * 3 + {c}) * 7) % 256)"
+            for c in range(3)
+        )
+        + ") // 3)"
+    )
+    ga = gray("(x * w) // " + str(DHASH_W), "(y * h) // " + str(DHASH_H), "seed")
+    gb = gray(
+        "((x + 1) * w) // " + str(DHASH_W),
+        "(y * h) // " + str(DHASH_H),
+        "seed",
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT DISTINCT doc_id % {IMG_POOL} AS seed,
+             (8 + (doc_id % {IMG_POOL}) % 9) AS w,
+             (8 + (doc_id % {IMG_POOL}) % 7) AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT seed, w, h, y.y, x.x
+      FROM seeds,
+           (SELECT unnest(generate_series(0, {DHASH_H - 1})) AS y) y,
+           (SELECT unnest(generate_series(0, {DHASH_W - 2})) AS x) x
+    ),
+    bits AS (
+      SELECT seed, y,
+             sum(CASE WHEN {ga} > {gb} THEN 1 << x ELSE 0 END) AS byte
+      FROM grid GROUP BY seed, y
+    ),
+    hashes AS (
+      SELECT seed,
+             string_agg(printf('%02x', byte::BIGINT), '' ORDER BY y)
+                 AS dhash
+      FROM bits GROUP BY seed
+    ),
+    docs AS (
+      SELECT d.doc_id, h.dhash
+      FROM documents d JOIN hashes h ON d.doc_id % {IMG_POOL} = h.seed
+    ),
+    groups AS (
+      SELECT dhash, min(doc_id) AS keeper, count(*) AS n_copies
+      FROM docs GROUP BY dhash
+    )
+    SELECT d.doc_id, d.dhash, g.keeper, g.n_copies,
+           (d.doc_id <> g.keeper) AS is_dup
+    FROM docs d JOIN groups g USING (dhash)
+    """
+
+
+@register(
+    "mm_image_dhash_dedup",
+    oracle=_dhash_oracle(),
+    doc=f"Image near-dup dedup by difference hash over REAL decoded "
+    f"pixels: payloads (shared across docs via doc_id % {IMG_POOL}) "
+    "are decoded by the BMP/PPM codecs, integer-grayscaled, nearest-"
+    f"neighbor sampled to a {DHASH_W}x{DHASH_H} grid, and hashed by "
+    "the left>right comparison bits (dHash — the standard perceptual "
+    "hash image-dataset pipelines group on; LAION dedups this way).  "
+    "Keep-lowest-doc_id per hash, copy counts, and a dup flag come "
+    "from ONE hash-keyed shuffle of 16-char strings — pixels never "
+    "shuffle.  The oracle replays the decode, grayscale, sampling, "
+    "and bit arithmetic in closed form, so a flipped comparison or "
+    "channel-order bug fails the hash.  At 100 TB: decode+hash is a "
+    "stateless Arrow scan; the grouping shuffles ~24 B/doc.",
+)
+def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from risinglight_spark.functions.imaging import (
+        decode_image,
+        encode_bmp24,
+        encode_ppm,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                seed = int(doc_id) % IMG_POOL
+                w, h = 8 + seed % 9, 8 + seed % 7
+                px = _pixel_formula(seed, w * h * 3)
+                payloads.append(
+                    encode_bmp24(w, h, px)
+                    if seed % 2 == 0
+                    else encode_ppm(w, h, px)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_df = base.mapInPandas(
+        encode_batches, schema="doc_id bigint, payload binary"
+    )
+
+    def dhash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                _, w, h, c, px = decode_image(bytes(data))
+                arr = px.reshape(h, w, c).astype(np.int64)
+                gray = arr.sum(axis=2) // 3
+                sy = (np.arange(DHASH_H, dtype=np.int64) * h) // DHASH_H
+                sx = (np.arange(DHASH_W, dtype=np.int64) * w) // DHASH_W
+                g = gray[sy][:, sx]
+                bits = g[:, :-1] > g[:, 1:]
+                weights = 1 << np.arange(DHASH_W - 1, dtype=np.int64)
+                row_bytes = (bits * weights).sum(axis=1)
+                hashes.append("".join(f"{b:02x}" for b in row_bytes))
+                ids.append(int(doc_id))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    docs = payload_df.mapInPandas(
+        dhash_batches, schema="doc_id bigint, dhash string"
+    )
+    groups = docs.groupBy("dhash").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count("*").alias("n_copies"),
+    )
+    return docs.join(groups, "dhash").select(
+        "doc_id",
+        "dhash",
+        "keeper",
+        "n_copies",
+        (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+    )

@@ -344,6 +344,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "mm_decode_pixels",
     "mm_resize_pixels",
     "mm_audio_wav_features",
+    "mm_image_dhash_dedup",
     "ml_knn_eval_ivf",
     "sample_reservoir_weighted",
     "events_asof_nearest",
