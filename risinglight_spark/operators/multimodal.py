@@ -316,6 +316,39 @@ def _pixel_formula(doc_id: int, n: int):
     ).astype(np.uint8)
 
 
+def _image_payload_df(base: DataFrame, key_of) -> DataFrame:
+    """(doc_id, payload) with a genuine 24-bit BMP (even keys) or
+    binary PPM (odd keys) payload encoded from the deterministic pixel
+    formula — the ONE payload recipe shared by every image entry (and
+    mirrored in their oracles), so dims/formula/format-split changes
+    happen in exactly one place.  ``key_of`` maps doc_id to the
+    payload key: identity for per-doc images, doc_id % IMG_POOL for
+    the shared dedup pool."""
+    from risinglight_spark.functions.imaging import encode_bmp24, encode_ppm
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                k = key_of(int(doc_id))
+                w, h = 8 + k % 9, 8 + k % 7
+                px = _pixel_formula(k, w * h * 3)
+                payloads.append(
+                    encode_bmp24(w, h, px)
+                    if k % 2 == 0
+                    else encode_ppm(w, h, px)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return base.mapInPandas(
+        encode_batches, schema="doc_id bigint, payload binary"
+    )
+
+
 @register(
     "mm_decode_pixels",
     oracle="""
@@ -356,35 +389,11 @@ def _pixel_formula(doc_id: int, n: int):
 def mm_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from risinglight_spark.functions.imaging import (
-        decode_image,
-        encode_bmp24,
-        encode_ppm,
-    )
+    from risinglight_spark.functions.imaging import decode_image
 
     t = Tables(spark, sf_dir)
-    base = t.documents.select("doc_id")
-
-    def encode_batches(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"].astype("int64"):
-                doc_id = int(doc_id)
-                w, h = 8 + doc_id % 9, 8 + doc_id % 7
-                px = _pixel_formula(doc_id, w * h * 3)
-                payloads.append(
-                    encode_bmp24(w, h, px)
-                    if doc_id % 2 == 0
-                    else encode_ppm(w, h, px)
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    payload_df = base.mapInPandas(
-        encode_batches, schema="doc_id bigint, payload binary"
+    payload_df = _image_payload_df(
+        t.documents.select("doc_id"), lambda doc_id: doc_id
     )
 
     def decode_batches(
@@ -491,35 +500,11 @@ def _resize_px_oracle() -> str:
 def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from risinglight_spark.functions.imaging import (
-        decode_image,
-        encode_bmp24,
-        encode_ppm,
-    )
+    from risinglight_spark.functions.imaging import decode_image
 
     t = Tables(spark, sf_dir)
-    base = t.documents.select("doc_id")
-
-    def encode_batches(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"].astype("int64"):
-                doc_id = int(doc_id)
-                w, h = 8 + doc_id % 9, 8 + doc_id % 7
-                px = _pixel_formula(doc_id, w * h * 3)
-                payloads.append(
-                    encode_bmp24(w, h, px)
-                    if doc_id % 2 == 0
-                    else encode_ppm(w, h, px)
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    payload_df = base.mapInPandas(
-        encode_batches, schema="doc_id bigint, payload binary"
+    payload_df = _image_payload_df(
+        t.documents.select("doc_id"), lambda doc_id: doc_id
     )
 
     def resize_batches(
@@ -651,13 +636,16 @@ def mm_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_amp": [], "rms": [],
             }
             for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
-                rate, _ch, s = decode_wav(bytes(data))
+                rate, ch, s = decode_wav(bytes(data))
                 s64 = s.astype(np.int64)
                 n = len(s)
+                # duration counts FRAMES: a stereo file interleaves 2
+                # samples per frame, so n/rate alone would double it
+                frames = n // ch
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n)
-                out["duration_ms"].append(n * 1000.0 / rate)
+                out["duration_ms"].append(frames * 1000.0 / rate)
                 out["first_sample"].append(int(s[0]))
                 out["mean_amp"].append(int(s64.sum()) / n)
                 out["rms"].append(
@@ -761,35 +749,11 @@ def _dhash_oracle() -> str:
 def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from risinglight_spark.functions.imaging import (
-        decode_image,
-        encode_bmp24,
-        encode_ppm,
-    )
+    from risinglight_spark.functions.imaging import decode_image
 
     t = Tables(spark, sf_dir)
-    base = t.documents.select("doc_id")
-
-    def encode_batches(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"].astype("int64"):
-                seed = int(doc_id) % IMG_POOL
-                w, h = 8 + seed % 9, 8 + seed % 7
-                px = _pixel_formula(seed, w * h * 3)
-                payloads.append(
-                    encode_bmp24(w, h, px)
-                    if seed % 2 == 0
-                    else encode_ppm(w, h, px)
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    payload_df = base.mapInPandas(
-        encode_batches, schema="doc_id bigint, payload binary"
+    payload_df = _image_payload_df(
+        t.documents.select("doc_id"), lambda doc_id: doc_id % IMG_POOL
     )
 
     def dhash_batches(

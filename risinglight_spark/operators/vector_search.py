@@ -1662,6 +1662,44 @@ def _ivf_pq_oracle() -> str:
     """
 
 
+def _ivf_centroid_means(df: DataFrame) -> DataFrame:
+    """Per-label coarse-quantizer centroids (cell, c0..cDIM-1) — exact
+    fixed-point means (parity-critical: mirrored term-by-term in every
+    IVF oracle's SQL, so the scheme lives in exactly one place)."""
+    means = [
+        (
+            F.sum(
+                F.round(
+                    F.col("embedding").getItem(i).cast("double") * 1e14,
+                    0,
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1e14)
+            / F.count("*")
+        ).alias(f"c{i}")
+        for i in range(DIM)
+    ]
+    return df.groupBy(F.col("label").alias("cell")).agg(*means)
+
+
+def _ivf_argmin_assign(df: DataFrame, cvecs: DataFrame) -> DataFrame:
+    """(vec_id, cell) argmin assignment over broadcast centroid
+    vectors, order-pinned on (distance, cell) — the one shared
+    tie-break every IVF oracle replays."""
+    return (
+        df.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cvecs))
+        .select(
+            "vec_id",
+            "cell",
+            l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+
+
 def ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-quantizer centroids (cell, c0..cDIM-1) — exact
     fixed-point per-label means, session-memoized (the trained IVF
@@ -1669,24 +1707,12 @@ def ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from risinglight_spark.operators import _cached_persisted
 
     t = Tables(spark, sf_dir)
-
-    def build_cents() -> DataFrame:
-        means = [
-            (
-                F.sum(
-                    F.round(
-                        F.col("embedding").getItem(i).cast("double") * 1e14,
-                        0,
-                    ).cast("long")
-                ).cast("double")
-                / F.lit(1e14)
-                / F.count("*")
-            ).alias(f"c{i}")
-            for i in range(DIM)
-        ]
-        return t.embeddings.groupBy(F.col("label").alias("cell")).agg(*means)
-
-    return _cached_persisted(spark, sf_dir, "ivf_centroids", build_cents)
+    return _cached_persisted(
+        spark,
+        sf_dir,
+        "ivf_centroids",
+        lambda: _ivf_centroid_means(t.embeddings),
+    )
 
 
 def ivf_assign_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1701,18 +1727,7 @@ def ivf_assign_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build_assign() -> DataFrame:
         carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
         cvecs = cents.select("cell", carr.alias("cvec"))
-        return (
-            t.embeddings.select("vec_id", "embedding")
-            .crossJoin(F.broadcast(cvecs))
-            .select(
-                "vec_id",
-                "cell",
-                l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cell")).alias("m"))
-            .select("vec_id", F.col("m.cell").alias("cell"))
-        )
+        return _ivf_argmin_assign(t.embeddings, cvecs)
 
     return _cached_persisted(spark, sf_dir, "ivf_assign", build_assign)
 
@@ -2200,13 +2215,15 @@ def _upsert_oracle() -> str:
     "corpus.  A query probed through the merged index "
     f"(nprobe={UPSERT_NPROBE}) returns delta rows beside base rows "
     "(is_new flags them), proving the upsert is immediately "
-    "searchable.  Both the base centroids and the merged assignment "
-    "are memoized index assets (built once, probed per query) — the "
-    "same contract as the other stored ANN indexes; at cluster scale "
-    "the assignment is a partitioned write and the probe is partition "
-    "pruning.  Companions: dedup_incremental_batch/_minhash (the same "
-    "pattern for dedup state), ann_index_partitioned (the pruned "
-    "probe).",
+    "searchable.  The base centroids, the base assignment, and the "
+    "delta-only assignment are three separate memoized index assets: "
+    "a delta arrival costs O(delta x cells) — the base corpus is "
+    "never re-scanned, which IS the incremental contract (per-vector "
+    "argmin is independent, so base+delta assigned separately equals "
+    "assigning the union).  At cluster scale the assignments are "
+    "partitioned writes and the probe is partition pruning.  "
+    "Companions: dedup_incremental_batch/_minhash (the same pattern "
+    "for dedup state), ann_index_partitioned (the pruned probe).",
 )
 def ann_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from risinglight_spark.operators import _cached_persisted
@@ -2215,47 +2232,27 @@ def ann_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     is_new = (F.col("vec_id") % UPSERT_DELTA_MOD) == (UPSERT_DELTA_MOD - 1)
 
-    def build_cents() -> DataFrame:
-        means = [
-            (
-                F.sum(
-                    F.round(
-                        F.col("embedding").getItem(i).cast("double") * 1e14,
-                        0,
-                    ).cast("long")
-                ).cast("double")
-                / F.lit(1e14)
-                / F.count("*")
-            ).alias(f"c{i}")
-            for i in range(DIM)
-        ]
-        return (
-            emb.filter(~is_new)
-            .groupBy(F.col("label").alias("cell"))
-            .agg(*means)
-        )
-
-    cents = _cached_persisted(spark, sf_dir, "ivf_upsert_cents", build_cents)
+    cents = _cached_persisted(
+        spark,
+        sf_dir,
+        "ivf_upsert_cents",
+        lambda: _ivf_centroid_means(emb.filter(~is_new)),
+    )
     carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
     cvecs = cents.select("cell", carr.alias("cvec"))
-
-    def build_assign() -> DataFrame:
-        return (
-            emb.select("vec_id", "embedding")
-            .crossJoin(F.broadcast(cvecs))
-            .select(
-                "vec_id",
-                "cell",
-                l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cell")).alias("m"))
-            .select("vec_id", F.col("m.cell").alias("cell"))
-        )
-
-    assign = _cached_persisted(
-        spark, sf_dir, "ivf_upsert_assign", build_assign
+    base_assign = _cached_persisted(
+        spark,
+        sf_dir,
+        "ivf_upsert_assign_base",
+        lambda: _ivf_argmin_assign(emb.filter(~is_new), cvecs),
     )
+    delta_assign = _cached_persisted(
+        spark,
+        sf_dir,
+        "ivf_upsert_assign_delta",
+        lambda: _ivf_argmin_assign(emb.filter(is_new), cvecs),
+    )
+    assign = base_assign.unionAll(delta_assign)
     probe = (
         cvecs.select(
             "cell",

@@ -98,7 +98,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #      multimodal, DDL/catalog/copy round-trips, streaming built-ins,
 #      plus the round-6 additions (mm_decode_pixels, ml_knn_eval_ivf,
 #      reservoir/asof-nearest/containment, count-min sketch, NSW
-#      graph search, incremental IVF upsert).  53 entries — the gate
+#      graph search, incremental IVF upsert, real pixel resize, WAV
+#      audio features, image dHash dedup).  56 entries — the gate
 #      fronts the first 50; the remainder rolls to r8, after which
 #      every registry entry will have a driver-verified row.
 # Check locally: python tools/oracle_check.py <sf0.01> --first 50.

@@ -136,3 +136,14 @@ def test_wav_rejects_non_pcm():
         decode_wav(bytes(wav))
     with pytest.raises(ValueError):
         decode_wav(b"RIFXjunkWAVE")
+
+
+def test_wav_stereo_round_trip():
+    import numpy as np
+
+    from risinglight_spark.functions.audio import decode_wav, encode_wav_pcm16
+
+    interleaved = np.array([1, -1, 2, -2, 3, -3], dtype=np.int16)  # 3 frames
+    rate, ch, got = decode_wav(encode_wav_pcm16(8000, interleaved, channels=2))
+    assert (rate, ch) == (8000, 2)
+    assert list(got) == list(interleaved)

@@ -598,7 +598,10 @@ _nsw_pool_vec = st.lists(
     pool=st.lists(_nsw_pool_vec, min_size=2, max_size=4),
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=3),  # pool index
+            # index into the (up to 4-element) pool PLUS the appended
+            # NaN slot: max_value must cover len(pool) so the NaN
+            # vector is actually reachable when with_nan draws true
+            st.integers(min_value=0, max_value=4),  # pool index
             st.integers(min_value=0, max_value=1),  # cell
             st.integers(min_value=0, max_value=1),  # bkt
         ),
