@@ -116,6 +116,14 @@ FLAGSHIPS = [
         "ranking windows are keyed on test_id.",
     ),
     (
+        "ann_ivf_incremental_upsert",
+        "Index upsert probe (round 6): base centroids, base assignment "
+        "and delta-only assignment are three InMemoryTableScans "
+        "(memoized assets); the probe is a broadcast left-semi join of "
+        "the two nearest cells against the assignment union; final "
+        "top-k is TakeOrderedAndProject.",
+    ),
+    (
         "ann_nsw_graph_search",
         "Graph ANN probe (round 6): the memoized edge table is an "
         "InMemoryTableScan; beam hops are BroadcastHashJoins of the "
