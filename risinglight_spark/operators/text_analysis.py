@@ -1371,14 +1371,15 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="KL(source ‖ corpus) over exact unigram distributions: "
     "per-(source, token) counts (one token-keyed shuffle with map-side "
     "partials), corpus marginals by a second rollup of the SAME count "
-    "table (never rescans tokens), per-source totals as window sums "
-    "over the count table.  The token-keyed model join broadcasts at "
-    "real vocab sizes.  Output is K source rows.  ln rounded to 10 dp, "
+    "table (never rescans tokens).  Per-source totals t_s are a K-row "
+    "groupBy broadcast-joined back; the global total t_all is a 1-row "
+    "aggregate broadcast-crossJoined (the BM25 corpus-stats pattern) — "
+    "NO window over the vocabulary-sized count table, so the plan has "
+    "no single-partition funnel when distinct tokens reach 10^8-10^9 "
+    "at 100 TB.  Output is K source rows.  ln rounded to 10 dp, "
     "p*lnΔ products fixed-point summed — partition-order independent.",
 )
 def text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from risinglight_spark.operators import fpsum
 
     t = Tables(spark, sf_dir)
@@ -1388,12 +1389,12 @@ def text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = toks.groupBy("source", "tok").agg(F.count("*").alias("n_st"))
     tc = st.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
-    ws = Window.partitionBy("source")
-    wall = Window.partitionBy()
+    ts = st.groupBy("source").agg(F.sum("n_st").alias("t_s"))
+    tall = st.agg(F.sum("n_st").alias("t_all"))
     j = (
         st.join(tc, "tok")
-        .withColumn("t_s", F.sum("n_st").over(ws))
-        .withColumn("t_all", F.sum("n_st").over(wall))
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tall))
     )
     p_s = F.col("n_st").cast("double") / F.col("t_s")
     p_c = F.col("n_t").cast("double") / F.col("t_all")

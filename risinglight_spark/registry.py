@@ -315,10 +315,14 @@ _R6_GATE: tuple[str, ...] = (
     "sample_hash_stratified",
 )
 
-# Round-7 queue: the remaining never-driver-verified entries (45 from
-# the r6 rotation + later additions like mm_decode_pixels), in the
-# order they should front next round (text miners, events analytics,
-# multimodal, DDL/catalog/copy round-trips, streaming built-ins).
+# Round-8 rotation: the 56 never-driver-verified entries, fronted so the
+# driver's bounded 50-entry gate finally covers them (text miners, events
+# analytics, multimodal, DDL/catalog/copy round-trips, streaming built-ins).
+# The first 50 land in CORRECTNESS_r08; the LAST SIX entries of this tuple
+# (streaming_stateful_max, streaming_session_window, streaming_interval_join,
+# streaming_sliding_counts, streaming_static_enrich,
+# streaming_dropdup_within_watermark) miss the r8 gate and are the staged
+# ROUND-9 TAIL — after r9 fronts them, driver coverage is exactly 303/303.
 _R7_QUEUE: tuple[str, ...] = (
     "text_quality_percentile_cut",
     "sample_token_budget",
@@ -378,7 +382,7 @@ _R7_QUEUE: tuple[str, ...] = (
     "streaming_dropdup_within_watermark",
 )
 
-_PRIORITY: tuple[str, ...] = (*_R6_GATE, *_R7_QUEUE, *_R5_GATE, *_R4_GATE, *_R3_VERIFIED)
+_PRIORITY: tuple[str, ...] = (*_R7_QUEUE, *_R6_GATE, *_R5_GATE, *_R4_GATE, *_R3_VERIFIED)
 
 
 def collect() -> dict[str, QueryEntry]:

@@ -697,3 +697,29 @@ def test_pareto_rank_has_no_single_partition_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_pareto_share")
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kl_divergence_has_no_single_partition_window(spark, sf_dir):
+    """text_kl_source_divergence: per-source and global token totals are
+    aggregate+broadcast (the BM25 corpus-stats pattern), never window
+    sums over the vocabulary-sized (source, token) count table — at
+    100 TB that table is 10^8-10^9 rows and a partitionBy()/
+    partitionBy(source) window funnels it through one (or K) tasks.
+    The 100x replica probe can't see this flaw class: replicas multiply
+    counts, not distinct tokens, so the funnel's input never grows in
+    the probe.  Allowed SinglePartition exchanges are only the bounded
+    partial-merge of the 1-row global total (one partial row per
+    partition)."""
+    plan = _plan(spark, sf_dir, "text_kl_source_divergence")
+    lines = plan.splitlines()
+    # no window operator anywhere — totals come from aggregates
+    assert "windowspecdefinition" not in plan
+    assert "Window" not in plan
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    for i in sp:  # only the 1-row global-total partial merge may funnel
+        nxt = lines[i + 1]
+        assert "HashAggregate" in nxt and "partial_" in nxt
+    # the K-row per-source totals and the 1-row global total join back
+    # as broadcasts (hash join on source, nested-loop for the cross)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
