@@ -319,3 +319,86 @@ def ranked_by_count_desc(
         )
     )
     return ranked, accm, acce
+
+
+# ---------------------------------------------------------------------------
+# Distributed per-group rank over a (score DESC, id ASC) total order.
+# The per-language quality windows (text_quality_percentile_cut's
+# percent_rank, text_ccnet_buckets' ntile) used
+# Window.partitionBy(lang).orderBy(score DESC, id) directly over the
+# document corpus — one task per language, so a 90%-English 100-TB
+# corpus funnels ~90 TB through a single window task.  The replica
+# probe DOES grow this input (unlike the vocabulary funnels), but the
+# per-group skew is structural: adding executors never helps the
+# dominant group.
+#
+# This helper computes the exact same per-group row_number with only
+# keyed, bounded exchanges — the continuous-score analogue of
+# ranked_by_count_desc:
+#
+#   1. per-group score bounds (lo, hi, n) — a K-row aggregate,
+#      broadcast;
+#   2. monotone binning: b = floor((score - lo) / width) clamped to
+#      [0, nbins) (IEEE subtraction/division/floor are monotone, so
+#      b is weakly DESC-consistent with score);
+#   3. bin histogram group x nbins (bounded metadata), per-group
+#      prefix-sum in b-DESC order (window over the bounded histogram),
+#      broadcast start offsets;
+#   4. row_number within (group, bin) ordered by (score DESC, id) —
+#      each task sees ~group/nbins rows, 3 orders of magnitude below
+#      the naive window even for the dominant group.
+#
+# rk = start_b + i is exactly row_number() OVER (PARTITION BY group
+# ORDER BY score DESC, id) — percent_rank / ntile / top-k derive from
+# (rk, n) arithmetically.  Pathology bound: a single score value
+# holding >> 1/nbins of a group's mass re-concentrates its bin; the
+# rescue is one recursion of the same binning on (id) within the hot
+# bin, which no caller has needed — documented in SCALE.md.
+# ---------------------------------------------------------------------------
+
+
+def ranked_by_score_desc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    *,
+    nbins: int = 1024,
+) -> DataFrame:
+    """Return ``df`` plus ``rk`` (exact per-group row_number in
+    (score DESC, id ASC) order) and ``n_grp`` (the group's row count),
+    computed without any data-sized window partition."""
+    from pyspark.sql import Window
+
+    stats = df.groupBy(group_col).agg(
+        F.min(score_col).alias("_lo"),
+        F.max(score_col).alias("_hi"),
+        F.count("*").alias("n_grp"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / float(nbins)
+    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(score_col) - F.col("_lo")) / width),
+            F.lit(nbins - 1),
+        )
+    ).cast("int")
+    binned = df.join(F.broadcast(stats), group_col).withColumn("_b", b)
+    hist = binned.groupBy(group_col, "_b").agg(F.count("*").alias("_m"))
+    wh = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("_b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    starts = hist.select(
+        group_col,
+        "_b",
+        (F.sum("_m").over(wh) - F.col("_m")).alias("_start"),
+    )
+    wrn = Window.partitionBy(group_col, "_b").orderBy(
+        F.desc(score_col), id_col
+    )
+    return (
+        binned.join(F.broadcast(starts), [group_col, "_b"])
+        .withColumn("rk", F.col("_start") + F.row_number().over(wrn))
+        .drop("_b", "_lo", "_hi", "_start")
+    )

@@ -425,18 +425,28 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Keep the top half of each language by quality score.  Rank-based "
     "(percent_rank over a TOTAL order — doc_id tiebreak), not a "
     "percentile-value threshold, so the cut is exact integer logic with "
-    "no interpolation drift; the per-lang window is one shuffle keyed "
-    "on lang (salt the window key if one language dominates the corpus).",
+    "no interpolation drift.  The rank is the DISTRIBUTED per-group "
+    "rank (ranked_by_score_desc: score-histogram prefix + per-bin "
+    "row_number), never a per-lang window over the corpus — a "
+    "90%-English corpus would funnel 90% of 100 TB through one window "
+    "task otherwise; pct = (rk-1)/(n-1) reproduces percent_rank "
+    "bit-exactly (same integer division).",
 )
 def text_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import ranked_by_score_desc
+
     t = Tables(spark, sf_dir)
     scored = t.documents.select(
         "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    ranked = ranked_by_score_desc(scored, "lang", "quality", "doc_id")
+    pct = F.when(F.col("n_grp") == 1, F.lit(0.0)).otherwise(
+        (F.col("rk") - 1).cast("double") / (F.col("n_grp") - 1)
+    )
     return (
-        scored.withColumn("pct", F.percent_rank().over(w))
+        ranked.withColumn("pct", pct)
         .filter(F.col("pct") <= 0.5)
+        .select("doc_id", "lang", "quality", "pct")
     )
 
 
@@ -787,10 +797,13 @@ GROUP_SAMPLE_K = 20
     "the smallest portable hash(doc_id) per language — a fixed-size "
     "group-wise sample that is a pure function of doc_ids (re-runs and "
     "cluster-size changes reproduce it exactly, unlike rand()-based "
-    "reservoirs).  One window shuffle keyed on lang; at extreme "
-    "group sizes swap row_number for a two-phase per-partition top-k "
-    "(map-local rank prune to k, then re-rank) — same result, shuffle "
-    "carries at most k rows per (partition, group).",
+    "reservoirs).  The rank<=k filter triggers Catalyst's "
+    "InferWindowGroupLimit: the executed plan inserts a PARTIAL "
+    "WindowGroupLimit before the lang exchange, pruning every input "
+    "partition to its own top-k map-side, so the per-lang window task "
+    "receives at most k x n_partitions rows — the dominant language "
+    "of a 100-TB corpus never funnels through one task "
+    "(plan-asserted in tests/test_plans.py).",
 )
 def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

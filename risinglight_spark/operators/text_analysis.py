@@ -596,25 +596,34 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="CCNet-style quality bucketing: per-language terciles of the "
     "quality score labeled head/middle/tail (the bucket a document "
-    "lands in decides its sampling weight during pre-training).  One "
-    "lang-keyed window; total order (doc_id tiebreak) keeps buckets "
-    "deterministic at any parallelism.",
+    "lands in decides its sampling weight during pre-training).  The "
+    "tercile derives arithmetically from the DISTRIBUTED per-group "
+    "rank (ranked_by_score_desc) and the group size — ntile(3) "
+    "boundaries are b1 = ⌈n/3⌉-ish integer logic (first n%3 tiles get "
+    "the extra row), so no per-lang window ever sees the corpus; "
+    "total order (doc_id tiebreak) keeps buckets deterministic at any "
+    "parallelism.",
 )
 def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from risinglight_spark.operators import ranked_by_score_desc
 
     t = Tables(spark, sf_dir)
     scored = t.documents.select(
         "doc_id", "lang", T.quality_score(F.col("text")).alias("q")
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("q"), "doc_id")
-    tercile = F.ntile(3).over(w)
+    ranked = ranked_by_score_desc(scored, "lang", "q", "doc_id")
+    # ntile(3) semantics: sizes floor(n/3)+1 for the first n%3 tiles,
+    # floor(n/3) after — boundaries b1 and b2 below, from (rk, n) alone
+    base = F.floor(F.col("n_grp") / 3)
+    rem = F.col("n_grp") % 3
+    b1 = base + F.when(rem >= 1, 1).otherwise(0)
+    b2 = b1 + base + F.when(rem >= 2, 1).otherwise(0)
     bucket = (
-        F.when(tercile == 1, "head")
-        .when(tercile == 2, "middle")
+        F.when(F.col("rk") <= b1, "head")
+        .when(F.col("rk") <= b2, "middle")
         .otherwise("tail")
     )
-    return scored.select("doc_id", "lang", "q", bucket.alias("bucket"))
+    return ranked.select("doc_id", "lang", "q", bucket.alias("bucket"))
 
 
 @register(

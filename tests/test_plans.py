@@ -699,6 +699,37 @@ def test_pareto_rank_has_no_single_partition_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["text_quality_percentile_cut", "text_ccnet_buckets"]
+)
+def test_per_lang_rank_is_distributed(spark, sf_dir, name):
+    """percent_rank / ntile per language derive from the distributed
+    score rank (ranked_by_score_desc): the only window touching the
+    document corpus is keyed on (lang, score-bin) — never on lang
+    alone, which would funnel the dominant language of a 100-TB corpus
+    through one task.  The histogram prefix window and start-offset
+    joins stay on bounded metadata (broadcasts)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every row_number window over the data is (lang, _b)-keyed
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_b#" in ln
+    # and the bin-keyed exchange exists
+    assert ", _b#" in plan
+
+
+def test_group_topk_has_partial_window_limit(spark, sf_dir):
+    """sample_topk_per_group: the rank<=k filter must trigger
+    InferWindowGroupLimit so each input partition is pruned to its own
+    top-k BEFORE the lang exchange — the per-lang window then sees at
+    most k x n_partitions rows, not the whole dominant language."""
+    plan = _plan(spark, sf_dir, "sample_topk_per_group")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1].splitlines()[0]
+
+
 def test_kl_divergence_has_no_single_partition_window(spark, sf_dir):
     """text_kl_source_divergence: per-source and global token totals are
     aggregate+broadcast (the BM25 corpus-stats pattern), never window
