@@ -357,6 +357,60 @@ def ranked_by_count_desc(
 # ---------------------------------------------------------------------------
 
 
+def bucketed_prefix_sum(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build_weighted,
+    bkt_col: str,
+    order_cols: tuple[str, ...],
+    w_col: str,
+) -> tuple[DataFrame, int]:
+    """Exact distributed prefix sum of ``w_col`` over the global
+    (``bkt_col`` ASC, ``*order_cols``) order — the PPS pattern
+    (sample_systematic_pps), factored out so hypothesis can drive it
+    with random multisets: per-bucket running sums under a
+    bucket-keyed window, then per-bucket totals (bounded driver
+    metadata) prefix-summed on the driver and broadcast back as
+    offsets.  Returns ``(df + cw, grand_total)``.  Correct for ANY
+    bucketing that range-partitions the order (bucket ids sorted
+    asc == order prefix), including gapped/empty bucket ids; the
+    within-bucket window is parallel across buckets and the plan has
+    no SinglePartition exchange (plan-asserted via
+    sample_systematic_pps)."""
+    from pyspark.sql import Window
+
+    def build() -> DataFrame:
+        wb = (
+            Window.partitionBy(bkt_col)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return build_weighted().withColumn(
+            "_pcw", F.sum(w_col).over(wb)
+        )
+
+    part_cum = _cached_persisted(spark, sf_dir, tag, build)
+    btot = {
+        r["b"]: r["tot"]
+        for r in part_cum.groupBy(F.col(bkt_col).alias("b"))
+        .agg(F.max("_pcw").alias("tot"))
+        .collect()
+    }
+    total = sum(btot.values())
+    offs, acc = [], 0
+    for b in sorted(btot):
+        offs.append((b, acc))
+        acc += btot[b]
+    off_df = spark.createDataFrame(offs, f"{bkt_col} INT, _off BIGINT")
+    out = (
+        part_cum.join(F.broadcast(off_df), bkt_col)
+        .withColumn("cw", F.col("_pcw") + F.col("_off"))
+        .drop("_pcw", "_off")
+    )
+    return out, total
+
+
 def ranked_by_score_desc(
     df: DataFrame,
     group_col: str,

@@ -2418,40 +2418,18 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bkt", (F.col("hk") / F.lit(bucket_width)).cast("int"))
     )
 
-    def build() -> DataFrame:
-        wb = Window.partitionBy("bkt").orderBy("hk", "doc_id").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        return wt.select(
-            "doc_id", "w", "bkt", F.sum("w").over(wb).alias("pcw")
-        )
+    # One bucket-keyed window pass (cached: shared across the offsets
+    # collect and the final select — a second scan would redo the
+    # token-count Arrow stage), via the factored distributed prefix-sum
+    # (bucketed_prefix_sum, hypothesis-tested against a pure-Python
+    # model in tests/test_properties.py).
+    from risinglight_spark.operators import bucketed_prefix_sum
 
-    # One bucket-keyed window pass, shared across the offsets collect
-    # and the final select (a second scan would redo the token-count
-    # Arrow stage).
-    from risinglight_spark.operators import _cached_persisted
-
-    part_cum = _cached_persisted(spark, sf_dir, "pps_part_cum", build)
-    # Per-bucket totals -> driver prefix-sum -> broadcast offsets.
-    # n_buckets rows of (bkt, total): bounded metadata, the same class
-    # of driver scalar as an iterative-algorithm convergence check.
-    btot = {
-        r["bkt"]: r["tot"]
-        for r in part_cum.groupBy("bkt")
-        .agg(F.max("pcw").alias("tot"))
-        .collect()
-    }
-    total = sum(btot.values())
-    offs, acc = [], 0
-    for bkt in sorted(btot):
-        offs.append((bkt, acc))
-        acc += btot[bkt]
-    off_df = spark.createDataFrame(offs, "bkt INT, off BIGINT")
-    cum = part_cum.join(F.broadcast(off_df), "bkt").select(
-        "doc_id",
-        "w",
-        (F.col("pcw") + F.col("off")).alias("cw"),
-        F.lit(total).alias("total"),
+    cum_df, total = bucketed_prefix_sum(
+        spark, sf_dir, "pps_part_cum", lambda: wt, "bkt", ("hk", "doc_id"), "w"
+    )
+    cum = cum_df.select(
+        "doc_id", "w", "cw", F.lit(total).alias("total")
     )
     # floor on BOTH engines (a bare CAST rounds in DuckDB but
     # truncates in Spark); the product stays < 2^53 so the double

@@ -655,3 +655,142 @@ def test_nsw_collapsed_edges_match_python_model(spark, pool, rows, with_nan):
     )
     got = {(r["src"], r["dst"]) for r in nsw_edges(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Distributed rank / prefix-sum helpers vs pure-Python models.  These
+# helpers replace single-partition windows (the 100-TB funnels) with
+# histogram-offset derivations; each must reproduce the sequential
+# semantics EXACTLY, including tie groups, empty/gapped buckets, and
+# the all-equal-scores degenerate bin.
+# ---------------------------------------------------------------------------
+
+_HYP_TAG = iter(range(10**9))  # unique _cached_persisted tag per example
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=40),  # heavy tie mass
+        min_size=1,
+        max_size=48,
+    )
+)
+def test_ranked_by_count_desc_matches_python_model(spark, counts):
+    """rk must be a bijection onto 1..N consistent with count DESC
+    (each item lands inside its tie group's rank span), and cum must
+    be the exact running sum of counts over ranks 1..rk — for any tie
+    structure, including single-item and all-ties multisets."""
+    from risinglight_spark.operators import ranked_by_count_desc
+
+    items = [(f"it{i:03d}", int(n)) for i, n in enumerate(counts)]
+    tag = f"hyp_cnt_{next(_HYP_TAG)}"
+    ranked, n_items, total = ranked_by_count_desc(
+        spark,
+        "/root/testdata/sf0.001",
+        tag,
+        lambda: spark.createDataFrame(items, "item STRING, n BIGINT"),
+        "item",
+        "n",
+        sub_buckets=3,  # force multi-sub-bucket tie numbering
+    )
+    got = {r["item"]: (r["n"], r["rk"], r["cum"]) for r in ranked.collect()}
+    assert n_items == len(items) and total == sum(counts)
+    # model: s_n items strictly heavier, c_n their count mass
+    from collections import Counter
+
+    hist = Counter(counts)
+    s = {n: sum(m for n2, m in hist.items() if n2 > n) for n in hist}
+    c = {n: sum(n2 * m for n2, m in hist.items() if n2 > n) for n in hist}
+    assert sorted(rk for _, rk, _ in got.values()) == list(
+        range(1, len(items) + 1)
+    )
+    for item, n in items:
+        gn, rk, cum = got[item]
+        assert gn == n
+        assert s[n] < rk <= s[n] + hist[n]  # inside the tie-group span
+        assert cum == c[n] + (rk - s[n]) * n  # exact running total
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=100),  # weight
+            st.integers(min_value=0, max_value=7),  # bucket delta (gaps)
+        ),
+        min_size=1,
+        max_size=48,
+    )
+)
+def test_bucketed_prefix_sum_matches_python_model(spark, rows):
+    """cw must equal the sequential prefix sum in (bkt, id) order for
+    ANY range bucketing — gapped bucket ids, empty buckets between
+    used ids, single-bucket and one-row-per-bucket extremes."""
+    from risinglight_spark.operators import bucketed_prefix_sum
+
+    data, bkt = [], 0
+    for i, (w, delta) in enumerate(rows):
+        bkt += delta  # non-decreasing with gaps: a valid range bucketing
+        data.append((i, int(bkt), int(w)))
+    tag = f"hyp_pps_{next(_HYP_TAG)}"
+    out, total = bucketed_prefix_sum(
+        spark,
+        "/root/testdata/sf0.001",
+        tag,
+        lambda: spark.createDataFrame(data, "id BIGINT, bkt INT, w BIGINT"),
+        "bkt",
+        ("id",),
+        "w",
+    )
+    got = {r["id"]: r["cw"] for r in out.collect()}
+    acc = 0
+    for i, _, w in data:  # data is already in (bkt, id) order
+        acc += w
+        assert got[i] == acc
+    assert total == acc
+
+
+score_pool = [-3.5, -1.0, 0.0, 0.25, 1.0, 7.125]  # forces tie groups
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "de"]),
+            st.one_of(
+                st.sampled_from(score_pool),
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=48,
+    )
+)
+def test_ranked_by_score_desc_matches_python_model(spark, rows):
+    """rk must equal the exact per-group row_number in
+    (score DESC, id ASC) order — deterministic (id tiebreak), so the
+    comparison is equality, not tie-span membership.  Covers score
+    ties, all-equal groups (the lo==hi single-bin branch), and
+    negative scores."""
+    from risinglight_spark.operators import ranked_by_score_desc
+
+    data = [(i, g, float(q)) for i, (g, q) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id BIGINT, grp STRING, q DOUBLE")
+    got = {
+        r["id"]: (r["rk"], r["n_grp"])
+        for r in ranked_by_score_desc(df, "grp", "q", "id").collect()
+    }
+    by_grp: dict[str, list[tuple[int, float]]] = {}
+    for i, g, q in data:
+        by_grp.setdefault(g, []).append((i, q))
+    for g, members in by_grp.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        for rank0, (i, _) in enumerate(members):
+            assert got[i] == (rank0 + 1, len(members))
