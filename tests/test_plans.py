@@ -63,6 +63,58 @@ def test_no_cartesian_products_in_tpch(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+# Golden physical-plan properties for all 22 TPC-H queries — the Spark
+# analogue of the reference's sqlplannertest snapshots
+# (/root/reference/tests/planner_test/tpch.yml snapshots every plan).
+# Catalyst owns the plan, so instead of a full-text golden we pin the
+# properties that matter at 100 TB:
+#   (non-empty PushedFilters, total scans, BroadcastHashJoin count,
+#    SortMergeJoin count, TakeOrderedAndProject present)
+# Every query pushes at least one predicate into the parquet scan, all
+# joins resolve to broadcast (dimension side) or sort-merge (the one
+# fact-fact partsupp join in q2), and top-k ORDER BY ... LIMIT compiles
+# to TakeOrderedAndProject, never a global sort.
+_TPCH_PLAN_GOLDEN = {
+    "tpch_q1": (1, 1, 0, 0, False),
+    "tpch_q2": (9, 9, 7, 1, False),
+    "tpch_q3": (3, 3, 2, 0, True),
+    "tpch_q4": (1, 2, 1, 0, False),
+    "tpch_q5": (6, 6, 5, 0, False),
+    "tpch_q6": (1, 1, 0, 0, False),
+    "tpch_q7": (6, 6, 5, 0, False),
+    "tpch_q8": (8, 8, 7, 0, False),
+    "tpch_q9": (5, 5, 4, 0, False),
+    "tpch_q10": (4, 4, 3, 0, True),
+    "tpch_q11": (2, 3, 1, 0, False),
+    "tpch_q12": (2, 2, 1, 0, False),
+    "tpch_q13": (1, 2, 1, 0, False),
+    "tpch_q14": (2, 2, 1, 0, False),
+    "tpch_q15": (3, 3, 1, 0, False),
+    "tpch_q16": (2, 2, 1, 0, False),
+    "tpch_q17": (3, 3, 2, 0, False),
+    "tpch_q18": (3, 5, 4, 0, True),
+    "tpch_q19": (2, 2, 1, 0, False),
+    "tpch_q20": (4, 4, 3, 0, False),
+    "tpch_q21": (4, 6, 5, 0, True),
+    "tpch_q22": (4, 4, 1, 0, False),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TPCH_PLAN_GOLDEN))
+def test_tpch_plan_golden_properties(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    got = (
+        sum(1 for p in pushed if p.strip()),
+        len(pushed),
+        plan.count("BroadcastHashJoin"),
+        plan.count("SortMergeJoin"),
+        "TakeOrderedAndProject" in plan,
+    )
+    assert got == _TPCH_PLAN_GOLDEN[name], f"{name}: plan drifted {got}"
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     # both sides bucketed on the join key -> the join must be
     # exchange-free (the whole point of paying for the bucketed write).
