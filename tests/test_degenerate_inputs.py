@@ -238,3 +238,28 @@ def test_ivf_upsert_degenerate_bases(spark, tmp_path):
     }
     assert got == {1: False, 2: False, 3: False,
                    mod - 1: True, 2 * mod - 1: True}
+
+
+def test_ranked_by_score_desc_degenerate_groups(spark):
+    """All-equal scores (the lo==hi single-bin branch), a 1-row group,
+    and NULL-free determinism: ranks must be 1..n by id within the tie
+    group, and n_grp exact — deterministically, not just under the
+    hypothesis sampler."""
+    from risinglight_spark.operators import ranked_by_score_desc
+
+    rows = (
+        [(i, "flat", 7.5) for i in range(10)]  # all ties -> one bin
+        + [(99, "solo", -1.0)]  # single-row group
+        + [(i, "mix", float(i % 3)) for i in range(20, 26)]
+    )
+    df = spark.createDataFrame(rows, "id BIGINT, grp STRING, q DOUBLE")
+    got = {
+        r["id"]: (r["grp"], r["rk"], r["n_grp"])
+        for r in ranked_by_score_desc(df, "grp", "q", "id").collect()
+    }
+    # flat: ties broken by id ascending
+    for i in range(10):
+        assert got[i] == ("flat", i + 1, 10)
+    assert got[99] == ("solo", 1, 1)
+    # mix (q = id % 3): 2.0 -> ids 20,23; 1.0 -> 22,25; 0.0 -> 21,24
+    assert [got[i][1] for i in (20, 23, 22, 25, 21, 24)] == [1, 2, 3, 4, 5, 6]
