@@ -1828,46 +1828,36 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=f"Per-dimension variance ranking over all {DIM} embedding "
     "dims — the feature-selection / dimension-pruning profile (which "
     "dims carry signal vs which an MRL-style truncation can drop).  "
-    "ONE scan computes every dim's exact fixed-point moments "
-    "(map-side partials); the variance table is 64 rows, ranked by a "
-    "trivial window.  Output size is k regardless of corpus size.",
+    "posexplode -> groupBy(dim) with exact fixed-point moments: one "
+    "scan, map-side partials (the shuffle carries DIM rows per "
+    "partition), and the plan never grows with DIM — the previous "
+    "2xDIM-aggregate + 64-arm-union form spent ~6s of its 7.1s sf0.1 "
+    "wall on planning/codegen of the 129-column row (now 0.8s).  The "
+    "variance table is DIM rows, ranked by a trivial window.",
 )
 def vector_dim_variance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-
-    def q(col):
-        return F.sum(F.round(col * 1e6, 0).cast("long")).cast("double") / 1e6
-
-    x = [
-        F.element_at("embedding", i + 1).cast("double") for i in range(DIM)
-    ]
-    aggs = []
-    for i in range(DIM):
-        aggs.append(q(x[i] * x[i]).alias(f"s2_{i}"))
-        aggs.append(q(x[i]).alias(f"s1_{i}"))
-    aggs.append(F.count("*").alias("n"))
-    # checkpoint the 1-row moment table: each of the 64 union arms
-    # re-selects from it (without this, 64 re-aggregations of the
-    # corpus — measured 19.9s -> ~2s at sf0.01)
-    m = t.embeddings.agg(*aggs).localCheckpoint()
-    arms = None
-    for i in range(DIM):
-        arm = m.select(
-            F.lit(i).alias("dim"),
+    e = t.embeddings.select(F.posexplode("embedding").alias("dim", "x"))
+    x = F.col("x").cast("double")
+    s2 = F.sum(F.round(x * x * 1e6, 0).cast("long")).cast("double") / 1e6
+    s1 = F.sum(F.round(x * 1e6, 0).cast("long")).cast("double") / 1e6
+    m = e.groupBy("dim").agg(
+        s2.alias("s2"), s1.alias("s1"), F.count("*").alias("n")
+    )
+    w = Window.orderBy(F.desc("variance"), "dim")
+    return (
+        m.select(
+            "dim",
             F.round(
-                (
-                    F.col(f"s2_{i}")
-                    - F.col(f"s1_{i}") * F.col(f"s1_{i}") / F.col("n")
-                )
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
                 / (F.col("n") - 1),
                 10,
             ).alias("variance"),
         )
-        arms = arm if arms is None else arms.unionAll(arm)
-    w = Window.orderBy(F.desc("variance"), "dim")
-    return arms.select("dim", "variance", F.row_number().over(w).alias("rnk"))
+        .select("dim", "variance", F.row_number().over(w).alias("rnk"))
+    )
 
 
 @register(
