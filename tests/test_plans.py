@@ -115,6 +115,24 @@ def test_tpch_plan_golden_properties(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
+    """Registry-wide structural guard: NO entry may compile to a
+    CartesianProduct — the O(n^2) shuffle that kills any query at
+    100 TB.  Every pair-mining/dedup/ANN entry must generate
+    candidates through keyed or broadcast joins.  (Streaming entries
+    are excluded: their fn() runs the stream and returns the sink
+    result, so the inspected plan would not be the stream's.)
+    Verified 303/303 clean when introduced (round 8)."""
+    offenders = []
+    for name, e in ENTRIES.items():
+        if name.startswith("streaming_"):
+            continue
+        plan = e.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     # both sides bucketed on the join key -> the join must be
     # exchange-free (the whole point of paying for the bucketed write).
