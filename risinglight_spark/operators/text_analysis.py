@@ -1821,32 +1821,41 @@ OOV_VOCAB_K = 1000
     doc=f"OOV rate per language against the corpus' own top-{OOV_VOCAB_K} "
     "vocabulary — the tokenizer/vocab-health metric that decides "
     "whether a vocab covers a new data source before training on it.  "
-    "The vocabulary is a bounded top-k (TakeOrdered, deterministic "
-    "tie-break) that BROADCASTS back onto the token stream; the "
-    "membership probe is a left join + conditional count with "
-    "map-side partials.  Two token-keyed shuffles total.",
+    "ONE corpus scan collapses the token stream to the (lang, token) "
+    "count table (map-side partials); the vocabulary (bounded top-k, "
+    "TakeOrdered, deterministic tie-break) and the membership probe "
+    "both derive from that count table, so the probe join and the "
+    "checkpointed reuse asset are VOCAB-sized, never token-stream-"
+    "sized — the original form localCheckpointed the full exploded "
+    "stream (the whole corpus re-materialized; 9.7s -> 2.0s at the "
+    "100x vocab probe, and a storage non-starter at 100 TB).",
 )
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    toks = t.documents.select(
-        "lang",
-        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
-    ).localCheckpoint()
-    vocab = (
-        toks.groupBy("tok")
+    per_lt = (
+        t.documents.select(
+            "lang",
+            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+        )
+        .groupBy("lang", "tok")
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "tok")
+        .localCheckpoint()
+    )
+    vocab = (
+        per_lt.groupBy("tok")
+        .agg(F.sum("n").alias("tn"))
+        .orderBy(F.desc("tn"), "tok")
         .limit(OOV_VOCAB_K)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
-    oov = F.when(F.col("in_vocab").isNull(), 1)
+    oov_n = F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0))
     return (
-        toks.join(F.broadcast(vocab), "tok", "left")
+        per_lt.join(F.broadcast(vocab), "tok", "left")
         .groupBy("lang")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.count(oov).cast("bigint").alias("n_oov"),
-            F.round(F.count(oov) / F.count("*"), 10).alias("oov_rate"),
+            F.sum("n").alias("n_tokens"),
+            F.sum(oov_n).cast("bigint").alias("n_oov"),
+            F.round(F.sum(oov_n) / F.sum("n"), 10).alias("oov_rate"),
         )
     )
 
