@@ -1948,33 +1948,39 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     # Arrow-batched token hashing (interpreted char_hash lambdas are
-    # ~10x slower on a token-stream scan — functions/text.py)
-    toks = t.documents.select(
-        "doc_id",
-        "lang",
-        F.explode(T.token_hashes_pandas()(F.col("text"))).alias("th"),
-    ).select(
-        "doc_id",
-        "lang",
-        (F.col("th") % NB_BUCKETS).alias("bucket"),
-    ).localCheckpoint(eager=False)
-    # lazy checkpoint: on the FIRST call per session the model build,
-    # priors build, and prediction join all read one materialization of
-    # the token stream (3x Arrow scans otherwise); on cache hits only
-    # the prediction scan materializes it
+    # ~10x slower on a token-stream scan — functions/text.py), then
+    # IMMEDIATELY collapsed to the per-document hashed bag
+    # (doc_id, lang, bucket, k) — the feature table a real pipeline
+    # materializes.  The lazy checkpoint persists this COLLAPSED table
+    # (<= docs x min(tokens, buckets) rows), never the raw token
+    # stream (the text_oov_rate flaw class: the stream is the corpus);
+    # on the first call the model build, priors build, and prediction
+    # all read the one bag materialization, on cache hits only the
+    # prediction pass does.
+    dbc = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            F.explode(T.token_hashes_pandas()(F.col("text"))).alias("th"),
+        )
+        .groupBy(
+            "doc_id", "lang", (F.col("th") % NB_BUCKETS).alias("bucket")
+        )
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
     # The TRAINED model (langs x buckets likelihoods + priors) is the
     # stored asset — session-memoized like the dedup signature tables,
-    # so steady-state evaluation is one token-stream scan joined
-    # against broadcast model tables, never re-training.  (The token
-    # stream itself is data-sized and deliberately NOT cached.)
+    # so steady-state evaluation is one bag scan joined against
+    # broadcast model tables, never re-training.
     wl = Window.partitionBy("lang")
     model = _cached_persisted(
         spark,
         sf_dir,
         "nb_langid_model",
         lambda: (
-            toks.groupBy("lang", "bucket")
-            .agg(F.count("*").alias("n_lb"))
+            dbc.groupBy("lang", "bucket")
+            .agg(F.sum("k").alias("n_lb"))
             .withColumn("t_l", F.sum("n_lb").over(wl))
             .select(F.col("lang").alias("m_lang"), "bucket", "n_lb", "t_l")
         ),
@@ -1985,10 +1991,11 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "nb_langid_priors",
         lambda: (
-            # distinct over the token stream, not documents: a doc with
-            # zero tokens contributes nothing to the priors (oracle
-            # parity: SELECT DISTINCT doc_id, lang FROM toks)
-            toks.select("doc_id", "lang")
+            # distinct over the bag, not documents: a doc with zero
+            # tokens has no bag rows, so it contributes nothing to the
+            # priors (oracle parity: SELECT DISTINCT doc_id, lang FROM
+            # toks)
+            dbc.select("doc_id", "lang")
             .distinct()
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"))
@@ -2010,19 +2017,24 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         10,
     )
+    # k occurrences of the same rounded fixed-point loglik sum to
+    # exactly k * round(loglik * 1e6): identical to the per-occurrence
+    # fpsum the oracle replays, by distributivity over the int64 sum.
+    fp_weighted = (
+        F.sum(
+            F.round(loglik * 1e6, 0).cast("long") * F.col("k")
+        ).cast("double")
+        / 1e6
+    )
     scores = (
-        toks.join(F.broadcast(model), "bucket")
+        dbc.join(F.broadcast(model), "bucket")
         .join(F.broadcast(priors), F.col("p_lang") == F.col("m_lang"))
         .groupBy(
             "doc_id",
             F.col("lang").alias("true_lang"),
             F.col("m_lang").alias("cand"),
         )
-        .agg(
-            (F.any_value(F.col("logprior")) + fpsum(loglik, 1e6)).alias(
-                "score"
-            )
-        )
+        .agg((F.any_value(F.col("logprior")) + fp_weighted).alias("score"))
     )
     wd = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
     pred = (

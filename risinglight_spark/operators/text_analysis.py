@@ -1173,9 +1173,13 @@ def _bigram_list_sql(toks: str) -> str:
     doc="Bigram-LM negative log-likelihood per document (add-one "
     "smoothed P(w2|w1), model trained on the corpus in the same job): "
     "the distributed KenLM-perplexity stand-in for quality filtering. "
-    "Three token-keyed shuffles (bigram counts, context counts, doc "
-    "rollup), all with map-side partials; the model tables join "
-    "broadcast at real vocab sizes.  ln rounded to 10 dp then "
+    "The MODEL is the checkpointed asset (the (bigram, count) table — "
+    "vocab-pair-sized), with context counts derived from it by a "
+    "second rollup (never a rescan); the bigram stream itself is "
+    "recomputed statelessly for the scoring pass instead of being "
+    "materialized (the original checkpointed the full corpus-sized "
+    "stream — the text_oov_rate flaw class).  Token-keyed shuffles "
+    "with map-side partials throughout; ln rounded to 10 dp then "
     "fixed-point summed -> partition-order independent.",
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,16 +1204,18 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    big = docs.select("doc_id", F.explode(bigrams).alias("bg")).localCheckpoint()
+    big = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     vocab = (
         docs.select(F.explode(toks).alias("tok")).distinct().count()
     )
-    bfreq = big.groupBy("bg").agg(F.count("*").alias("nbg"))
+    bfreq = (
+        big.groupBy("bg").agg(F.count("*").alias("nbg")).localCheckpoint()
+    )
     w1 = F.substring_index(F.col("bg"), "\x01", 1)
     cfreq = (
-        big.select(w1.alias("w1"))
+        bfreq.select(w1.alias("w1"), "nbg")
         .groupBy("w1")
-        .agg(F.count("*").alias("nc"))
+        .agg(F.sum("nbg").alias("nc"))
     )
     neg_ln = F.round(
         -F.log(
@@ -1295,6 +1301,12 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from risinglight_spark.operators import fpsum
 
     t = Tables(spark, sf_dir)
+    # Stateless token->bucket stream, recomputed by the model pass and
+    # the scoring pass (two scans) rather than localCheckpointed — the
+    # stream is corpus-sized, and materializing it is the
+    # text_oov_rate flaw class; the bucket model the first pass
+    # produces is the only thing worth keeping and it is a fixed
+    # DSIR_BUCKETS-row table.
     toks = (
         t.documents.select(
             "doc_id",
@@ -1306,7 +1318,6 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             (T.char_hash(F.col("tok")) % DSIR_BUCKETS).alias("bucket"),
         )
-        .localCheckpoint()
     )
     from pyspark.sql import Window
 
