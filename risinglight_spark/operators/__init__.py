@@ -357,6 +357,61 @@ def ranked_by_count_desc(
 # ---------------------------------------------------------------------------
 
 
+def ranked_by_range_sort(
+    df: DataFrame,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    *,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact per-group ``rn`` = row_number() OVER (PARTITION BY
+    ``group_col`` ORDER BY ``*order_cols``) without a per-group window
+    over the data — the third distributed-rank form, for ARBITRARY
+    (incl. string) sort keys where score-histogram binning
+    (ranked_by_score_desc) doesn't apply:
+
+      1. repartitionByRange(group, *order) — Spark samples range
+         boundaries, so partitions are balanced regardless of group
+         skew, and partition id order IS global sort order;
+      2. per-(group, partition) counts -> per-group prefix offsets in
+         partition order (a bounded groups x partitions table,
+         broadcast);
+      3. local row_number within (group, partition) + offset.
+
+    Deterministic because RangePartitioner's boundary sampling is
+    seeded per-partition (same input -> same boundaries), and exact
+    for ANY boundaries — balance affects speed, never values.
+    Hypothesis-tested against a pure-Python model."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = df.repartitionByRange(
+        n_parts, group_col, *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    wo = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        rp.groupBy(group_col, "_pid")
+        .agg(F.count("*").alias("_m"))
+        .select(
+            group_col,
+            "_pid",
+            F.coalesce(F.sum("_m").over(wo), F.lit(0)).alias("_off"),
+        )
+    )
+    wl = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
+    return (
+        rp.join(F.broadcast(offs), [group_col, "_pid"])
+        .withColumn("rn", F.col("_off") + F.row_number().over(wl))
+        .drop("_pid", "_off")
+    )
+
+
 def bucketed_prefix_sum(
     spark: SparkSession,
     sf_dir: str,

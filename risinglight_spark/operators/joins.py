@@ -578,19 +578,20 @@ SNM_WINDOW = 10  # sorted-neighborhood comparison window
     "recall-heuristic by construction — production raises recall with "
     "multi-key passes (name reversed, q-gram keys) of the SAME shape.  "
     "The window join is an equi-join on (block, rank+k): no range "
-    "predicate, no skew.  levenshtein is a built-in on both engines; "
-    "ranks pin ties on (name, custkey).",
+    "predicate, no skew.  The sort rank itself is the DISTRIBUTED "
+    "range-partitioned rank (ranked_by_range_sort) — a plain "
+    "per-nation window would funnel entire nation blocks (1/25 of all "
+    "customers each) through single tasks at scale.  levenshtein is a "
+    "built-in on both engines; ranks pin ties on (name, custkey).",
 )
 def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from risinglight_spark.operators import ranked_by_range_sort
 
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
-    ranked = t.customer.select(
-        "c_custkey",
-        "c_name",
+    ranked = ranked_by_range_sort(
+        t.customer.select("c_custkey", "c_name", "c_nationkey"),
         "c_nationkey",
-        F.row_number().over(w).alias("rn"),
+        ("c_name", "c_custkey"),
     ).localCheckpoint()
     cand = ranked.select(
         F.col("c_custkey").alias("key_a"),

@@ -647,28 +647,41 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Unigram negative-log-probability per document — the cheap "
     "stand-in for LM-perplexity quality filtering (KenLM-style): "
     "corpus token frequencies as the model, score = mean -ln p(tok).  "
-    "ln rounded to 10 dp (JVM/libm last-ulp), then fixed-point summed "
-    "so the per-doc mean is partition-order independent.  Two "
-    "shuffles: the frequency groupBy and the doc rollup; the freq "
-    "table join is token-keyed (broadcast at vocab scale).",
+    "One scan collapses the stream to the per-doc (doc_id, tok, k) "
+    "bag (the checkpointed asset — bag-sized, never the corpus-sized "
+    "stream: the text_oov_rate flaw class); the frequency model and "
+    "corpus total both derive from the bag by rollups, and the score "
+    "is the k-weighted fixed-point sum (identical to per-occurrence "
+    "by distributivity over the int64 sum).  ln rounded to 10 dp "
+    "(JVM/libm last-ulp) so the per-doc mean is partition-order "
+    "independent.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.operators import fpsum
-
     t = Tables(spark, sf_dir)
-    toks = t.documents.select(
-        "doc_id",
-        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
-    ).localCheckpoint()
-    total = toks.count()
-    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    bag = (
+        t.documents.select(
+            "doc_id",
+            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint()
+    )
+    freq = bag.groupBy("tok").agg(F.sum("k").alias("n"))
+    total = freq.agg(F.sum("n")).collect()[0][0]
     neg_ln = F.round(-F.log(F.col("n").cast("double") / total), 10)
+    fp_weighted = (
+        F.sum(F.round(neg_ln * 1e6, 0).cast("long") * F.col("k")).cast(
+            "double"
+        )
+        / 1e6
+    )
     return (
-        toks.join(freq, "tok")
+        bag.join(freq, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            (fpsum(neg_ln, 1e6) / F.count("*")).alias("avg_neg_logprob"),
+            F.sum("k").alias("n_tokens"),
+            (fp_weighted / F.sum("k")).alias("avg_neg_logprob"),
         )
     )
 

@@ -794,3 +794,38 @@ def test_ranked_by_score_desc_matches_python_model(spark, rows):
         members.sort(key=lambda t: (-t[1], t[0]))
         for rank0, (i, _) in enumerate(members):
             assert got[i] == (rank0 + 1, len(members))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # skewed groups
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=102),
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=48,
+    )
+)
+def test_ranked_by_range_sort_matches_python_model(spark, rows):
+    """rn must equal the exact per-group row_number over the
+    (string sort key, id) order for any group skew and any range
+    boundary placement — string keys are the case the score-histogram
+    rank can't bin, incl. duplicate keys, empty strings, and groups
+    spanning multiple range partitions (n_parts=5 forces spans)."""
+    from risinglight_spark.operators import ranked_by_range_sort
+
+    data = [(i, g, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id BIGINT, grp STRING, s STRING")
+    out = ranked_by_range_sort(df, "grp", ("s", "id"), n_parts=5)
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    by_grp: dict[str, list[tuple[str, int]]] = {}
+    for i, g, s in data:
+        by_grp.setdefault(g, []).append((s, i))
+    for members in by_grp.values():
+        members.sort()
+        for rank0, (_, i) in enumerate(members):
+            assert got[i] == rank0 + 1
