@@ -412,6 +412,57 @@ def ranked_by_range_sort(
     )
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    w_col: str,
+    *,
+    out_col: str = "cum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact per-group running sum of ``w_col`` over ``*order_cols`` —
+    sum(w) OVER (PARTITION BY group ORDER BY order ROWS UNBOUNDED
+    PRECEDING) — without a per-group window over the data: the
+    range-partitioned twin of :func:`ranked_by_range_sort` (sampled
+    balanced ranges + per-(group, partition) totals broadcast as
+    offsets + local cumsum).  A plain per-source window funnels each
+    source's whole slice of the corpus through one task; this stays
+    partition-parallel for any group skew."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = df.repartitionByRange(
+        n_parts, group_col, *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    wo = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        rp.groupBy(group_col, "_pid")
+        .agg(F.sum(w_col).alias("_m"))
+        .select(
+            group_col,
+            "_pid",
+            F.coalesce(F.sum("_m").over(wo), F.lit(0)).alias("_off"),
+        )
+    )
+    wl = (
+        Window.partitionBy(group_col, "_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rp.join(F.broadcast(offs), [group_col, "_pid"])
+        .withColumn(out_col, F.col("_off") + F.sum(w_col).over(wl))
+        .drop("_pid", "_off")
+    )
+
+
 def bucketed_prefix_sum(
     spark: SparkSession,
     sf_dir: str,

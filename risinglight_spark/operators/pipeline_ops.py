@@ -249,20 +249,22 @@ CHUNK_TOKENS = 256
     doc=f"Concat-and-chunk sequence packing: within each source shard, "
     f"documents are laid end-to-end in doc_id order and cut into "
     f"{CHUNK_TOKENS}-token training windows; each doc reports the chunk "
-    f"span it lands in.  The running offset is a cumsum window "
-    f"PARTITIONED BY source — parallel across shards (no global sort).",
+    f"span it lands in.  The running offset is the DISTRIBUTED grouped "
+    f"prefix sum (grouped_prefix_sum: range-partitioned local cumsums "
+    f"+ broadcast per-(source, partition) offsets) — exact doc_id-order "
+    f"layout without funneling a source's whole shard through one "
+    f"window task.",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import grouped_prefix_sum
+
     t = Tables(spark, sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = t.documents.select(
         "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
-    laid = toks.withColumn("end_tok", F.sum("n_tokens").over(w))
+    laid = grouped_prefix_sum(
+        toks, "source", ("doc_id",), "n_tokens", out_col="end_tok"
+    )
     first = F.floor((F.col("end_tok") - F.col("n_tokens")) / CHUNK_TOKENS).cast("long")
     last = F.floor((F.col("end_tok") - 1) / CHUNK_TOKENS).cast("long")
     return laid.select(
@@ -532,25 +534,28 @@ TOKEN_BUDGET_PER_SOURCE = 5_000
     doc="Per-source token-budget fill: lay docs in deterministic "
     "doc_id order and keep each source's prefix up to a fixed token "
     "budget — how pretraining mixtures cap over-represented sources. "
-    "One window cumsum partitioned by source (parallel across "
-    "sources, no global sort); the budget predicate prunes "
-    "everything past the cutoff before any downstream stage.",
+    "The cumsum is the DISTRIBUTED grouped prefix sum "
+    "(grouped_prefix_sum: range-partitioned local cumsums + broadcast "
+    "per-(source, partition) offsets) — a per-source window would "
+    "funnel each source's whole corpus slice through one task; the "
+    "budget predicate prunes everything past the cutoff before any "
+    "downstream stage.",
 )
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import grouped_prefix_sum
+
     t = Tables(spark, sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized = t.documents.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).alias("n_tokens"),
     )
     return (
-        t.documents.select(
-            "doc_id",
-            "source",
-            T.token_count(F.col("text")).alias("n_tokens"),
+        grouped_prefix_sum(
+            sized, "source", ("doc_id",), "n_tokens", out_col="cum_tokens"
         )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
 
 
@@ -759,14 +764,13 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("doc_id", "source", "q", "ws")).alias("m"))
         .select("fp", "m.*")
     )
-    w_src = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from risinglight_spark.operators import grouped_prefix_sum
+
+    budgeted = (
+        grouped_prefix_sum(deduped, "source", ("doc_id",), "ws")
+        .withColumn("cum", F.col("cum").cast("bigint"))
+        .filter(F.col("cum") <= TOKEN_BUDGET_PER_SOURCE)
     )
-    budgeted = deduped.withColumn(
-        "cum", F.sum("ws").over(w_src).cast("bigint")
-    ).filter(F.col("cum") <= TOKEN_BUDGET_PER_SOURCE)
     return budgeted.groupBy("source").agg(
         F.count("*").alias("docs_kept"),
         F.sum("ws").cast("bigint").alias("tokens_kept"),

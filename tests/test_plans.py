@@ -250,11 +250,18 @@ def test_range_join_is_keyed_not_cartesian(spark, sf_dir):
 
 
 def test_pack_sequences_window_is_partitioned(spark, sf_dir):
-    # the packing cumsum must be keyed on source (parallel across
-    # shards); an empty window partition spec would serialize the whole
-    # corpus through one task.
+    # the packing cumsum is the grouped distributed prefix sum: the
+    # corpus goes through a RANGE exchange (balanced by sampling, so a
+    # dominant source never lands on one task) and every cumsum window
+    # is keyed on (source, partition id); the per-source offsets join
+    # back as a broadcast.
     plan = _plan(spark, sf_dir, "pack_sequences")
-    assert "hashpartitioning(source" in plan
+    assert "rangepartitioning(source" in plan
+    assert "hashpartitioning(source" in plan  # the bounded offsets agg
+    for ln in plan.splitlines():
+        if "windowspecdefinition(source" in ln:
+            assert "_pid" in ln
+    assert "BroadcastHashJoin" in plan
 
 
 def test_sample_pruning_never_reads_text(spark, sf_dir):

@@ -829,3 +829,30 @@ def test_ranked_by_range_sort_matches_python_model(spark, rows):
         members.sort()
         for rank0, (_, i) in enumerate(members):
             assert got[i] == rank0 + 1
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),  # skewed groups
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=48,
+    )
+)
+def test_grouped_prefix_sum_matches_python_model(spark, rows):
+    """cum must equal the exact per-group running sum in id order for
+    any group skew and any range-boundary placement (n_parts=5 forces
+    groups to span partitions); zero weights included."""
+    from risinglight_spark.operators import grouped_prefix_sum
+
+    data = [(i, g, int(w)) for i, (g, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id BIGINT, grp STRING, w BIGINT")
+    out = grouped_prefix_sum(df, "grp", ("id",), "w", n_parts=5)
+    got = {r["id"]: r["cum"] for r in out.collect()}
+    acc: dict[str, int] = {}
+    for i, g, w in data:  # data already in id order
+        acc[g] = acc.get(g, 0) + w
+        assert got[i] == acc[g]
