@@ -629,23 +629,29 @@ N_SHARDS = 64
     """,
     doc="Deterministic global training-order shuffle WITHOUT a global "
     "sort: a multiplicative hash assigns each doc a pseudo-random "
-    "order key, docs land in hash shards, and position is a "
-    "per-shard window — 64 parallel sorts instead of one total "
-    "order.  The trainer reads shard files round-robin; the order "
-    "is a pure function of doc_id (reproducible on any cluster, "
-    "restartable mid-epoch).  This is how you shuffle a 100 TB "
-    "corpus for training: rand() is non-reproducible and a global "
-    "ORDER BY is a single-range-partition bottleneck.",
+    "order key, docs land in hash shards, and position-in-shard is "
+    "the DISTRIBUTED range-partitioned rank (ranked_by_range_sort) — "
+    "so even a single shard never serializes through one task "
+    "(corpus/64 per shard at 100 TB is still ~1.5 TB).  The trainer "
+    "reads shard files round-robin; the order is a pure function of "
+    "doc_id (reproducible on any cluster, restartable mid-epoch).  "
+    "This is how you shuffle a 100 TB corpus for training: rand() is "
+    "non-reproducible and a global ORDER BY is a "
+    "single-range-partition bottleneck.",
 )
 def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import ranked_by_range_sort
+
     t = Tables(spark, sf_dir)
     key = (F.col("doc_id") * F.lit(ORDER_MULT)) % F.lit(ORDER_MOD)
     shard = (F.col("order_key") % N_SHARDS).cast("int")
-    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    sharded = t.documents.select("doc_id", key.alias("order_key")).withColumn(
+        "shard", shard
+    )
     return (
-        t.documents.select("doc_id", key.alias("order_key"))
-        .withColumn("shard", shard)
-        .withColumn("pos_in_shard", F.row_number().over(w))
+        ranked_by_range_sort(sharded, "shard", ("order_key", "doc_id"))
+        .withColumnRenamed("rn", "pos_in_shard")
+        .select("doc_id", "order_key", "shard", "pos_in_shard")
     )
 
 
