@@ -304,11 +304,18 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
 
 
 def test_training_order_has_no_global_sort(spark, sf_dir):
-    # the shuffle is hash-sharded, never a single range partition
-    # (a global ORDER BY would serialize the corpus through one task).
+    # a global ORDER BY would serialize the corpus through one task;
+    # the shard position is the range-partitioned distributed rank:
+    # a MULTI-key range exchange balanced by sampling (never keyed on
+    # a bare sort column alone), (shard, pid)-keyed local windows, and
+    # the per-shard offsets broadcast back.
     plan = _plan(spark, sf_dir, "sample_training_order")
-    assert "rangepartitioning" not in plan
-    assert "hashpartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning(shard" in plan  # group leads the range key
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_pid" in ln
+    assert "BroadcastHashJoin" in plan
 
 
 def test_approx_percentile_error_bound(spark, sf_dir):
