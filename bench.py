@@ -166,6 +166,24 @@ def main() -> None:
         load(spark, sf_dir, t).count()
     entries["tpch_q6"].fn(spark, sf_dir).collect()
 
+    # Machine calibration: a fixed synthetic workload (hash-agg over a
+    # generated range — no I/O, no Python) timed median-of-3.  Box
+    # drift between rounds showed as 20-40% swings on IDENTICAL code
+    # (r6->r7, and twice within round 8); query/calib ratios are the
+    # cross-round-comparable numbers.
+    import statistics as _stats
+    from pyspark.sql import functions as _F
+
+    def _calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).select(
+            _F.xxhash64("id").alias("h")
+        ).agg(_F.sum("h")).collect()
+        return time.perf_counter() - t0
+
+    _calib()  # compile
+    calib = round(_stats.median(_calib() for _ in range(3)), 3)
+
     # Median-of-N timing (criterion-style: the reference benches with
     # sample_size=10 and reports the distribution median).  The median
     # resists both one-off machine-load spikes AND lucky cache hits —
@@ -242,6 +260,7 @@ def main() -> None:
         "git_dirty": dirty,
         "samples": samples,
         "sample_stat": "median",
+        "calib_sec": calib,
         "annex": annex,
         "annex_slice": slice_idx,
         "annex_total": round(sum(annex.values()), 3),
