@@ -263,3 +263,31 @@ def test_ranked_by_score_desc_degenerate_groups(spark):
     assert got[99] == ("solo", 1, 1)
     # mix (q = id % 3): 2.0 -> ids 20,23; 1.0 -> 22,25; 0.0 -> 21,24
     assert [got[i][1] for i in (20, 23, 22, 25, 21, 24)] == [1, 2, 3, 4, 5, 6]
+
+
+def test_ccnet_ntile_arithmetic_matches_spark_ntile(spark):
+    """text_ccnet_buckets derives ntile(3) from (rk, n) integer logic
+    (first n%3 tiles get the extra row); verify the boundary formula
+    against Spark's own F.ntile for every group size 1..12 in one
+    shot — off-by-ones at n%3 boundaries are the exact failure mode."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(n, i) for n in range(1, 13) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp INT, id INT")
+    w = Window.partitionBy("grp").orderBy("id")
+    want = df.select("grp", "id", F.ntile(3).over(w).alias("t"))
+    # the formula under test, applied to rk = id+1 and n_grp = grp
+    base = F.floor(F.col("grp") / 3)
+    rem = F.col("grp") % 3
+    b1 = base + F.when(rem >= 1, 1).otherwise(0)
+    b2 = b1 + base + F.when(rem >= 2, 1).otherwise(0)
+    rk = F.col("id") + 1
+    got = df.select(
+        "grp",
+        "id",
+        F.when(rk <= b1, 1).when(rk <= b2, 2).otherwise(3).alias("t"),
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
