@@ -1082,16 +1082,22 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     inb = binned.join(F.broadcast(crossing), "l_returnflag").filter(
         F.col("b") == F.col("cb")
     )
-    wr = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Pass-2 cumsum over the crossing bin's rows via the distributed
+    # grouped prefix sum: even the ~1/1024 slice is fact-table-derived,
+    # and a per-flag (K=3) window would funnel it through three tasks.
+    # Ties on l_extendedprice land in one range partition (boundaries
+    # are half-open on distinct keys) and the min-price selection is
+    # tie-order invariant, exactly as with the window form.
+    from risinglight_spark.operators import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(
+        inb, "l_returnflag", ("l_extendedprice",), "w"
     )
     return (
-        inb.select(
+        cum.select(
             "l_returnflag",
             "l_extendedprice",
-            (F.col("cw_before") + F.sum("w").over(wr)).alias("cw"),
+            (F.col("cw_before") + F.col("cum")).alias("cw"),
             "total",
         )
         .filter(2 * F.col("cw") >= F.col("total"))
