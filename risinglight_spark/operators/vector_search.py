@@ -1041,23 +1041,6 @@ K_TRAIN = 8
 TRAIN_ROUNDS = 3
 
 
-def _kmeans_cent_aggs() -> list[Column]:
-    """Fixed-point exact per-cluster means (order-independent, so the
-    'model' is bit-identical at any parallelism — and in DuckDB)."""
-    return [
-        (
-            F.sum(
-                F.round(
-                    F.col("embedding").getItem(i).cast("double") * 1e14, 0
-                ).cast("long")
-            ).cast("double")
-            / F.lit(1e14)
-            / F.count("*")
-        ).alias(f"c{i}")
-        for i in range(DIM)
-    ]
-
-
 def _kmeans_cent_sql(assign_cte: str) -> str:
     cols = ", ".join(
         f"(CAST(sum(CAST(round(CAST(e.embedding[{i+1}] AS DOUBLE) * 1e14, 0)"
@@ -1125,15 +1108,32 @@ def vector_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", (F.col("vec_id") % K_TRAIN).alias("cluster")
     )
     for _ in range(TRAIN_ROUNDS):
-        cents = (
-            e.join(assign, "vec_id")
-            .groupBy("cluster")
-            .agg(*_kmeans_cent_aggs())
-            .select(
-                F.col("cluster").alias("ccl"),
-                F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("cvec"),
-            )
+        # Centroid means via posexplode -> groupBy(cluster, dim): the
+        # fixed-point per-dim mean (sum of round(x*1e14) longs / 1e14
+        # / count — order-independent, bit-identical at any
+        # parallelism and in DuckDB, see _kmeans_cent_sql), but the
+        # plan carries ONE aggregate instead of a 64-column agg node
+        # per round — the wide-agg codegen was the wall cost (the
+        # variance-rank anti-pattern), not the data.
+        exploded = (
+            e.join(assign.select("vec_id", "cluster"), "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("dim", "x"))
         )
+        cd = exploded.groupBy("cluster", "dim").agg(
+            (
+                F.sum(
+                    F.round(F.col("x").cast("double") * 1e14, 0).cast("long")
+                ).cast("double")
+                / F.lit(1e14)
+                / F.count("*")
+            ).alias("c")
+        )
+        cents = cd.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        ).select(F.col("cluster").alias("ccl"), "cvec")
         scored = e.crossJoin(F.broadcast(cents)).select(
             "vec_id",
             "ccl",
@@ -1147,6 +1147,13 @@ def vector_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.ccl").alias("cluster"),
                 F.round(F.col("m.d"), 10).alias("d"),
             )
+            # cut lineage between Lloyd rounds: the assignment table is
+            # the bounded iterative state (vec_id, cluster, d); without
+            # this, round r's plan nests rounds 1..r-1 (round r re-scans
+            # the corpus 2^r times through the nested broadcasts and
+            # codegen blows up on the 64-agg centroid node per level —
+            # measured 5.7s -> ~1.5s at sf0.1)
+            .localCheckpoint()
         )
     return assign.groupBy("cluster").agg(
         F.count("*").alias("n"), fpsum(F.col("d"), 1e6).alias("inertia")
