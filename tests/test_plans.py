@@ -814,6 +814,26 @@ def test_group_topk_has_partial_window_limit(spark, sf_dir):
     assert "Partial" in plan.split("WindowGroupLimit")[-1].splitlines()[0]
 
 
+@pytest.mark.parametrize(
+    "name", ["sample_token_budget", "agg_weighted_median"]
+)
+def test_grouped_prefix_sums_are_range_distributed(spark, sf_dir, name):
+    """Per-source token budget and the weighted-median crossing-bin
+    cumsum both route through grouped_prefix_sum: a sampled RANGE
+    exchange (balanced under group skew), (group, pid)-keyed local
+    cumsum windows, broadcast offsets — never a bare low-K group
+    window over data."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning(" in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "_pid" not in ln:
+            # the only non-pid window allowed is the bounded histogram
+            # prefix in the median's pass 1 (flag x 1024 bins)
+            assert name == "agg_weighted_median" and "l_returnflag" in ln
+    assert "BroadcastHashJoin" in plan
+
+
 def test_kl_divergence_has_no_single_partition_window(spark, sf_dir):
     """text_kl_source_divergence: per-source and global token totals are
     aggregate+broadcast (the BM25 corpus-stats pattern), never window
