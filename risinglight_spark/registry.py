@@ -382,7 +382,27 @@ _R7_QUEUE: tuple[str, ...] = (
     "streaming_dropdup_within_watermark",
 )
 
-_PRIORITY: tuple[str, ...] = (*_R7_QUEUE, *_R6_GATE, *_R5_GATE, *_R4_GATE, *_R3_VERIFIED)
+# Round-9 tail: the 6 entries that missed the bounded r8 gate (positions
+# 51-56 of _R7_QUEUE above).  Fronting them closes lifetime driver
+# coverage at exactly 303/303 — every registry entry hash-verified by the
+# driver at least once.
+_R9_TAIL: tuple[str, ...] = (
+    "streaming_stateful_max",
+    "streaming_session_window",
+    "streaming_interval_join",
+    "streaming_sliding_counts",
+    "streaming_static_enrich",
+    "streaming_dropdup_within_watermark",
+)
+
+_PRIORITY: tuple[str, ...] = (
+    *_R9_TAIL,
+    *(n for n in _R7_QUEUE if n not in _R9_TAIL),
+    *_R6_GATE,
+    *_R5_GATE,
+    *_R4_GATE,
+    *_R3_VERIFIED,
+)
 
 
 def collect() -> dict[str, QueryEntry]:
