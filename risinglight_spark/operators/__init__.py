@@ -121,6 +121,7 @@ import os  # noqa: E402
 import threading  # noqa: E402
 from collections import OrderedDict  # noqa: E402
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402, F811
+from pyspark.sql.types import StructField, StructType  # noqa: E402
 
 _ASSET_CACHE: OrderedDict[tuple[str, str], tuple[str, str, DataFrame]] = (
     OrderedDict()
@@ -378,18 +379,27 @@ def ranked_by_range_sort(
          broadcast);
       3. local row_number within (group, partition) + offset.
 
-    Deterministic because RangePartitioner's boundary sampling is
-    seeded per-partition (same input -> same boundaries), and exact
-    for ANY boundaries — balance affects speed, never values.
-    Hypothesis-tested against a pure-Python model."""
+    Exact for ANY sampled boundaries — balance affects speed, never
+    values.  `_pid` consistency between the offsets branch and the
+    probe branch is guaranteed by materializing the range-partitioned
+    relation ONCE (persist below): both consumers scan the same cached
+    relation, so its single exchange cannot be re-planned/re-sampled
+    into two shuffles with different boundaries (which would silently
+    mis-rank if `spark.sql.exchange.reuse` were off or AQE re-planned
+    one branch).  The broadcast build side populates the cache before
+    the probe stage runs; eviction recompute replays the SAME shuffle
+    via lineage, so `_pid` stays stable.  Hypothesis-tested against a
+    pure-Python model."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    rp = df.repartitionByRange(
-        n_parts, group_col, *order_cols
-    ).withColumn("_pid", F.spark_partition_id())
+    rp = (
+        df.repartitionByRange(n_parts, group_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
     wo = (
         Window.partitionBy(group_col)
         .orderBy("_pid")
@@ -428,15 +438,20 @@ def grouped_prefix_sum(
     balanced ranges + per-(group, partition) totals broadcast as
     offsets + local cumsum).  A plain per-source window funnels each
     source's whole slice of the corpus through one task; this stays
-    partition-parallel for any group skew."""
+    partition-parallel for any group skew.  The range-partitioned
+    relation is persisted so both plan branches read ONE exchange —
+    see :func:`ranked_by_range_sort` for why `_pid` consistency must
+    not depend on exchange reuse."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    rp = df.repartitionByRange(
-        n_parts, group_col, *order_cols
-    ).withColumn("_pid", F.spark_partition_id())
+    rp = (
+        df.repartitionByRange(n_parts, group_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
     wo = (
         Window.partitionBy(group_col)
         .orderBy("_pid")
@@ -497,18 +512,30 @@ def bucketed_prefix_sum(
         )
 
     part_cum = _cached_persisted(spark, sf_dir, tag, build)
-    btot = {
-        r["b"]: r["tot"]
-        for r in part_cum.groupBy(F.col(bkt_col).alias("b"))
-        .agg(F.max("_pcw").alias("tot"))
-        .collect()
-    }
+    # Bucket totals via sum(w) on the base column — NOT max(_pcw),
+    # which equals the total only for non-negative weights (a running
+    # max != the final cumsum once w can be negative).
+    tot_agg = part_cum.groupBy(F.col(bkt_col).alias("b")).agg(
+        F.sum(w_col).alias("tot")
+    )
+    btot = {r["b"]: r["tot"] for r in tot_agg.collect()}
     total = sum(btot.values())
     offs, acc = [], 0
     for b in sorted(btot):
         offs.append((b, acc))
         acc += btot[b]
-    off_df = spark.createDataFrame(offs, f"{bkt_col} INT, _off BIGINT")
+    # Offsets schema mirrors the actual bucket/weight-sum types so the
+    # helper works for any bucket dtype and fractional weights, not
+    # just int buckets with integer weights.
+    off_df = spark.createDataFrame(
+        offs,
+        StructType(
+            [
+                StructField(bkt_col, part_cum.schema[bkt_col].dataType),
+                StructField("_off", tot_agg.schema["tot"].dataType),
+            ]
+        ),
+    )
     out = (
         part_cum.join(F.broadcast(off_df), bkt_col)
         .withColumn("cw", F.col("_pcw") + F.col("_off"))
@@ -527,7 +554,11 @@ def ranked_by_score_desc(
 ) -> DataFrame:
     """Return ``df`` plus ``rk`` (exact per-group row_number in
     (score DESC, id ASC) order) and ``n_grp`` (the group's row count),
-    computed without any data-sized window partition."""
+    computed without any data-sized window partition.  NULL scores
+    are routed to a sentinel bin (-1) that sorts after every real bin
+    in the DESC prefix, matching row_number() OVER (ORDER BY score
+    DESC) default nulls-last semantics — without the sentinel,
+    floor(NULL) would fall through F.least into the TOP bin."""
     from pyspark.sql import Window
 
     stats = df.groupBy(group_col).agg(
@@ -536,12 +567,17 @@ def ranked_by_score_desc(
         F.count("*").alias("n_grp"),
     )
     width = (F.col("_hi") - F.col("_lo")) / float(nbins)
-    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col(score_col) - F.col("_lo")) / width),
-            F.lit(nbins - 1),
+    b = (
+        F.when(F.col(score_col).isNull(), F.lit(-1))
+        .when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(score_col) - F.col("_lo")) / width),
+                F.lit(nbins - 1),
+            )
         )
-    ).cast("int")
+        .cast("int")
+    )
     binned = df.join(F.broadcast(stats), group_col).withColumn("_b", b)
     hist = binned.groupBy(group_col, "_b").agg(F.count("*").alias("_m"))
     wh = (

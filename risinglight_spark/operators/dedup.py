@@ -1316,6 +1316,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEM_TAU = 0.4  # same synthetic-corpus scale as COS_THRESHOLD above
+# Hot-cell cap: max distinct representatives a single pair-join cell
+# may hold before it is split by a secondary hash (see dedup_semdedup).
+# Test SFs peak at ~200 reps/cell, so the cap never fires there and
+# the DuckDB oracle stays exact; at 100-TB scale it bounds the
+# quadratic stage at O(m * SEM_MAX_CELL) per cell.
+SEM_MAX_CELL = 1024
 
 
 def _sem_centroid_sql() -> str:
@@ -1456,7 +1462,33 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = base.filter(F.col("vec_id") == F.col("rep")).select(
         F.col("rep"), "cell", "embedding", "nrm"
     )
-    a, b = reps.alias("a"), reps.alias("b")
+    # Hot-cell cap: a cell with m distinct representatives costs
+    # O(m^2) in the pair join.  Cells above SEM_MAX_CELL reps are
+    # split into ceil(m / SEM_MAX_CELL) sub-cells by a secondary
+    # deterministic hash of the representative id, bounding per-task
+    # pair work at ~SEM_MAX_CELL^2 and total cell cost at
+    # O(m * SEM_MAX_CELL) — linear in m.  Cross-sub-cell pairs are
+    # not compared: the standard production SemDeDup recall trade
+    # (drops become a SUBSET of the exact drops, never a superset —
+    # asserted in tests/test_dedup_semdedup_cap.py).  Test SFs stay
+    # far below the threshold, so the sf0.01 oracle remains exact.
+    sizes = reps.groupBy("cell").agg(F.count("*").alias("_m"))
+    capped = (
+        reps.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "subcell",
+            F.when(F.col("_m") <= SEM_MAX_CELL, F.lit(0))
+            .otherwise(
+                F.pmod(
+                    F.xxhash64("rep"),
+                    F.ceil(F.col("_m") / SEM_MAX_CELL).cast("int"),
+                )
+            )
+            .cast("int"),
+        )
+        .drop("_m")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
@@ -1467,6 +1499,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(
                 b.hint("shuffle_hash"),
                 (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.subcell") == F.col("b.subcell"))
                 & (F.col("a.rep") < F.col("b.rep")),
             )
             .filter(cos >= SEM_TAU)

@@ -86,6 +86,7 @@ def main() -> None:
             )
 
     total = 0.0
+    failed: list[str] = []
     checkpoints: dict = {}
     hdr = "| query | best-of-2 s |" + (" match |" if verify else "")
     print(hdr)
@@ -112,9 +113,16 @@ def main() -> None:
                 if r is not None:
                     want = r
             ok = _rows_match(last, want)
+            if not ok:
+                failed.append(f"q{qn}")
             row += f" {'PASS' if ok else 'FAIL'} |"
         print(row, flush=True)
     print(f"| **total** | **{total:.2f}** |")
+    if failed:
+        # A FAIL row must not exit 0 — automated runs (CI, driver
+        # gates) read the exit code, not the table.
+        print(f"VERIFY FAILED: {', '.join(failed)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
