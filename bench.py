@@ -183,6 +183,11 @@ def main() -> None:
 
     _calib()  # compile
     calib = round(_stats.median(_calib() for _ in range(3)), 3)
+    # Reference calibration: BENCH_r08's calib_sec on the box state
+    # that produced the round-8 baseline.  Calibrated totals are
+    # raw * (CALIB_REF / calib) — i.e. "what this run would read on
+    # the r8 box" — so cross-round comparisons divide out drift.
+    CALIB_REF = 0.343
 
     # Median-of-N timing (criterion-style: the reference benches with
     # sample_size=10 and reports the distribution median).  The median
@@ -261,6 +266,9 @@ def main() -> None:
         "samples": samples,
         "sample_stat": "median",
         "calib_sec": calib,
+        "calib_ref_sec": CALIB_REF,
+        "value_calibrated": round(total * (CALIB_REF / calib), 3),
+        "r02_subset_calibrated": round(r02_total * (CALIB_REF / calib), 3),
         "annex": annex,
         "annex_slice": slice_idx,
         "annex_total": round(sum(annex.values()), 3),
