@@ -357,6 +357,29 @@ def ranked_by_count_desc(
 # bin, which no caller has needed — documented in SCALE.md.
 # ---------------------------------------------------------------------------
 
+# Bounded LRU over the range-partitioned relations the rank primitives
+# persist: each call pins one cached relation, and a long session (the
+# 303-entry driver gate, bench sample loops) would otherwise accumulate
+# them until session end.  Unpersisting an old one is SAFE for `_pid`
+# stability: its exchange already ran, so any later recompute re-reads
+# the existing shuffle files — boundaries are never resampled.
+_RP_LRU: list[DataFrame] = []
+_RP_LRU_MAX = 8
+
+
+def _persist_bounded(rp: DataFrame) -> DataFrame:
+    rp = rp.persist()
+    with _ASSET_LOCK:
+        _RP_LRU.append(rp)
+        evicted = _RP_LRU[:-_RP_LRU_MAX]
+        del _RP_LRU[:-_RP_LRU_MAX]
+    for old in evicted:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return rp
+
 
 def ranked_by_range_sort(
     df: DataFrame,
@@ -395,10 +418,10 @@ def ranked_by_range_sort(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    rp = (
-        df.repartitionByRange(n_parts, group_col, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    rp = _persist_bounded(
+        df.repartitionByRange(n_parts, group_col, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     wo = (
         Window.partitionBy(group_col)
@@ -447,10 +470,10 @@ def grouped_prefix_sum(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    rp = (
-        df.repartitionByRange(n_parts, group_col, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    rp = _persist_bounded(
+        df.repartitionByRange(n_parts, group_col, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     wo = (
         Window.partitionBy(group_col)

@@ -232,7 +232,14 @@ def generate(
 
     def write(name: str, df: DataFrame, n_parts: int) -> None:
         p = os.path.join(out_dir, f"{name}.parquet")
-        df.repartition(n_parts).write.mode("overwrite").parquet(p)
+        # coalesce, never repartition: every table is a spark.range
+        # projection (already evenly partitioned, values pure functions
+        # of key), so the only thing a full shuffle bought here was the
+        # output file count — at SF100 that shuffle spills ~2x the
+        # corpus (~70 GB) to local disk and killed the stretch probe.
+        # coalesce bounds the file count with zero shuffle I/O and
+        # leaves row values and hash-checked content identical.
+        df.coalesce(n_parts).write.mode("overwrite").parquet(p)
         paths[name] = p
 
     region = spark.createDataFrame(

@@ -856,3 +856,34 @@ def test_grouped_prefix_sum_matches_python_model(spark, rows):
     for i, g, w in data:  # data already in id order
         acc[g] = acc.get(g, 0) + w
         assert got[i] == acc[g]
+
+
+def test_rank_primitive_persist_cache_is_bounded(spark):
+    """ranked_by_range_sort/grouped_prefix_sum persist their
+    range-partitioned relation for _pid stability; the bounded LRU
+    must unpersist old ones so a long session (303-entry driver gate,
+    bench loops) never accumulates cached relations without bound.
+    Eviction is value-safe: recompute re-reads the already-written
+    shuffle files, so ranks stay exact (checked on the last call)."""
+    from risinglight_spark import operators as ops
+    from risinglight_spark.operators import ranked_by_range_sort
+
+    df = spark.createDataFrame(
+        [(i, "g", f"s{i % 7}") for i in range(40)],
+        "id BIGINT, grp STRING, s STRING",
+    )
+    for _ in range(ops._RP_LRU_MAX + 5):
+        out = ranked_by_range_sort(df, "grp", ("s", "id"), n_parts=3)
+        out.collect()
+    with ops._ASSET_LOCK:
+        assert len(ops._RP_LRU) <= ops._RP_LRU_MAX
+    n_persisted = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # other fixtures may hold memoized assets; the bound only has to
+    # cover the rank relations this test created (13 calls > MAX=8)
+    assert n_persisted <= ops._RP_LRU_MAX + 24
+    got = sorted(
+        (r["s"], r["id"], r["rn"]) for r in out.collect()
+    )
+    expect = sorted((f"s{i % 7}", i) for i in range(40))
+    for rank0, (s, i) in enumerate(expect):
+        assert (s, i, rank0 + 1) in got
