@@ -395,9 +395,37 @@ _R9_TAIL: tuple[str, ...] = (
     "streaming_dropdup_within_watermark",
 )
 
+# Entries whose Spark-side implementation was rewritten in rounds 8-9
+# (distributed-rank primitives, persist-LRU, SemDeDup hot-cell cap, KL
+# broadcast form): each was individually hash-verified at sf0.01 after
+# its rewrite, but a driver CORRECTNESS row at the CURRENT code is the
+# official record — front them right after the 6-entry tail so the
+# bounded 50-slot gate re-verifies every rewrite this round.
+_R9_RECHECK: tuple[str, ...] = (
+    "dedup_semdedup",
+    "agg_weighted_median",
+    "sample_systematic_pps",
+    "text_oov_rate",
+    "text_unigram_logprob",
+    "text_bigram_lm_score",
+    "text_dsir_importance",
+    "ml_naive_bayes_langid",
+    "sample_token_budget",
+    "pack_sequences",
+    "sample_training_order",
+    "join_fuzzy_levenshtein",
+    "text_kl_source_divergence",
+    "text_ccnet_buckets",
+    "text_quality_percentile_cut",
+    "vector_dim_variance_rank",
+    "pipeline_pretraining_e2e",
+    "vector_kmeans_train",
+)
+
 _PRIORITY: tuple[str, ...] = (
     *_R9_TAIL,
-    *(n for n in _R7_QUEUE if n not in _R9_TAIL),
+    *(n for n in _R9_RECHECK if n not in _R9_TAIL),
+    *(n for n in _R7_QUEUE if n not in _R9_TAIL and n not in _R9_RECHECK),
     *_R6_GATE,
     *_R5_GATE,
     *_R4_GATE,
