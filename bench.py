@@ -116,9 +116,14 @@ def main() -> None:
             text=True,
             timeout=10,
         ).stdout.strip() or None
+        # -uno: tracked changes only.  The driver's own untracked
+        # artifacts (BENCH_r{N}.json, CORRECTNESS_r{N}.json) are not
+        # code drift, and counting them forced git_dirty=true on every
+        # driver run for three rounds — defeating the flag's purpose of
+        # binding the measurement to a code identity.
         dirty = bool(
             subprocess.run(
-                ["git", "status", "--porcelain"],
+                ["git", "status", "--porcelain", "-uno"],
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 capture_output=True,
                 text=True,
@@ -187,7 +192,19 @@ def main() -> None:
     # that produced the round-8 baseline.  Calibrated totals are
     # raw * (CALIB_REF / calib) — i.e. "what this run would read on
     # the r8 box" — so cross-round comparisons divide out drift.
-    CALIB_REF = 0.343
+    # Read from the baseline ARTIFACT, not a hardcoded copy, so a
+    # regenerated r8 baseline can never silently diverge from the
+    # constant that claims to mirror it (ADVICE r9).
+    CALIB_REF = 0.343  # fallback if the artifact is unreadable
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_r08.json"
+            )
+        ) as f:
+            CALIB_REF = float(json.load(f)["parsed"]["calib_sec"])
+    except Exception as exc:
+        print(f"# calib ref fallback ({exc})", file=sys.stderr)
 
     # Median-of-N timing (criterion-style: the reference benches with
     # sample_size=10 and reports the distribution median).  The median
@@ -218,6 +235,16 @@ def main() -> None:
     # the count of BENCH_r*.json files the driver has recorded so far.
     annex: dict[str, float] = {}
     slice_idx = 0
+    # Entries whose single-sample annex timings tripped the 1.5x drift
+    # gate on rounds with NO code change (sub-0.5s, pure sampling
+    # noise): re-time these median-of-3 every round so the drift table
+    # compares stable statistics (VERDICT r9 item 5).
+    ANNEX_RECHECK = (
+        "subquery_scalar",
+        "text_fingerprint",
+        "vector_distance_ops",
+        "vector_quantize_int8",
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_ANNEX", "1") != "0":
         repo = os.path.dirname(os.path.abspath(__file__))
         pool = [n for n in sorted(entries) if n not in per_query]
@@ -228,12 +255,19 @@ def main() -> None:
         )
         slice_idx = n_rounds % n_slices
         chunk = pool[slice_idx * width : (slice_idx + 1) * width]
+        chunk += [
+            n for n in ANNEX_RECHECK if n in entries and n not in chunk
+        ]
         for name in chunk:
+            n_samp = 3 if name in ANNEX_RECHECK else 1
             try:
                 entries[name].fn(spark, warm_dir).collect()  # compile/warm
-                t0 = time.perf_counter()
-                entries[name].fn(spark, sf_dir).collect()
-                annex[name] = round(time.perf_counter() - t0, 3)
+                obs = []
+                for _ in range(n_samp):
+                    t0 = time.perf_counter()
+                    entries[name].fn(spark, sf_dir).collect()
+                    obs.append(time.perf_counter() - t0)
+                annex[name] = round(statistics.median(obs), 3)
                 print(f"# annex {name}: {annex[name]:.3f}s", file=sys.stderr)
             except Exception as exc:  # annex is telemetry, never fatal
                 print(f"# annex {name} failed: {exc}", file=sys.stderr)

@@ -751,6 +751,51 @@ def test_bucketed_prefix_sum_matches_python_model(spark, rows):
     assert total == acc
 
 
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            # dyadic float weights (k/8, incl. negatives): exactly
+            # representable, so the sequential Python prefix sum is the
+            # bit-exact oracle.  This is the latent path the int
+            # accumulator broke — DoubleType offsets reject Python int.
+            st.integers(min_value=-800, max_value=800),
+            st.integers(min_value=0, max_value=7),  # bucket delta (gaps)
+        ),
+        min_size=1,
+        max_size=48,
+    )
+)
+def test_bucketed_prefix_sum_float_weights(spark, rows):
+    """cw must be exact for FRACTIONAL (double) weights, including
+    negative ones: the offsets frame's schema mirrors the weight-sum
+    dtype, so the driver-side accumulator must be a float when the
+    sum is fractional (a Python int 0 raises TypeError under PySpark
+    schema verification for DoubleType)."""
+    from risinglight_spark.operators import bucketed_prefix_sum
+
+    data, bkt = [], 0
+    for i, (k, delta) in enumerate(rows):
+        bkt += delta
+        data.append((i, int(bkt), k / 8.0))
+    tag = f"hyp_ppsf_{next(_HYP_TAG)}"
+    out, total = bucketed_prefix_sum(
+        spark,
+        "/root/testdata/sf0.001",
+        tag,
+        lambda: spark.createDataFrame(data, "id BIGINT, bkt INT, w DOUBLE"),
+        "bkt",
+        ("id",),
+        "w",
+    )
+    got = {r["id"]: r["cw"] for r in out.collect()}
+    acc = 0.0
+    for i, _, w in data:  # data is already in (bkt, id) order
+        acc += w
+        assert got[i] == acc
+    assert total == acc
+
+
 score_pool = [-3.5, -1.0, 0.0, 0.25, 1.0, 7.125]  # forces tie groups
 
 
@@ -860,11 +905,18 @@ def test_grouped_prefix_sum_matches_python_model(spark, rows):
 
 def test_rank_primitive_persist_cache_is_bounded(spark):
     """ranked_by_range_sort/grouped_prefix_sum persist their
-    range-partitioned relation for _pid stability; the bounded LRU
-    must unpersist old ones so a long session (303-entry driver gate,
-    bench loops) never accumulates cached relations without bound.
-    Eviction is value-safe: recompute re-reads the already-written
-    shuffle files, so ranks stay exact (checked on the last call)."""
+    range-partitioned relation for _pid stability; the plan-keyed
+    bounded LRU must (a) dedup repeat ranking of the identical plan
+    to ONE cached relation (Spark's CacheManager keys on the analyzed
+    plan, so a second persist of the same plan shares the relation —
+    evicting by object identity would uncache a live entry), and
+    (b) unpersist old DISTINCT plans so a long session (303-entry
+    driver gate, bench loops) never accumulates cached relations
+    without bound.  Assertions use before/after DELTAS, not global
+    caps: earlier tests in a full-session run legitimately hold up to
+    _ASSET_CACHE_MAX memoized assets, so any absolute bound is
+    order-dependent (the r9 absolute assertion failed only inside the
+    full suite)."""
     from risinglight_spark import operators as ops
     from risinglight_spark.operators import ranked_by_range_sort
 
@@ -872,18 +924,38 @@ def test_rank_primitive_persist_cache_is_bounded(spark):
         [(i, "g", f"s{i % 7}") for i in range(40)],
         "id BIGINT, grp STRING, s STRING",
     )
+    # (a) repeat-identical-plan: 13 calls must pin exactly one NEW
+    # relation (plan-keyed dedup), and values must stay exact.
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     for _ in range(ops._RP_LRU_MAX + 5):
         out = ranked_by_range_sort(df, "grp", ("s", "id"), n_parts=3)
         out.collect()
-    with ops._ASSET_LOCK:
-        assert len(ops._RP_LRU) <= ops._RP_LRU_MAX
-    n_persisted = spark.sparkContext._jsc.getPersistentRDDs().size()
-    # other fixtures may hold memoized assets; the bound only has to
-    # cover the rank relations this test created (13 calls > MAX=8)
-    assert n_persisted <= ops._RP_LRU_MAX + 24
+    n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after - n_before <= 1
     got = sorted(
         (r["s"], r["id"], r["rn"]) for r in out.collect()
     )
     expect = sorted((f"s{i % 7}", i) for i in range(40))
     for rank0, (s, i) in enumerate(expect):
         assert (s, i, rank0 + 1) in got
+    # (b) distinct plans: 13 different filters -> 13 distinct analyzed
+    # plans; the LRU must evict down to _RP_LRU_MAX and the persisted
+    # delta must stay within the bound.
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for k in range(ops._RP_LRU_MAX + 5):
+        out = ranked_by_range_sort(
+            df.filter(F.col("id") < 40 - (k % 13)),
+            "grp",
+            ("s", "id"),
+            n_parts=3,
+        )
+        out.collect()
+    with ops._ASSET_LOCK:
+        assert len(ops._RP_LRU) <= ops._RP_LRU_MAX
+    n_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after - n_before <= ops._RP_LRU_MAX
+    # eviction never uncached the *repeat* relation's values: the last
+    # distinct-plan result is still exact (rn over the filtered rows).
+    rows = out.collect()
+    assert len(rows) == 40 - ((ops._RP_LRU_MAX + 4) % 13)
+    assert sorted(r["rn"] for r in rows) == list(range(1, len(rows) + 1))

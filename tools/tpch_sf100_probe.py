@@ -31,11 +31,14 @@ QUERY_DIR = "/root/reference/tests/sql/tpch"
 TABLES = (
     "region nation supplier part partsupp customer orders lineitem".split()
 )
-UI_PORT = 4058
+UI_BASE = None  # set from sc.uiWebUrl after session creation
 
 
 def _rest(app_path: str):
-    url = f"http://localhost:{UI_PORT}/api/v1/{app_path}"
+    # Derived from sc.uiWebUrl, NOT a hardcoded port: if the requested
+    # port is taken Spark silently binds port+1, and a hardcoded URL
+    # would scrape a different app's stages (ADVICE r9).
+    url = f"{UI_BASE}/api/v1/{app_path}"
     with urllib.request.urlopen(url, timeout=10) as r:
         return json.loads(r.read())
 
@@ -53,12 +56,12 @@ def main() -> None:
     from risinglight_spark.sources.dbgen import generate
     from risinglight_spark.tables import pin_semantics
 
+    want_mem = os.environ["SPARK_GRAFT_DRIVER_MEM"]
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"tpch_sf{sf:g}_probe")
-        .config("spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"])
+        .config("spark.driver.memory", want_mem)
         .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
         .config("spark.sql.shuffle.partitions", "128")
         .config("spark.sql.adaptive.enabled", "true")
         .config(
@@ -70,6 +73,18 @@ def main() -> None:
     pin_semantics(spark)
     sc = spark.sparkContext
     app_id = sc.applicationId
+    # The bounded-heap premise is void if getOrCreate() reused a
+    # pre-existing session configured differently — fail loudly.
+    got_mem = sc.getConf().get("spark.driver.memory", "<unset>")
+    if got_mem != want_mem:
+        raise SystemExit(
+            f"stale SparkSession reused: spark.driver.memory={got_mem}, "
+            f"wanted {want_mem} — stop the other session first"
+        )
+    global UI_BASE
+    UI_BASE = sc.uiWebUrl
+    if not UI_BASE:
+        raise SystemExit("Spark UI unavailable; cannot attribute spill")
 
     t0 = time.time()
     paths = generate(spark, f"/tmp/dbgen_sf{sf:g}", sf, reuse=True)
