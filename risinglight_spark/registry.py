@@ -422,14 +422,87 @@ _R9_RECHECK: tuple[str, ...] = (
     "vector_kmeans_train",
 )
 
+# Round-10 maintenance gate: lifetime driver coverage closed at
+# 303/303 in round 9, so the bounded 50-slot gate switches from
+# "never-verified first" to a STALENESS rotation — each round
+# re-confirms the 50 entries with the OLDEST prior driver row, so no
+# entry's official record ages indefinitely.  Computed by unioning
+# CORRECTNESS_r1..r9 (latest round each entry was hash-green, ties
+# broken by name): these 50 were last driver-verified in round 2
+# (the 47 relational/agg/join/window foundations) and round 3 (first
+# two ANN entries).  Regenerate next round by the same rule.
+_R10_GATE: tuple[str, ...] = (
+    "agg_bool_logical",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_hash_group",
+    "agg_having",
+    "agg_min_max_types",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_salted_skew",
+    "agg_simple",
+    "agg_sorted_key",
+    "agg_stats_library",
+    "agg_string_listagg",
+    "avg_rewrite",
+    "count_distinct",
+    "count_star_and_col",
+    "distinct_on",
+    "distinct_pair",
+    "empty_false_filter",
+    "filter_pushdown",
+    "first_last_pinned",
+    "join_anti",
+    "join_bucketed_colocated",
+    "join_cross_tiny",
+    "join_full_outer",
+    "join_hash_residual",
+    "join_inner_hash",
+    "join_lateral_topn",
+    "join_left_outer",
+    "join_nl_anti",
+    "join_nl_semi",
+    "join_nl_theta",
+    "join_right_outer",
+    "join_semi",
+    "limit_offset",
+    "merge_join",
+    "order_nulls_first",
+    "proj_expressions",
+    "scan_projected",
+    "topn",
+    "values_rows",
+    "window_lag_lead",
+    "window_partition_agg",
+    "window_rank_dense",
+    "window_row_number",
+    "window_running_sum",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+)
+
 _PRIORITY: tuple[str, ...] = (
-    *_R9_TAIL,
-    *(n for n in _R9_RECHECK if n not in _R9_TAIL),
-    *(n for n in _R7_QUEUE if n not in _R9_TAIL and n not in _R9_RECHECK),
-    *_R6_GATE,
-    *_R5_GATE,
-    *_R4_GATE,
-    *_R3_VERIFIED,
+    *_R10_GATE,
+    *(n for n in _R9_TAIL if n not in _R10_GATE),
+    *(
+        n
+        for n in _R9_RECHECK
+        if n not in _R9_TAIL and n not in _R10_GATE
+    ),
+    *(
+        n
+        for n in _R7_QUEUE
+        if n not in _R9_TAIL
+        and n not in _R9_RECHECK
+        and n not in _R10_GATE
+    ),
+    *(n for n in _R6_GATE if n not in _R10_GATE),
+    *(n for n in _R5_GATE if n not in _R10_GATE),
+    *(n for n in _R4_GATE if n not in _R10_GATE),
+    *(n for n in _R3_VERIFIED if n not in _R10_GATE),
 )
 
 

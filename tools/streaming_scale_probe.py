@@ -35,10 +35,121 @@ DEFAULT_QUERIES = (
     "streaming_chained_agg",
     "streaming_interval_join",
     "streaming_dropdup_within_watermark",
+    # the claimed 100-TB state backend: state rows must match the
+    # default provider's shape, memory must stay bounded off-heap
+    "streaming_rocksdb_state",
 )
 
 
+def eviction_probe() -> None:
+    """Two-frontier session-window eviction evidence.
+
+    The factor-N probe drains its whole fixture under ONE AvailableNow
+    run, so every event sits inside a single watermark frontier and
+    session state equals total sessions — state eviction never fires
+    (the round-9 caveat).  This mode splits events at the median ts
+    and runs the SAME append-mode session-window query twice against
+    ONE checkpoint: pass 1 ingests the early half, pass 2 adds the
+    late half, so the watermark frontier ADVANCES between drains and
+    state built in pass 1 must finalize + evict.  Evidence of
+    eviction: state rows after pass 2 << total sessions, while
+    emitted(p1) + emitted(p2) + open-state ~= total sessions (sessions
+    are never lost, only finalized out of state).  File sink (not
+    memory) because only fault-tolerant sinks support checkpoint
+    resume."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from scale_probe import BASE
+
+    from risinglight_spark.session import get_spark
+    from risinglight_spark.streaming.ops import STREAM_SESSION_GAP_MIN
+    from risinglight_spark.tables import load
+
+    spark = get_spark(app_name="streaming_eviction_probe")
+    base = "/tmp/streaming_eviction_probe"
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir, ckpt, outdir = (
+        f"{base}/stream",
+        f"{base}/ckpt",
+        f"{base}/out",
+    )
+    os.makedirs(stream_dir)
+
+    ev = load(spark, BASE, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    mid = ev.selectExpr(
+        "percentile_approx(ts, 0.5) AS m"
+    ).collect()[0]["m"]
+    ev.filter(F.col("ts") <= mid).write.parquet(f"{base}/A")
+    ev.filter(F.col("ts") > mid).write.parquet(f"{base}/B")
+    total_sessions = (
+        ev.groupBy(
+            F.session_window("ts", f"{STREAM_SESSION_GAP_MIN} minutes"),
+            "user_id",
+        )
+        .count()
+        .count()
+    )
+    schema = spark.read.parquet(f"{base}/A").schema
+
+    def run_pass(tag: str) -> tuple[int, int]:
+        sdf = spark.readStream.schema(schema).parquet(stream_dir)
+        # fixture ts round-trips as TIMESTAMP_NTZ; watermarks need
+        # TIMESTAMP, and the session tz is pinned UTC so the cast is
+        # value-preserving (same conversion as _events_stream)
+        if dict(sdf.dtypes).get("ts") == "timestamp_ntz":
+            sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            sdf.withWatermark("ts", "30 minutes")
+            .groupBy(
+                F.session_window(
+                    "ts", f"{STREAM_SESSION_GAP_MIN} minutes"
+                ).alias("w"),
+                "user_id",
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress or {}
+        state_rows = sum(
+            so.get("numRowsTotal", 0)
+            for so in prog.get("stateOperators") or []
+        )
+        emitted = spark.read.parquet(outdir).count()
+        return state_rows, emitted
+
+    for i, f in enumerate(sorted(glob.glob(f"{base}/A/part-*"))):
+        shutil.copy(f, f"{stream_dir}/a_{i}.parquet")
+    s1, e1 = run_pass("p1")
+    for i, f in enumerate(sorted(glob.glob(f"{base}/B/part-*"))):
+        shutil.copy(f, f"{stream_dir}/b_{i}.parquet")
+    s2, e2 = run_pass("p2")
+    print(f"total sessions (batch):          {total_sessions}")
+    print(f"pass1 (early half): state_rows={s1:>7} emitted_total={e1}")
+    print(f"pass2 (+late half): state_rows={s2:>7} emitted_total={e2}")
+    print(
+        f"eviction {'DEMONSTRATED' if s2 < total_sessions else 'NOT SHOWN'}:"
+        f" open state after pass 2 is {s2}/{total_sessions} sessions"
+        f" ({100.0 * s2 / max(total_sessions, 1):.1f}%)"
+    )
+
+
 def main() -> None:
+    if "--eviction" in sys.argv:
+        eviction_probe()
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     names = sys.argv[2:] or list(DEFAULT_QUERIES)
 
