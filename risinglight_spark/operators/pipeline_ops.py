@@ -1444,49 +1444,173 @@ def _knn_oracle() -> str:
     """
 
 
+def _knn_local_topk(
+    train: DataFrame,
+    test_ids,
+    test_emb,
+    test_labels,
+    dim: int,
+    k: int,
+    probe_cells: "dict | None" = None,
+) -> DataFrame:
+    """Distributed exact-kNN candidate generation: per-partition
+    vectorized top-k, then the caller's tiny global merge.
+
+    This is the standard two-phase distributed kNN: each train
+    partition scores the (bounded) test batch against its own rows in
+    one Arrow/numpy pass and emits only its local k best per test
+    vector, so the shuffle carries ``partitions x |test| x k`` rows
+    instead of the full ``|train| x |test|`` pair set — at 1000
+    executors over 100 TB that is the difference between a multi-TB
+    exchange and a few MB.  The global top-k per test is always
+    contained in the union of local top-ks because every global
+    winner is, within its own partition, among the k smallest by the
+    same total order (dist, train_id).
+
+    With ``probe_cells`` (IVF path) the train side carries a ``cell``
+    column and each partition scores a cell's rows only against the
+    tests probing that cell — the candidate pruning happens inside the
+    same Arrow pass, so there is no cell-keyed exchange (which would
+    cap parallelism at the cell count) and no broadcast-join blowup.
+
+    Bit-exactness with the DuckDB oracle: embeddings widen
+    float32 -> float64 first (exact, = CAST(x AS DOUBLE)), then the
+    distance accumulates per-dimension in index order — the same
+    IEEE-754 left fold as the oracle's ``sqrt(0.0 + d0*d0 + d1*d1 +
+    ...)``, l2_unrolled, and the zip_with/aggregate fold: one rounding
+    per op in the same sequence, so distances (and therefore
+    tie-ranks) are bit-identical doubles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tids = np.asarray(test_ids, dtype=np.int64)
+    temb = np.asarray(test_emb, dtype=np.float64)
+    tlab = np.asarray(test_labels, dtype=np.int64)
+
+    def score_group(out, cemb, tid, lab, tsel):
+        m = cemb.shape[0]
+        tsub = temb[tsel]
+        acc = np.zeros((m, tsub.shape[0]), dtype=np.float64)
+        for i in range(dim):
+            diff = cemb[:, i : i + 1] - tsub[:, i]
+            acc += diff * diff
+        dist = np.sqrt(acc)
+        kk = min(k, m)
+        for jj, j in enumerate(tsel):
+            col = dist[:, jj]
+            if m > kk:
+                # argpartition gives kk smallest by dist; widen to
+                # every row tied with the boundary so tie-breaking
+                # on train_id can never drop a true local winner.
+                idx = np.argpartition(col, kk - 1)[:kk]
+                cand = np.nonzero(col <= col[idx].max())[0]
+            else:
+                cand = np.arange(m)
+            sel = cand[np.lexsort((tid[cand], col[cand]))[:kk]]
+            out["test_id"].extend([tids[j]] * len(sel))
+            out["true_label"].extend([tlab[j]] * len(sel))
+            out["train_id"].extend(tid[sel])
+            out["dist"].extend(col[sel])
+            out["nn_label"].extend(lab[sel])
+
+    all_tests = np.arange(temb.shape[0])
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "test_id": [],
+                "true_label": [],
+                "train_id": [],
+                "dist": [],
+                "nn_label": [],
+            }
+            if probe_cells is None:
+                cemb = np.asarray(
+                    np.stack(pdf["c_emb"].to_numpy()), dtype=np.float64
+                )
+                score_group(
+                    out,
+                    cemb,
+                    pdf["train_id"].to_numpy(),
+                    pdf["nn_label"].to_numpy(),
+                    all_tests,
+                )
+            else:
+                for cell, grp in pdf.groupby("cell", sort=False):
+                    tsel = probe_cells.get(int(cell))
+                    if tsel is None or len(tsel) == 0:
+                        continue
+                    cemb = np.asarray(
+                        np.stack(grp["c_emb"].to_numpy()), dtype=np.float64
+                    )
+                    score_group(
+                        out,
+                        cemb,
+                        grp["train_id"].to_numpy(),
+                        grp["nn_label"].to_numpy(),
+                        tsel,
+                    )
+            if out["test_id"]:
+                # all-empty lists build object-dtype columns Arrow
+                # can't cast to the declared schema — skip the batch
+                yield pd.DataFrame(out)
+
+    return train.mapInPandas(
+        part,
+        schema="test_id long, true_label int, train_id long, "
+        "dist double, nn_label int",
+    )
+
+
 @register(
     "ml_knn_eval",
     oracle=_knn_oracle(),
     doc=f"kNN classifier evaluation (k={KNN_K}, exact L2) on the "
     "labeled embedding corpus: deterministic hash split (vec_id % "
-    f"{KNN_TEST_MOD}), each test vector scores against the train side "
-    "in one scan with a codegen'd distance fold, majority vote with a "
-    "portable integer argmax key — per-label accuracy out.  The test "
-    "batch broadcasts (bounded by construction); ranking windows on "
-    "test_id.  At 100 TB the train side is LSH/IVF bucket-pruned "
-    "first (ann_lsh_bucketed shape) — the scoring join and vote "
-    "rollup are unchanged.  Ties break on (distance, vec_id): "
-    "bit-identical doubles on both engines, so the ranking is too.",
+    f"{KNN_TEST_MOD}), two-phase distributed scoring — each train "
+    "partition emits its local top-k per test vector from one "
+    "vectorized Arrow pass (_knn_local_topk), a tiny global window "
+    "merges them — then majority vote with a portable integer argmax "
+    "key, per-label accuracy out.  The test batch is the broadcast "
+    "payload (bounded by construction, KNN_TEST_CAP at scale); the "
+    "shuffle carries partitions x |test| x k candidate rows, never "
+    "the |train| x |test| pair set.  Ties break on (distance, "
+    "vec_id): distances are bit-identical doubles on both engines "
+    "(same float64 left fold), so the ranking is too.",
 )
 def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from risinglight_spark.operators.vector_search import DIM
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    test = emb.filter(F.col("vec_id") % KNN_TEST_MOD == 0).select(
-        F.col("vec_id").alias("test_id"),
-        F.col("embedding").alias("t_emb"),
-        F.col("label").alias("true_label"),
+    # The bounded eval batch (same payload the broadcast variant ships
+    # to every executor — a driver copy of it is the same memory class).
+    test_pdf = (
+        emb.filter(F.col("vec_id") % KNN_TEST_MOD == 0)
+        .select("vec_id", "embedding", "label")
+        .toPandas()
     )
+    import numpy as np
+
     train = emb.filter(F.col("vec_id") % KNN_TEST_MOD != 0).select(
         F.col("vec_id").alias("train_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("nn_label"),
     )
-    # Unrolled flat chain (0.0 + t0 + t1 + ...): the zip_with/aggregate
-    # fold is interpreted — measured 8.1s -> 2.9s at sf0.1 for this
-    # broadcast-NL join.  (NOT a universal win: the same unrolling made
-    # the shuffle-join dedup pair scans 2.5x SLOWER — A/B before
-    # switching any hot path.)  Left-fold order matches the oracle SQL.
-    from risinglight_spark.functions.vector import l2_unrolled
-
-    d = l2_unrolled(F.col("t_emb"), F.col("c_emb"), DIM)
+    cand = _knn_local_topk(
+        train,
+        test_pdf["vec_id"].to_numpy(),
+        np.stack(test_pdf["embedding"].to_numpy()),
+        test_pdf["label"].to_numpy(),
+        DIM,
+        KNN_K,
+    )
     w = Window.partitionBy("test_id").orderBy("dist", "train_id")
-    top = (
-        train.crossJoin(F.broadcast(test))
-        .select("test_id", "true_label", "nn_label", "train_id", d.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
+    top = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_K
     )
     votes = top.groupBy("test_id", "true_label", "nn_label").agg(
         F.count("*").alias("v")
@@ -1652,7 +1776,8 @@ def _knn_ivf_oracle() -> str:
     "ties order-pinned as everywhere else.",
 )
 def ml_knn_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.functions.vector import l2_distance, l2_unrolled
+    import numpy as np
+
     from risinglight_spark.operators.vector_search import (
         DIM,
         ivf_assign_cached,
@@ -1661,14 +1786,21 @@ def ml_knn_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    test = emb.filter(
-        (F.col("vec_id") % KNN_TEST_MOD == 0)
-        & (F.col("vec_id") <= KNN_TEST_CAP)
-    ).select(
-        F.col("vec_id").alias("test_id"),
-        F.col("embedding").alias("t_emb"),
-        F.col("label").alias("true_label"),
+    # Bounded eval batch (KNN_TEST_CAP) — the same payload the scoring
+    # pass ships to every executor in its closure.
+    test_pdf = (
+        emb.filter(
+            (F.col("vec_id") % KNN_TEST_MOD == 0)
+            & (F.col("vec_id") <= KNN_TEST_CAP)
+        )
+        .select("vec_id", "embedding", "label")
+        .toPandas()
     )
+    test_ids = test_pdf["vec_id"].to_numpy()
+    temb64 = np.asarray(
+        np.stack(test_pdf["embedding"].to_numpy()), dtype=np.float64
+    )
+    test_labels = test_pdf["label"].to_numpy()
     train = (
         emb.filter(F.col("vec_id") % KNN_TEST_MOD != 0)
         .join(ivf_assign_cached(spark, sf_dir), "vec_id")
@@ -1679,36 +1811,47 @@ def ml_knn_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
         )
     )
-    cents = ivf_centroids_cached(spark, sf_dir)
-    cvecs = cents.select(
-        "cell", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("cvec")
+    # Probe assignment runs where both operands already live: the test
+    # batch (bounded) against the centroid asset (driver-sized by
+    # construction — it IS the broadcast table in every other IVF op).
+    # Same float64 left fold as the oracle's sqrt(0.0 + ...) chain, so
+    # probed cells match bit-exactly; ties order by (dist, cell).
+    cents_pdf = ivf_centroids_cached(spark, sf_dir).toPandas()
+    cell_ids = cents_pdf["cell"].to_numpy()
+    cmat = cents_pdf[[f"c{i}" for i in range(DIM)]].to_numpy(
+        dtype=np.float64
     )
-    wp = Window.partitionBy("test_id").orderBy("cd", "cell")
-    probes = (
-        test.crossJoin(F.broadcast(cvecs))
-        .select(
-            "test_id",
-            "cell",
-            l2_distance(F.col("t_emb"), F.col("cvec")).alias("cd"),
-        )
-        .withColumn("crn", F.row_number().over(wp))
-        .filter(F.col("crn") <= KNN_NPROBE)
-        .select("test_id", "cell")
+    cd = np.zeros((temb64.shape[0], cmat.shape[0]), dtype=np.float64)
+    for i in range(DIM):
+        diff = temb64[:, i : i + 1] - cmat[:, i]
+        cd += diff * diff
+    cd = np.sqrt(cd)
+    probe_cells: dict[int, list] = {}
+    nprobe = min(KNN_NPROBE, cmat.shape[0])
+    for j in range(temb64.shape[0]):
+        order = np.lexsort((cell_ids, cd[j]))[:nprobe]
+        for c in cell_ids[order]:
+            probe_cells.setdefault(int(c), []).append(j)
+    probe_cells = {
+        c: np.asarray(v, dtype=np.int64) for c, v in probe_cells.items()
+    }
+    # Cell-pruned scoring in one Arrow pass (see _knn_local_topk): the
+    # train scan stays partition-parallel — no cell-keyed exchange
+    # (which would cap parallelism at the cell count), no
+    # |test x probe| broadcast-join blowup — and the shuffle carries
+    # only partitions x |test| x k candidates into the global merge.
+    cand = _knn_local_topk(
+        train,
+        test_ids,
+        temb64,
+        test_labels,
+        DIM,
+        KNN_K,
+        probe_cells=probe_cells,
     )
-    d = l2_unrolled(F.col("t_emb"), F.col("c_emb"), DIM)
     w = Window.partitionBy("test_id").orderBy("dist", "train_id")
-    # Broadcast the (bounded) probe batch and hash-join it map-side:
-    # a shuffle join keyed on `cell` would cap parallelism at the cell
-    # count (10 tasks at any scale); broadcasting keeps the train scan
-    # partition-parallel while still pruning candidates to the probed
-    # cells (~nprobe/cells of the corpus).
-    topk = (
-        train.join(F.broadcast(probes.join(test, "test_id")), "cell")
-        .select(
-            "test_id", "true_label", "nn_label", "train_id", d.alias("dist")
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
+    topk = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_K
     )
     votes = topk.groupBy("test_id", "true_label", "nn_label").agg(
         F.count("*").alias("v")
@@ -1730,14 +1873,24 @@ def ml_knn_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never re-runs the brute-force scan.
     from risinglight_spark.operators import _cached_persisted
 
-    audit = test.filter(F.col("test_id") % KNN_AUDIT_MOD == 0)
+    audit_mask = test_ids % KNN_AUDIT_MOD == 0
+    audit = spark.createDataFrame(
+        test_pdf[audit_mask][["vec_id", "label"]].rename(
+            columns={"vec_id": "test_id", "label": "true_label"}
+        )
+    )
     we = Window.partitionBy("test_id").orderBy("dist", "train_id")
 
     def build_ground_truth() -> DataFrame:
         return (
-            train.drop("cell")
-            .crossJoin(F.broadcast(audit))
-            .select("test_id", "train_id", d.alias("dist"))
+            _knn_local_topk(
+                train,
+                test_ids[audit_mask],
+                temb64[audit_mask],
+                test_labels[audit_mask],
+                DIM,
+                KNN_K,
+            )
             .withColumn("rn", F.row_number().over(we))
             .filter(F.col("rn") <= KNN_K)
             .select("test_id", "train_id")

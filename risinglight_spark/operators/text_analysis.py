@@ -1230,6 +1230,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("nbg").alias("nc"))
     )
+    # Fold the context counts INTO the model (a model-sized join: both
+    # sides are (bigram|context, count) tables) so the corpus-sized
+    # bigram stream is shuffled once on bg — joining cfreq onto the
+    # stream separately would re-shuffle the whole stream on w1, a
+    # second full exchange that at 100 TB doubles the job's network
+    # cost for a value derivable model-side.
+    model = bfreq.withColumn("w1", w1).join(cfreq, "w1")
     neg_ln = F.round(
         -F.log(
             (F.col("nbg") + F.lit(1.0))
@@ -1238,9 +1245,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     )
     return (
-        big.join(bfreq, "bg")
-        .withColumn("w1", w1)
-        .join(cfreq, "w1")
+        big.join(model.select("bg", "nbg", "nc"), "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

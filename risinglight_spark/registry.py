@@ -484,8 +484,20 @@ _R10_GATE: tuple[str, ...] = (
     "ann_lsh_bucketed",
 )
 
+# Entries whose implementations were rewritten in round 10 (two-phase
+# local-top-k kNN scoring; bigram context counts folded into the
+# model): front them so the official driver record reflects the code
+# as it stands, same policy as _R9_RECHECK.  The three staleness slots
+# they displace rotate back in next round.
+_R10_RECHECK: tuple[str, ...] = (
+    "ml_knn_eval",
+    "ml_knn_eval_ivf",
+    "text_bigram_lm_score",
+)
+
 _PRIORITY: tuple[str, ...] = (
-    *_R10_GATE,
+    *_R10_RECHECK,
+    *(n for n in _R10_GATE if n not in _R10_RECHECK),
     *(n for n in _R9_TAIL if n not in _R10_GATE),
     *(
         n

@@ -611,12 +611,16 @@ def test_dsir_model_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_knn_test_batch_broadcasts(spark, sf_dir):
-    # The held-out test split is the bounded side of the scoring join:
-    # it must broadcast so the train corpus scans in place.
+def test_knn_scoring_is_local_topk(spark, sf_dir):
+    # Two-phase distributed kNN: the bounded test batch ships in the
+    # Arrow pass's closure and each train partition emits only its
+    # local top-k, so the plan has exactly one Python stage over the
+    # train scan, no pair-set exchange before it, and no cartesian.
     plan = _plan(spark, sf_dir, "ml_knn_eval")
-    assert "Broadcast" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+    pre_python = plan.split("MapInPandas", 1)[-1]
+    assert "Exchange" not in pre_python.split("Scan", 1)[0]
 
 
 def test_dup_ngram_span_join_is_keyed(spark, sf_dir):
