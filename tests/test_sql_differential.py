@@ -310,6 +310,65 @@ def test_self_join_differential(fuzz_env):
         _run_both(fuzz_env, sql)
 
 
+def test_window_function_differential(fuzz_env):
+    # deterministic frames only: partition by the group key, order by
+    # the unique rid — cross-engine window semantics agree when the
+    # ordering is total, which is the discipline every registry window
+    # entry already follows.
+    rng = random.Random(SEED + 5)
+    for _ in range(N_PER_SHAPE // 2):
+        wfns = [
+            "row_number() OVER (PARTITION BY g ORDER BY rid) AS w0",
+            # nullable sort keys carry an explicit NULLS FIRST (the
+            # reference's ASC default, operators/relational.py order):
+            # Spark defaults ASC to NULLS FIRST, DuckDB to NULLS LAST —
+            # caught by the deep run as a rank() divergence on i2.
+            f"rank() OVER (PARTITION BY g ORDER BY {rng.choice(['i2', 'g'])} NULLS FIRST, rid) AS w1",
+            f"CAST(sum({int_expr(rng)}) OVER (PARTITION BY g ORDER BY rid) AS BIGINT) AS w2",
+            f"lag({rng.choice(['i1', 's1'])}, 1) OVER (PARTITION BY g ORDER BY rid) AS w3",
+            f"lead(rid, {rng.randint(1, 2)}) OVER (ORDER BY rid) AS w4",
+            f"CAST(count(*) OVER (PARTITION BY g ORDER BY rid "
+            f"ROWS BETWEEN {rng.randint(1, 3)} PRECEDING AND CURRENT ROW) AS BIGINT) AS w5",
+            f"min({int_expr(rng)}) OVER (PARTITION BY g) AS w6",
+        ]
+        sql = (
+            f"SELECT rid, {', '.join(rng.sample(wfns, rng.randint(2, 4)))} "
+            f"FROM fz WHERE {bool_expr(rng)}"
+        )
+        _run_both(fuzz_env, sql)
+
+
+def test_subquery_differential(fuzz_env):
+    rng = random.Random(SEED + 6)
+    for _ in range(N_PER_SHAPE // 2):
+        kind = rng.randrange(4)
+        if kind == 0:  # correlated EXISTS
+            sql = (
+                f"SELECT rid, i1 FROM fz o WHERE "
+                f"{rng.choice(['', 'NOT '])}EXISTS (SELECT 1 FROM fz i "
+                f"WHERE i.g = o.g AND i.rid <> o.rid AND "
+                f"{bool_expr(rng).replace('i1', 'i.i1').replace('s1', 'i.s1')})"
+            )
+        elif kind == 1:  # uncorrelated IN subquery
+            sql = (
+                f"SELECT rid, g FROM fz WHERE i2 IN "
+                f"(SELECT i2 FROM fz WHERE {bool_expr(rng)})"
+            )
+        elif kind == 2:  # scalar subquery in projection
+            sql = (
+                f"SELECT rid, CAST((SELECT max(i1) FROM fz WHERE "
+                f"{bool_expr(rng)}) AS BIGINT) AS c0 FROM fz "
+                f"WHERE g = {rng.randint(0, 4)}"
+            )
+        else:  # correlated scalar aggregate
+            sql = (
+                f"SELECT o.rid, CAST((SELECT count(*) FROM fz i "
+                f"WHERE i.g = o.g AND i.rid < o.rid) AS BIGINT) AS c0 "
+                f"FROM fz o WHERE {bool_expr(rng).replace('i1', 'o.i1')}"
+            )
+        _run_both(fuzz_env, sql)
+
+
 def test_dialect_executor_differential(fuzz_env, tmp_path):
     """Same grammar, but SELECTs routed through the reference-dialect
     executor (StatementExecutor.execute_query -> rewrite_query ->
