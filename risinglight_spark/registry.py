@@ -485,14 +485,16 @@ _R10_GATE: tuple[str, ...] = (
 )
 
 # Entries whose implementations were rewritten in round 10 (two-phase
-# local-top-k kNN scoring; bigram context counts folded into the
-# model): front them so the official driver record reflects the code
-# as it stands, same policy as _R9_RECHECK.  The three staleness slots
-# they displace rotate back in next round.
+# local-top-k kNN scoring; bigram-LM and DSIR models turned into
+# memoized index assets): front them so the official driver record
+# reflects the code as it stands, same policy as _R9_RECHECK.  The
+# staleness slots they displace rotate back in next round.
 _R10_RECHECK: tuple[str, ...] = (
     "ml_knn_eval",
     "ml_knn_eval_ivf",
     "text_bigram_lm_score",
+    "text_dsir_importance",
+    "sample_dsir_resample",
 )
 
 _PRIORITY: tuple[str, ...] = (
