@@ -369,6 +369,40 @@ def test_subquery_differential(fuzz_env):
         _run_both(fuzz_env, sql)
 
 
+def test_setop_differential(fuzz_env):
+    rng = random.Random(SEED + 7)
+    for _ in range(N_PER_SHAPE // 2):
+        op = rng.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+        )
+        cols = rng.choice(["g, i2", "g, s1", "i1, i2"])
+        sql = (
+            f"SELECT {cols} FROM fz WHERE {bool_expr(rng)} "
+            f"{op} "
+            f"SELECT {cols} FROM fz WHERE {bool_expr(rng)}"
+        )
+        _run_both(fuzz_env, sql)
+
+
+def test_orderby_limit_differential(fuzz_env):
+    # LIMIT under a TOTAL order (explicit NULLS direction + unique rid
+    # tie-break) selects the identical row set on both engines; the
+    # normalized-multiset compare then checks the set, not the order.
+    rng = random.Random(SEED + 8)
+    for _ in range(N_PER_SHAPE // 2):
+        direction = rng.choice(
+            ["ASC NULLS FIRST", "DESC NULLS LAST"]
+        )
+        sql = (
+            f"SELECT rid, CAST({int_expr(rng)} AS BIGINT) AS c0, "
+            f"{str_expr(rng)} AS c2 "
+            f"FROM fz WHERE {bool_expr(rng)} "
+            f"ORDER BY c0 {direction}, c2 {direction}, rid "
+            f"LIMIT {rng.randint(1, 20)}"
+        )
+        _run_both(fuzz_env, sql)
+
+
 def test_dialect_executor_differential(fuzz_env, tmp_path):
     """Same grammar, but SELECTs routed through the reference-dialect
     executor (StatementExecutor.execute_query -> rewrite_query ->
