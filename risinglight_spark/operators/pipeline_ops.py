@@ -220,6 +220,79 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_oracle()}) j
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    all_docs AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sizes AS (
+      SELECT component, count(*) AS cluster_size
+      FROM all_docs GROUP BY component
+    )
+    SELECT a.doc_id, a.component, s.cluster_size,
+           round(CAST(1.0 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE), 8)
+               AS soft_weight
+    FROM all_docs a JOIN sizes s USING (component)
+    """,
+    doc="Soft deduplication (the SoftDedup recipe, He et al. 2024): "
+    "instead of DROPPING near-duplicates, every document gets a "
+    "sampling weight of 1/cluster_size, so each dup cluster "
+    "contributes one document's worth of expected training mass while "
+    "no text is discarded — the reweighting alternative when hard "
+    "dedup is too lossy (sum of weights == number of clusters, "
+    "singletons keep weight 1.0).  Pure composition of verified "
+    "blocks: the Jaccard pair graph closes into components (shared "
+    "min-label propagation, O(diameter) rounds), one component-keyed "
+    "size rollup (map-side combinable), one keyed join back — no new "
+    "shuffle shapes, and at 100 TB the weights column rides along the "
+    "same write the hard-dedup keep/drop decision would.",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _propagate_min_labels(pairs)
+    comp = (
+        t.documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.round(
+            F.lit(1.0) / F.col("cluster_size").cast("double"), 8
+        ).alias("soft_weight"),
+    )
+
+
 # -- sequence packing -------------------------------------------------------
 
 CHUNK_TOKENS = 256
@@ -827,6 +900,124 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn")
         )
         .filter(F.col("rn") <= GROUP_SAMPLE_K)
+    )
+
+
+# -- D4-style cluster-balanced sampling ---------------------------------------
+
+D4_BUDGET = 600  # total vectors selected across all clusters
+_D4_RSCALE = 100_000_000  # sqrt(size) fixed-point scale for exact quota math
+
+
+def _d4_oracle() -> str:
+    from risinglight_spark.operators.vector_search import (
+        DIM,
+        _centroid_cols_sql,
+    )
+
+    adist = "0.0 + " + " + ".join(
+        f"(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        f"*(CAST(e.embedding[{i+1}] AS DOUBLE) - c.c{i})"
+        for i in range(DIM)
+    )
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT label AS cell, {_centroid_cols_sql()}
+      FROM embeddings GROUP BY label
+    ),
+    assign AS MATERIALIZED (
+      SELECT e.vec_id, (array_agg(c.cell ORDER BY sqrt({adist}), c.cell))[1]
+               AS cell
+      FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id
+    ),
+    sizes AS (
+      SELECT cell, count(*) AS n_cluster,
+             CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * {_D4_RSCALE}.0, 0)
+                  AS BIGINT) AS r
+      FROM assign GROUP BY cell
+    ),
+    quotas AS (
+      SELECT cell, n_cluster,
+             least(n_cluster, greatest(1, CAST(floor(
+               {D4_BUDGET}.0 * CAST(r AS DOUBLE)
+               / (SELECT CAST(sum(r) AS DOUBLE) FROM sizes)
+             ) AS BIGINT))) AS quota
+      FROM sizes
+    ),
+    ranked AS (
+      SELECT a.vec_id, a.cell,
+             row_number() OVER (
+               PARTITION BY a.cell
+               ORDER BY {T.char_hash_sql("CAST(a.vec_id AS VARCHAR)")},
+                        a.vec_id
+             ) AS rn
+      FROM assign a
+    )
+    SELECT r.vec_id, r.cell, q.n_cluster, q.quota
+    FROM ranked r JOIN quotas q USING (cell)
+    WHERE r.rn <= q.quota
+    """
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=_d4_oracle(),
+    doc=f"Cluster-balanced diversified sampling (the D4 recipe, "
+    "Tirumala et al. 2023: de-duplicate, embed, CLUSTER, then sample "
+    "ACROSS clusters instead of iid): per-cluster quotas proportional "
+    f"to sqrt(cluster size) under a global budget of {D4_BUDGET}, so "
+    "mega-clusters (boilerplate-heavy regions of embedding space) are "
+    "down-weighted and tail clusters keep representation — the "
+    "diversification that iid sampling cannot give.  Reuses the "
+    "memoized IVF assets as the clustering (centroids + argmin "
+    "assignment, vector_search.py — train once, sample many); quota "
+    "math is exact on both engines (sqrt fixed-pointed to int64 "
+    "before the sum, one float64 division, floor); within-cluster "
+    "selection ranks by the portable hash(vec_id) — a pure function "
+    "of ids, reproducible on any cluster size — via "
+    "ranked_by_range_sort, so the rank stays partition-parallel and "
+    "no cluster funnels through one task regardless of skew.  At "
+    "100 TB: assignment is the stored index, quotas are a "
+    "cells-sized table, selection is one range-partitioned pass.",
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from risinglight_spark.operators import ranked_by_range_sort
+    from risinglight_spark.operators.vector_search import ivf_assign_cached
+
+    assign = ivf_assign_cached(spark, sf_dir)
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("n_cluster"))
+    r = F.round(
+        F.sqrt(F.col("n_cluster").cast("double")) * _D4_RSCALE, 0
+    ).cast("long")
+    w = Window.partitionBy()
+    quotas = (
+        sizes.withColumn("r", r)
+        .select(
+            "cell",
+            "n_cluster",
+            F.least(
+                F.col("n_cluster"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(
+                        F.lit(float(D4_BUDGET))
+                        * F.col("r").cast("double")
+                        / F.sum("r").over(w).cast("double")
+                    ).cast("long"),
+                ),
+            ).alias("quota"),
+        )
+    )
+    tk = T.char_hash(F.col("vec_id").cast("string"))
+    ranked = ranked_by_range_sort(
+        assign.withColumn("tk", tk), "cell", ("tk", "vec_id")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "cell")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("vec_id", "cell", "n_cluster", "quota")
     )
 
 

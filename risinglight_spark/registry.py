@@ -495,6 +495,11 @@ _R10_RECHECK: tuple[str, ...] = (
     "text_bigram_lm_score",
     "text_dsir_importance",
     "sample_dsir_resample",
+    # new in round 10 (never driver-verified): D4 cluster-balanced
+    # sampling over the memoized IVF clustering assets, and SoftDedup
+    # duplication-degree reweighting over the CC closure
+    "sample_cluster_balanced",
+    "dedup_soft_weights",
 )
 
 _PRIORITY: tuple[str, ...] = (
