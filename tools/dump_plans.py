@@ -56,16 +56,20 @@ FLAGSHIPS = [
     ),
     (
         "text_dsir_importance",
-        "The 512-row hashed-unigram model is on the build side of a "
+        "The 512-row hashed-unigram model is a memoized asset "
+        "(InMemoryTableScan, round 10) on the build side of a "
         "BroadcastHashJoin — the exploded token stream never shuffles "
-        "for scoring; the only exchanges are the bucket-count rollup "
-        "and the per-doc rollup, both with partial aggregation.",
+        "for scoring, and steady-state calls skip the model-training "
+        "pass; the only exchange left is the per-doc rollup with "
+        "partial aggregation.",
     ),
     (
         "ml_knn_eval",
-        "The bounded test batch broadcasts (BroadcastNestedLoopJoin); "
-        "the train corpus scans once with the unrolled codegen distance "
-        "chain; ranking windows on test_id only.",
+        "Two-phase distributed kNN (round 10): one MapInPandas over "
+        "the train scan with NO exchange below it (the bounded test "
+        "batch ships in the Arrow pass's closure); each partition "
+        "emits its local top-k, so the only exchanges are the tiny "
+        "candidate merge window and the vote rollups.",
     ),
     (
         "events_scd2_history",
@@ -110,10 +114,11 @@ FLAGSHIPS = [
     ),
     (
         "ml_knn_eval_ivf",
-        "Bucketed eval (round 6): the probe batch broadcasts and the "
-        "train scan stays partition-parallel (a cell-keyed shuffle "
-        "join would cap parallelism at the cell count); candidate "
-        "ranking windows are keyed on test_id.",
+        "Bucketed eval (round 10 shape): cell pruning happens INSIDE "
+        "the local-top-k Arrow pass (probe map in the closure, "
+        "computed driver-side from the centroid asset) — no cell-keyed "
+        "exchange, no probe-batch broadcast join; the train scan stays "
+        "partition-parallel and only candidates shuffle.",
     ),
     (
         "ann_ivf_incremental_upsert",
