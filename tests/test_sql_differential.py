@@ -266,6 +266,33 @@ def test_projection_filter_differential(fuzz_env):
         _run_both(fuzz_env, sql)
 
 
+def test_cte_nesting_differential(fuzz_env):
+    # a two-level CTE chain: stage 1 projects computed columns under a
+    # filter, stage 2 filters/aggregates over stage 1's outputs, the
+    # outer query reads stage 2 — exercising name resolution and
+    # optimizer flattening across WITH boundaries.
+    rng = random.Random(SEED + 9)
+    for _ in range(N_PER_SHAPE // 2):
+        agg = rng.random() < 0.5
+        outer = (
+            "SELECT g2, count(*) AS a0, CAST(sum(k0) AS BIGINT) AS a1 "
+            "FROM t2 GROUP BY g2"
+            if agg
+            else "SELECT rid, g2, k0 FROM t2 WHERE k0 IS NOT NULL"
+        )
+        sql = (
+            f"WITH t1 AS ("
+            f"  SELECT rid, g, CAST({int_expr(rng)} AS BIGINT) AS k0,"
+            f"         {str_expr(rng)} AS k1"
+            f"  FROM fz WHERE {bool_expr(rng)}"
+            f"), t2 AS ("
+            f"  SELECT rid, (g + length(k1)) AS g2, k0 FROM t1"
+            f"  WHERE {rng.choice(['k0 >= 0', 'k0 < 0', 'k1 <> chr(7)'])}"
+            f") {outer}"
+        )
+        _run_both(fuzz_env, sql)
+
+
 def test_grouped_aggregate_differential(fuzz_env):
     rng = random.Random(SEED + 2)
     for _ in range(N_PER_SHAPE):
