@@ -502,27 +502,98 @@ _R10_RECHECK: tuple[str, ...] = (
     "dedup_soft_weights",
 )
 
-_PRIORITY: tuple[str, ...] = (
-    *_R10_RECHECK,
-    *(n for n in _R10_GATE if n not in _R10_RECHECK),
-    *(n for n in _R9_TAIL if n not in _R10_GATE),
-    *(
-        n
-        for n in _R9_RECHECK
-        if n not in _R9_TAIL and n not in _R10_GATE
-    ),
-    *(
-        n
-        for n in _R7_QUEUE
-        if n not in _R9_TAIL
-        and n not in _R9_RECHECK
-        and n not in _R10_GATE
-    ),
-    *(n for n in _R6_GATE if n not in _R10_GATE),
-    *(n for n in _R5_GATE if n not in _R10_GATE),
-    *(n for n in _R4_GATE if n not in _R10_GATE),
-    *(n for n in _R3_VERIFIED if n not in _R10_GATE),
+# Round-11 recheck: the only two registry entries whose official driver
+# row predates their current implementation — both were rewritten in
+# round 10 (commit 38bcd7a: IVF probe argmin moved driver-side over the
+# cached centroid asset; the PQ query LUT memoized) but were left out of
+# _R10_RECHECK.  Fronting them restores the "every rewrite has a driver
+# row at current code" invariant kept since round 9.
+_R11_RECHECK: tuple[str, ...] = (
+    "ann_ivf_pq_search",
+    "ann_pq_adc_topk",
 )
+
+# Round-11 staleness rotation: the 48 entries with the OLDEST prior
+# driver row (unioning CORRECTNESS_r1..r10; latest hash-green round per
+# entry, ties broken by name): the 5 round-2 window entries that missed
+# the bounded round-10 gate, then 43 of the 48 round-3 entries (TPC-H
+# q1-q22 minus q7/q8/q9, the dedup family, text miners, events).  The
+# 5 round-3 leftovers (tpch_q7/q8/q9, vector_distance_ops,
+# vector_l2_topk) head next round's rotation.
+_R11_GATE: tuple[str, ...] = (
+    "window_lag_lead",
+    "window_partition_agg",
+    "window_rank_dense",
+    "window_row_number",
+    "window_running_sum",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_contained",
+    "events_asof_join",
+    "events_range_join",
+    "events_sessionization",
+    "events_tumbling_window",
+    "pipeline_clean_corpus",
+    "semantic_search_e2e",
+    "text_bm25_topk",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_line_dedup_c4",
+    "text_quality_scores",
+    "text_token_counts",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+)
+
+# First-occurrence dedupe at construction: earlier rounds' comprehension
+# filters let 17 duplicate names slip in (they only worked because
+# collect() dedupes via dict first-occurrence).  dict.fromkeys makes a
+# duplicate structurally impossible, so the 50-slot gate boundary can
+# never silently shift again.
+_PRIORITY: tuple[str, ...] = tuple(
+    dict.fromkeys(
+        (
+            *_R11_RECHECK,
+            *_R11_GATE,
+            *_R10_RECHECK,
+            *_R10_GATE,
+            *_R9_TAIL,
+            *_R9_RECHECK,
+            *_R7_QUEUE,
+            *_R6_GATE,
+            *_R5_GATE,
+            *_R4_GATE,
+            *_R3_VERIFIED,
+        )
+    )
+)
+assert len(set(_PRIORITY)) == len(_PRIORITY)
 
 
 def collect() -> dict[str, QueryEntry]:
