@@ -387,6 +387,22 @@ _RP_LRU: "OrderedDict[tuple[str, int], DataFrame]" = OrderedDict()
 _RP_LRU_MAX = 8
 
 
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """Semantic plan equality via Catalyst's own sameResult (the check
+    Spark's CacheManager uses) — guards the 32-bit semanticHash key
+    against a collision silently returning the WRONG cached relation
+    (wrong ranks, no error).  Falls back to trusting the hash if the
+    internal API is unavailable."""
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return True
+
+
 def _persist_bounded(rp: DataFrame) -> DataFrame:
     try:
         key = (
@@ -399,17 +415,26 @@ def _persist_bounded(rp: DataFrame) -> DataFrame:
         hit = _RP_LRU.get(key)
         if hit is not None:
             _RP_LRU.move_to_end(key)
+    if hit is not None:
+        if _same_plan(hit, rp):
             return hit
+        # semanticHash collision (~2^-32 per pair): persist fresh and
+        # leave the cache entry alone — the colliding plan may still
+        # have live holders; this call just pays one uncached persist.
+        return rp.persist()
     rp = rp.persist()
     evicted: list[DataFrame] = []
     with _ASSET_LOCK:
         race = _RP_LRU.get(key)
-        if race is not None:
+        if race is not None and _same_plan(race, rp):
             # concurrent insert of the same plan: persist() above pinned
             # the SAME InMemoryRelation, so returning the racer needs no
             # compensating unpersist.
             _RP_LRU.move_to_end(key)
             return race
+        if race is not None:
+            # hash collision raced in first: keep ours uncached.
+            return rp
         _RP_LRU[key] = rp
         while len(_RP_LRU) > _RP_LRU_MAX:
             _, old = _RP_LRU.popitem(last=False)
@@ -451,8 +476,12 @@ def ranked_by_range_sort(
     into two shuffles with different boundaries (which would silently
     mis-rank if `spark.sql.exchange.reuse` were off or AQE re-planned
     one branch).  The broadcast build side populates the cache before
-    the probe stage runs; eviction recompute replays the SAME shuffle
-    via lineage, so `_pid` stays stable.  Hypothesis-tested against a
+    the probe stage runs.  Eviction is NOT shuffle-replay-safe:
+    unpersisting re-plans the exchange with freshly sampled boundaries
+    (see _persist_bounded's honest statement) — value safety holds
+    because every caller evaluates its ranked frame before
+    _RP_LRU_MAX further distinct-plan rank calls, never holding an
+    unevaluated frame across evictions.  Hypothesis-tested against a
     pure-Python model."""
     from pyspark.sql import Window
 
@@ -586,15 +615,25 @@ def bucketed_prefix_sum(
     total = sum(btot.values())
     # The accumulator must match the weight-sum dtype: PySpark schema
     # verification rejects a Python int where the offsets column is
-    # DoubleType (_acceptable_types[DoubleType] == (float,)), so start
-    # from 0.0 for fractional sums — otherwise the very first offset
-    # row would raise TypeError for float weights.
-    from pyspark.sql.types import FractionalType
+    # DoubleType (_acceptable_types[DoubleType] == (float,)) and a
+    # float where it is DecimalType (_acceptable_types[DecimalType] ==
+    # (decimal.Decimal,)) — so branch on the concrete type, not
+    # FractionalType, which matches BOTH.  collect() already returns
+    # Decimal for decimal sums, so Decimal + Decimal stays exact.
+    import decimal
 
-    frac = isinstance(tot_agg.schema["tot"].dataType, FractionalType)
-    offs, acc = [], 0.0 if frac else 0
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    tot_t = tot_agg.schema["tot"].dataType
+    if isinstance(tot_t, DecimalType):
+        acc: object = decimal.Decimal(0)
+    elif isinstance(tot_t, (FloatType, DoubleType)):
+        acc = 0.0
+    else:
+        acc = 0
+    offs = []
     for b in sorted(btot):
-        offs.append((b, float(acc) if frac else acc))
+        offs.append((b, acc))
         acc += btot[b]
     # Offsets schema mirrors the actual bucket/weight-sum types so the
     # helper works for any bucket dtype and fractional weights, not

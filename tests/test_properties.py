@@ -796,6 +796,41 @@ def test_bucketed_prefix_sum_float_weights(spark, rows):
     assert total == acc
 
 
+def test_bucketed_prefix_sum_decimal_weights(spark):
+    """DECIMAL weights are FractionalType too, but PySpark schema
+    verification demands decimal.Decimal (not float) for DecimalType
+    offsets — the accumulator must branch on the concrete type.  Exact
+    by construction: Decimal + Decimal never rounds at this scale."""
+    import decimal
+
+    from risinglight_spark.operators import bucketed_prefix_sum
+
+    data = [
+        (0, 0, decimal.Decimal("1.25")),
+        (1, 0, decimal.Decimal("-0.75")),
+        (2, 3, decimal.Decimal("10.00")),
+        (3, 3, decimal.Decimal("0.05")),
+        (4, 7, decimal.Decimal("-2.30")),
+    ]
+    out, total = bucketed_prefix_sum(
+        spark,
+        "/root/testdata/sf0.001",
+        "hyp_ppsd_decimal",
+        lambda: spark.createDataFrame(
+            data, "id BIGINT, bkt INT, w DECIMAL(10,2)"
+        ),
+        "bkt",
+        ("id",),
+        "w",
+    )
+    got = {r["id"]: r["cw"] for r in out.collect()}
+    acc = decimal.Decimal(0)
+    for i, _, w in data:  # data is already in (bkt, id) order
+        acc += w
+        assert got[i] == acc
+    assert total == acc
+
+
 score_pool = [-3.5, -1.0, 0.0, 0.25, 1.0, 7.125]  # forces tie groups
 
 

@@ -122,11 +122,24 @@ def eviction_probe() -> None:
             .start()
         )
         q.awaitTermination()
-        prog = q.lastProgress or {}
-        state_rows = sum(
-            so.get("numRowsTotal", 0)
-            for so in prog.get("stateOperators") or []
-        )
+
+        # A terminal empty microbatch can report 0 state rows in
+        # lastProgress while state is still held: take the MAX across
+        # recentProgress so a misread zero can't masquerade as
+        # eviction.
+        def _state_rows(p) -> int:
+            try:
+                return sum(
+                    so.get("numRowsTotal", 0)
+                    for so in p.get("stateOperators") or []
+                )
+            except Exception:
+                return 0
+
+        progs = list(q.recentProgress or [])
+        if q.lastProgress:
+            progs.append(q.lastProgress)
+        state_rows = max((_state_rows(p) for p in progs), default=0)
         emitted = spark.read.parquet(outdir).count()
         return state_rows, emitted
 
@@ -139,10 +152,20 @@ def eviction_probe() -> None:
     print(f"total sessions (batch):          {total_sessions}")
     print(f"pass1 (early half): state_rows={s1:>7} emitted_total={e1}")
     print(f"pass2 (+late half): state_rows={s2:>7} emitted_total={e2}")
+    # DEMONSTRATED needs BOTH halves of the docstring's evidence:
+    # state shrank below total AND no session was lost — emitted(outdir
+    # is cumulative across passes) + open state must reconcile to the
+    # batch total.  s2 < total alone could also mean dropped sessions.
+    balanced = abs(e2 + s2 - total_sessions) <= max(
+        1, total_sessions // 200
+    )
+    shown = s2 < total_sessions and balanced
     print(
-        f"eviction {'DEMONSTRATED' if s2 < total_sessions else 'NOT SHOWN'}:"
+        f"eviction {'DEMONSTRATED' if shown else 'NOT SHOWN'}:"
         f" open state after pass 2 is {s2}/{total_sessions} sessions"
-        f" ({100.0 * s2 / max(total_sessions, 1):.1f}%)"
+        f" ({100.0 * s2 / max(total_sessions, 1):.1f}%);"
+        f" emitted+open = {e2 + s2} vs total {total_sessions}"
+        f" ({'balanced' if balanced else 'IMBALANCED - sessions lost?'})"
     )
 
 
