@@ -46,8 +46,12 @@ SEED = 0xA10
 
 @pytest.fixture(scope="module")
 def fuzz_env(spark, tmp_path_factory):
+    import datetime
+
     rng = random.Random(SEED)
     words = ["alpha", "Bravo", "charlie x", "", "dAta", "zebra", "ab", "Abc"]
+    epoch_d = datetime.date(1995, 1, 1)
+    epoch_t = datetime.datetime(1995, 1, 1)
     rows = []
     for i in range(64):
         rows.append(
@@ -61,11 +65,42 @@ def fuzz_env(spark, tmp_path_factory):
                 rng.choice([None, *words]),  # s1
                 rng.choice([None, *words]),  # s2
                 rng.choice([None, True, False]),  # b1
+                # the datetime draws come AFTER every pre-existing draw
+                # so the seeded values of the original columns — and
+                # therefore every previously recorded shape's data —
+                # are unchanged.  Whole-second timestamps only: the
+                # cross-engine formatting/rounding of fractional
+                # seconds is a formatting policy, not a semantics to
+                # fuzz.
+                rng.choice(
+                    [
+                        None,
+                        epoch_d + datetime.timedelta(days=rng.randint(0, 730)),
+                    ]
+                ),  # dt1
+                rng.choice(
+                    [
+                        None,
+                        epoch_t
+                        + datetime.timedelta(
+                            hours=rng.randint(0, 730 * 24),
+                            seconds=rng.randint(0, 3599),
+                        ),
+                    ]
+                ),  # ts1
             )
         )
     pdf = pd.DataFrame(
-        rows, columns=["rid", "g", "i1", "i2", "d1", "d2", "s1", "s2", "b1"]
+        rows,
+        columns=[
+            "rid", "g", "i1", "i2", "d1", "d2", "s1", "s2", "b1",
+            "dt1", "ts1",
+        ],
     )
+    # explicit datetime64 for ts1 (a mixed object column would make
+    # createDataFrame re-infer per cell); dt1 stays object(date) ->
+    # DateType.
+    pdf["ts1"] = pd.to_datetime(pdf["ts1"])
     path = str(tmp_path_factory.mktemp("sqlfuzz") / "fz.parquet")
     sdf = spark.createDataFrame(
         pdf.astype(
@@ -86,6 +121,11 @@ def fuzz_env(spark, tmp_path_factory):
     pin_semantics(spark)
     spark.read.parquet(path).createOrReplaceTempView("fz")
     duck = duckdb.connect()
+    # Spark writes ts1 as TIMESTAMP(isAdjustedToUTC=true), which DuckDB
+    # reads as TIMESTAMPTZ: pin the DuckDB session zone so extract()/
+    # date_trunc() localize identically to the Spark session's UTC pin,
+    # independent of the host TZ.
+    duck.execute("SET TimeZone='UTC'")
     duck.execute(
         f"CREATE VIEW fz AS SELECT * FROM read_parquet('{path}/*.parquet')"
     )
@@ -168,6 +208,29 @@ def str_expr(rng: random.Random, depth: int = 0) -> str:
     return f"trim({a})"
 
 
+def date_expr(rng: random.Random, depth: int = 0) -> str:
+    # date +/- INTERVAL 'n' DAY|MONTH — both engines clamp month-adds
+    # to the last valid day (Jan 31 + 1 MONTH = Feb 28), and the
+    # quoted-quantity INTERVAL form parses identically.
+    base = rng.choice(["dt1", "DATE '1995-06-15'", "DATE '1996-01-31'"])
+    if depth >= 2 or rng.random() < 0.5:
+        return base
+    n = rng.randint(1, 40)
+    unit = rng.choice(["DAY", "DAY", "MONTH"])
+    op = rng.choice(["+", "-"])
+    return f"({date_expr(rng, depth + 1)} {op} INTERVAL '{n}' {unit})"
+
+
+def ts_expr(rng: random.Random, depth: int = 0) -> str:
+    base = rng.choice(["ts1", "TIMESTAMP '1995-06-15 12:30:00'"])
+    if depth >= 2 or rng.random() < 0.5:
+        return base
+    n = rng.randint(1, 96)
+    unit = rng.choice(["HOUR", "MINUTE", "DAY"])
+    op = rng.choice(["+", "-"])
+    return f"({ts_expr(rng, depth + 1)} {op} INTERVAL '{n}' {unit})"
+
+
 def bool_expr(rng: random.Random, depth: int = 0) -> str:
     if depth >= 2:
         kind = rng.randrange(4)
@@ -201,14 +264,39 @@ def bool_expr(rng: random.Random, depth: int = 0) -> str:
 
 
 def _normalize(df: pd.DataFrame) -> list[tuple]:
+    import datetime
     import decimal
 
     out = []
     for row in df.itertuples(index=False):
         vals = []
         for v in row:
+            if v is pd.NaT:  # NaTType subclasses datetime — catch first
+                vals.append("<NULL>")
+                continue
+            if isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
             if hasattr(v, "item"):  # numpy scalar -> python
                 v = v.item()
+            if isinstance(v, datetime.datetime):
+                # DuckDB hands Spark-written TIMESTAMP back tz-aware
+                # (it reads isAdjustedToUTC as TIMESTAMPTZ) while Spark
+                # returns session-zone-naive; both sessions are pinned
+                # UTC, so normalizing to UTC-naive compares values.
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                vals.append("t:" + v.isoformat())
+                continue
+            if isinstance(v, datetime.date):
+                # DATE and midnight-TIMESTAMP unify: DuckDB's .df()
+                # widens DATE to datetime64 where Spark keeps date.
+                vals.append(
+                    "t:"
+                    + datetime.datetime(v.year, v.month, v.day).isoformat()
+                )
+                continue
             if isinstance(v, decimal.Decimal):
                 # Spark keeps decimal-literal arithmetic in DecimalType
                 # where DuckDB yields DOUBLE; compare numerically.
@@ -444,6 +532,116 @@ def test_orderby_limit_differential(fuzz_env):
         _run_both(fuzz_env, sql)
 
 
+def test_datetime_function_differential(fuzz_env):
+    """The reference's date surface (extract year/month/day, typed DATE/
+    TIMESTAMP literals, date +/- INTERVAL — SURVEY §2.5) composed under
+    filters: the handoff-flagged gap in the int/double/string/bool
+    grammar.  Whole-second fixtures keep fractional-second formatting
+    policy out of scope; both sessions pin UTC."""
+    rng = random.Random(SEED + 10)
+    for _ in range(N_PER_SHAPE // 2):
+        cols = [
+            f"CAST(extract(YEAR FROM {date_expr(rng)}) AS BIGINT) AS c0",
+            f"CAST(extract(MONTH FROM {date_expr(rng)}) AS BIGINT) AS c1",
+            f"CAST(extract(DAY FROM {date_expr(rng)}) AS BIGINT) AS c2",
+            f"{date_expr(rng)} AS c3",
+            f"date_trunc('{rng.choice(['month', 'day', 'hour'])}', "
+            f"{ts_expr(rng)}) AS c4",
+            f"CAST(extract(HOUR FROM {ts_expr(rng)}) AS BIGINT) AS c5",
+            f"(CASE WHEN {bool_expr(rng)} THEN {date_expr(rng)} "
+            f"ELSE {date_expr(rng)} END) AS c6",
+        ]
+        pred = rng.choice(
+            [
+                f"dt1 >= (DATE '1995-06-01' + INTERVAL "
+                f"'{rng.randint(1, 300)}' DAY)",
+                "dt1 IS NOT NULL",
+                f"ts1 < (TIMESTAMP '1996-01-01 00:00:00' - INTERVAL "
+                f"'{rng.randint(1, 400)}' HOUR)",
+                f"extract(MONTH FROM dt1) = {rng.randint(1, 12)}",
+                bool_expr(rng),
+            ]
+        )
+        sql = (
+            f"SELECT rid, {', '.join(rng.sample(cols, rng.randint(2, 4)))} "
+            f"FROM fz WHERE {pred}"
+        )
+        _run_both(fuzz_env, sql)
+
+
+def test_derived_table_differential(fuzz_env):
+    """FROM-subquery nesting (the other handoff-flagged gap): a grouped
+    derived table joined back to the base table, and two-deep inline
+    derived tables — name scoping/pruning across subquery aliases,
+    which the CTE shape's WITH binding does not exercise."""
+    rng = random.Random(SEED + 11)
+    for _ in range(N_PER_SHAPE // 2):
+        if rng.random() < 0.5:
+            # grouped derived table joined to the base relation; the
+            # derived key is RENAMED (mg) so the outer filter's bare
+            # column references bind to f unambiguously — Spark rejects
+            # an ambiguous bare `g` here (AMBIGUOUS_REFERENCE) and the
+            # fuzzer samples engine semantics, not resolution policy.
+            sql = (
+                f"SELECT f.rid, m.cnt, m.mx "
+                f"FROM fz f JOIN ("
+                f"  SELECT g AS mg, count(*) AS cnt, "
+                f"         max({int_expr(rng)}) AS mx"
+                f"  FROM fz WHERE {bool_expr(rng)} GROUP BY g"
+                f") m ON f.g = m.mg "
+                f"WHERE {bool_expr(rng)}"
+            )
+        else:
+            # two-deep inline nesting with column rebinding per level
+            sql = (
+                f"SELECT g, k2, count(*) AS a0 FROM ("
+                f"  SELECT g, (k0 + length(k1)) AS k2 FROM ("
+                f"    SELECT rid, g, CAST({int_expr(rng)} AS BIGINT) AS k0,"
+                f"           {str_expr(rng)} AS k1"
+                f"    FROM fz WHERE {bool_expr(rng)}"
+                f"  ) s1 WHERE {rng.choice(['k0 <> 0', 'k0 IS NOT NULL', 'length(k1) > 1'])}"
+                f") s2 GROUP BY g, k2"
+            )
+        _run_both(fuzz_env, sql)
+
+
+def test_aggregate_equality_differential(fuzz_env):
+    """The SF100-q15 class, continuously sampled: equality/comparison
+    predicates BETWEEN aggregate results.  Raw double-sum equality is
+    FP-ill-conditioned (the q15 lesson), so the shape composes it under
+    the repo-wide fixed-point discipline (round -> BIGINT -> sum) —
+    any mismatch here is a real engine divergence, not a ulp."""
+    rng = random.Random(SEED + 12)
+    for _ in range(N_PER_SHAPE // 2):
+        fp = (
+            f"CAST(sum(CAST(round(({dbl_expr(rng)}) * 1000, 0) AS BIGINT))"
+            " AS BIGINT)"
+        )
+        kind = rng.randrange(3)
+        if kind == 0:
+            # group whose fixed-point sum equals the global max (q15)
+            sql = (
+                f"WITH t AS (SELECT g, {fp} AS s FROM fz "
+                f"WHERE {bool_expr(rng)} GROUP BY g) "
+                f"SELECT g, s FROM t WHERE s = (SELECT max(s) FROM t)"
+            )
+        elif kind == 1:
+            # HAVING comparing two aggregates of the same group
+            sql = (
+                f"SELECT g, count(*) AS a0, {fp} AS a1 FROM fz "
+                f"GROUP BY g HAVING {fp} {rng.choice(['>', '<=', '<>'])} "
+                f"CAST(count(*) AS BIGINT) * {rng.randint(-20, 20)}"
+            )
+        else:
+            # aggregate-vs-scalar-subquery-aggregate comparison
+            sql = (
+                f"SELECT g, {fp} AS a1 FROM fz GROUP BY g "
+                f"HAVING {fp} >= (SELECT {fp} / 5 FROM fz "
+                f"WHERE {bool_expr(rng)})"
+            )
+        _run_both(fuzz_env, sql)
+
+
 def test_dialect_executor_differential(fuzz_env, tmp_path):
     """Same grammar, but SELECTs routed through the reference-dialect
     executor (StatementExecutor.execute_query -> rewrite_query ->
@@ -456,12 +654,15 @@ def test_dialect_executor_differential(fuzz_env, tmp_path):
     ex = StatementExecutor(spark, scratch=str(tmp_path))
     ex.execute_statement(
         "CREATE TABLE fzd (rid BIGINT, g BIGINT, i1 INT, i2 INT, "
-        "d1 DOUBLE, d2 DOUBLE, s1 VARCHAR, s2 VARCHAR, b1 BOOLEAN)"
+        "d1 DOUBLE, d2 DOUBLE, s1 VARCHAR, s2 VARCHAR, b1 BOOLEAN, "
+        "dt1 DATE, ts1 TIMESTAMP)"
     )
     src = spark.sql("SELECT * FROM fz").toPandas()
 
     def lit(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
+        import datetime
+
+        if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
@@ -469,6 +670,10 @@ def test_dialect_executor_differential(fuzz_env, tmp_path):
             return "TRUE" if v else "FALSE"
         if isinstance(v, float):
             return repr(v)
+        if isinstance(v, (pd.Timestamp, datetime.datetime)):
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
         return str(int(v))
 
     values = ", ".join(
