@@ -1951,6 +1951,17 @@ NSW_LAYER_MOD = 16  # upper layer = vec_id % 16 == 0 (~1/16 sample)
 NSW_TOPK = 10
 NSW_SEED_K = 4  # upper-layer entry beam width
 NSW_GRAPH_PLANES = 4  # LSH planes bounding the graph-build candidates
+# Hot-group cap for the graph build: a (cell, bkt) group with m DISTINCT
+# vectors costs O(m^2) in the rep-pair join; above this threshold the
+# group splits into ceil(m / NSW_MAX_GROUP) sub-groups by a secondary
+# deterministic hash, bounding per-task pair work at ~NSW_MAX_GROUP^2
+# and total group cost at O(m * NSW_MAX_GROUP) — linear in m.  Same
+# recall trade (and same structure) as SemDeDup's SEM_MAX_CELL: edges
+# then link within sub-groups only, a standard ANN graph-quality/cost
+# knob.  Test SFs stay far below the threshold (sf0.1: max 218 distinct
+# vectors per label BEFORE the 16-way bucket split), so every oracle
+# comparison runs the exact uncapped semantics.
+NSW_MAX_GROUP = 1024
 
 
 def _nsw_oracle() -> str:
@@ -2048,6 +2059,14 @@ def nsw_edges(nodes: DataFrame) -> DataFrame:
     and members fan in via keyed joins against <= M+1-row per-class
     lists.  On a duplicate-free corpus reps == nodes and the rep join
     IS the direct join — no regression.
+
+    Hot groups of DISTINCT vectors (the axis the replica collapse
+    can't absorb) are bounded by NSW_MAX_GROUP: a group above the
+    threshold splits into sub-groups by a deterministic rep-id hash
+    and edges link within sub-groups only, capping total pair work at
+    O(m * NSW_MAX_GROUP) per group — the SemDeDup SEM_MAX_CELL
+    treatment applied to the graph build (tests/test_nsw_group_cap.py;
+    hot-group probe in SCALE.md).
     """
     from pyspark.sql import Window
 
@@ -2058,6 +2077,27 @@ def nsw_edges(nodes: DataFrame) -> DataFrame:
     )
     reps = mem.filter(F.col("crn") == 1).select(
         "cell", "bkt", "embedding", F.col("vec_id").alias("rep")
+    )
+    # Hot-group cap (see NSW_MAX_GROUP): groups at or below the
+    # threshold get sub-group 0 on both sides — the join predicate
+    # degenerates to the exact uncapped form.  The sizes frame is one
+    # row per (cell, bkt), bounded by #cells x 2^planes: broadcastable
+    # by construction.
+    sizes = reps.groupBy("cell", "bkt").agg(F.count("*").alias("_m"))
+    reps = (
+        reps.join(F.broadcast(sizes), ["cell", "bkt"])
+        .withColumn(
+            "subg",
+            F.when(F.col("_m") <= NSW_MAX_GROUP, F.lit(0))
+            .otherwise(
+                F.pmod(
+                    F.xxhash64("rep"),
+                    F.ceil(F.col("_m") / NSW_MAX_GROUP).cast("int"),
+                )
+            )
+            .cast("int"),
+        )
+        .drop("_m")
     )
     x, y = reps.alias("x"), reps.alias("y")
     d = l2_distance(F.col("x.embedding"), F.col("y.embedding"))
@@ -2072,6 +2112,7 @@ def nsw_edges(nodes: DataFrame) -> DataFrame:
             y.hint("shuffle_hash"),
             (F.col("x.cell") == F.col("y.cell"))
             & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.subg") == F.col("y.subg"))
             & (F.col("x.rep") != F.col("y.rep")),
         )
         .select(
