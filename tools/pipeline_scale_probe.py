@@ -161,16 +161,17 @@ def build_corpus(spark, n_docs: int, n_vecs: int, out: str) -> str:
 
 
 def _write_single(df, dest: str) -> None:
-    """Write as ONE parquet FILE (DuckDB's read_parquet doesn't glob a
-    directory) — coalesce(1) to a staging dir, then move the part."""
-    import glob
-    import shutil
+    """Write DISTRIBUTED (a coalesce(1) here would funnel the whole
+    generation through one task); Spark reads the directory as-is and
+    the DuckDB views glob it (_duck_source)."""
+    df.repartition(64).write.mode("overwrite").parquet(dest)
 
-    stage = dest + "_stage"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = glob.glob(f"{stage}/part-*.parquet")[0]
-    shutil.move(part, dest)
-    shutil.rmtree(stage)
+
+def _duck_source(out: str, t: str) -> str:
+    """read_parquet target for table t: generated tables are parquet
+    DIRECTORIES (glob the parts); symlinked base tables are files."""
+    path = f"{out}/{t}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
 
 
 def main() -> None:
@@ -240,7 +241,7 @@ def main() -> None:
         for t in SYMLINK_TABLES + ["documents", "embeddings"]:
             duck.execute(
                 f"CREATE VIEW {t} AS SELECT * "
-                f"FROM read_parquet('{out}/{t}.parquet')"
+                f"FROM read_parquet('{_duck_source(out, t)}')"
             )
 
     n_base = n_docs // 3
