@@ -123,23 +123,24 @@ def eviction_probe() -> None:
         )
         q.awaitTermination()
 
-        # A terminal empty microbatch can report 0 state rows in
-        # lastProgress while state is still held: take the MAX across
-        # recentProgress so a misread zero can't masquerade as
-        # eviction.
-        def _state_rows(p) -> int:
-            try:
-                return sum(
-                    so.get("numRowsTotal", 0)
-                    for so in p.get("stateOperators") or []
-                )
-            except Exception:
-                return 0
-
+        # Final state must come from the LAST progress entry that
+        # actually reports stateOperators: a terminal empty microbatch
+        # with a missing/empty stateOperators list would misread as 0
+        # (masquerading as eviction), while an intermediate entry would
+        # report peak mid-batch state (masquerading as retention).
+        # The emitted+open balance check below then validates whatever
+        # reading survives — a misread can't reconcile with the total.
+        state_rows = 0
         progs = list(q.recentProgress or [])
         if q.lastProgress:
             progs.append(q.lastProgress)
-        state_rows = max((_state_rows(p) for p in progs), default=0)
+        for p in progs:
+            try:
+                ops = p.get("stateOperators") or []
+            except Exception:
+                ops = []
+            if ops:
+                state_rows = sum(so.get("numRowsTotal", 0) for so in ops)
         emitted = spark.read.parquet(outdir).count()
         return state_rows, emitted
 
