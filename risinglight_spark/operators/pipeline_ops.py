@@ -293,6 +293,187 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- leakage-safe train/val split --------------------------------------------
+
+VAL_BUCKET_MOD = 10  # ~10% of dup CLUSTERS (not docs) go to validation
+
+
+@register(
+    "sample_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_oracle()}) j
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    all_docs AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component,
+           (CASE WHEN {T.char_hash_sql("CAST(component AS VARCHAR)")}
+                      % {VAL_BUCKET_MOD} = 0
+                 THEN 'val' ELSE 'train' END) AS split
+    FROM all_docs
+    """,
+    doc="Leakage-safe train/validation split: the unit of assignment is "
+    "the NEAR-DUP CLUSTER, not the document — a doc and its near-copy "
+    "can never straddle the split, the train/test contamination that "
+    "inflates eval scores (Lee et al. 2022 found benchmark dups in "
+    "C4; Kapoor & Narayanan 2023 catalog it as the most common "
+    "leakage class; scikit-learn's GroupShuffleSplit is the "
+    "single-node version of the semantics).  Composition of verified "
+    "blocks: Jaccard pairs close into components (shared min-label "
+    "propagation), then split = portable-hash(component) % "
+    f"{VAL_BUCKET_MOD} — deterministic, engine-portable, and "
+    "assignment rides the existing component column with no new "
+    "shuffle shapes.",
+)
+def sample_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _propagate_min_labels(pairs)
+    comp = (
+        t.documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(
+            T.char_hash(F.col("component").cast("string"))
+            % VAL_BUCKET_MOD
+            == 0,
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+# -- Pareto-front (skyline) quality selection --------------------------------
+
+PARETO_SALT = 32  # phase-1 chunking fan-out for the local fronts
+
+
+def _pareto_local_front(pdf):
+    """Exact skyline of one Arrow batch (all rows share a source):
+    maximize (n_tok, n_uniq, alpha_ratio).  A point survives iff no
+    other point is >= on every dimension and > on at least one —
+    identical points never dominate each other, matching the oracle's
+    NOT EXISTS.  O(n * |front|) with numpy broadcasting; fronts of
+    anti-correlated 3-d data are small, and phase-1 salting bounds n."""
+    import numpy as np
+
+    a = pdf[["n_tok", "n_uniq", "alpha_ratio"]].to_numpy(dtype="float64")
+    order = np.lexsort(
+        (pdf["doc_id"].to_numpy(), -a[:, 2], -a[:, 1], -a[:, 0])
+    )
+    a = a[order]
+    keep: list[int] = []
+    kept = np.empty((0, 3))
+    for i in range(len(a)):
+        p = a[i]
+        if kept.size:
+            ge = (kept >= p).all(axis=1)
+            gt = (kept > p).any(axis=1)
+            if bool((ge & gt).any()):
+                continue
+        keep.append(i)
+        kept = np.vstack([kept, p])
+    return pdf.iloc[order[keep]][
+        ["doc_id", "source", "n_tok", "n_uniq", "alpha_ratio"]
+    ]
+
+
+@register(
+    "pipeline_pareto_front",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             {T.token_count_sql("text")} AS n_tok,
+             len(list_distinct({T.tokens_sql("text")}))::BIGINT AS n_uniq,
+             round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                   / greatest(length(text), 1)::DOUBLE, 8) AS alpha_ratio
+      FROM documents
+    )
+    SELECT a.doc_id, a.source, a.n_tok, a.n_uniq, a.alpha_ratio
+    FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE b.source = a.source
+        AND b.n_tok >= a.n_tok AND b.n_uniq >= a.n_uniq
+        AND b.alpha_ratio >= a.alpha_ratio
+        AND (b.n_tok > a.n_tok OR b.n_uniq > a.n_uniq
+             OR b.alpha_ratio > a.alpha_ratio)
+    )
+    """,
+    doc="Per-source Pareto front (the skyline operator, Börzsönyi/"
+    "Kossmann/Stocker ICDE 2001) over three quality signals — token "
+    "count, distinct-token count, alphabetic-character ratio, all "
+    "maximized: the documents no other same-source doc beats on every "
+    "axis, i.e. multi-signal exemplar selection WITHOUT scalarizing "
+    "weights (the step before a weighted quality cut commits to a "
+    "trade-off).  Distributed divide-and-conquer: dominance is "
+    "transitive, so skyline(union of chunk skylines) == skyline — "
+    "phase 1 computes local fronts per (source, salt-of-32) Arrow "
+    "group, phase 2 merges the (small) fronts per source; the full "
+    "corpus never gathers anywhere, and the signals themselves are "
+    "one JVM-side scan.  The naive formulation is the O(n^2) NOT "
+    "EXISTS self-join the oracle runs.",
+)
+def pipeline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    sig = t.documents.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.round(
+            F.length(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+            ).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double"),
+            8,
+        ).alias("alpha_ratio"),
+    )
+    schema = (
+        "doc_id bigint, source string, n_tok bigint, n_uniq bigint, "
+        "alpha_ratio double"
+    )
+    local = (
+        sig.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(PARETO_SALT))
+        )
+        .groupBy("source", "_salt")
+        .applyInPandas(lambda pdf: _pareto_local_front(pdf), schema)
+    )
+    return local.groupBy("source").applyInPandas(
+        lambda pdf: _pareto_local_front(pdf), schema
+    )
+
+
 # -- sequence packing -------------------------------------------------------
 
 CHUNK_TOKENS = 256

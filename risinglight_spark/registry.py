@@ -513,6 +513,16 @@ _R11_RECHECK: tuple[str, ...] = (
     "ann_pq_adc_topk",
 )
 
+# New in round 11 (never driver-verified): per-source Pareto-front
+# (skyline) quality selection, and the leakage-safe cluster-grouped
+# train/val split.  They take the 50-slot gate's positions 3-4, so the
+# last two names of _R11_GATE (tpch_q5, tpch_q6) slip to the head of
+# next round's staleness rotation.
+_R11_NEW: tuple[str, ...] = (
+    "pipeline_pareto_front",
+    "sample_leakage_safe_split",
+)
+
 # Round-11 staleness rotation: the 48 entries with the OLDEST prior
 # driver row (unioning CORRECTNESS_r1..r10; latest hash-green round per
 # entry, ties broken by name): the 5 round-2 window entries that missed
@@ -580,6 +590,7 @@ _PRIORITY: tuple[str, ...] = tuple(
     dict.fromkeys(
         (
             *_R11_RECHECK,
+            *_R11_NEW,
             *_R11_GATE,
             *_R10_RECHECK,
             *_R10_GATE,
