@@ -228,8 +228,8 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    # Rotating annex: the headline suite covers 92 of 305 registry
-    # entries; the other 211 have scale probes but no per-round
+    # Rotating annex: the headline suite covers 92 of 307 registry
+    # entries; the other 215 have scale probes but no per-round
     # wall-time trend.  Each round benches a different 50-entry slice
     # (1 sample each — trend data, not a latency claim), rotating on
     # the count of BENCH_r*.json files the driver has recorded so far.

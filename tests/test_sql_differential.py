@@ -2,7 +2,7 @@
 through the engine's pinned-semantics session AND DuckDB over identical
 parquet data, results compared as normalized multisets.
 
-The 303 registry oracles verify every OPERATOR; the slt corpus replays
+The 307 registry oracles verify every OPERATOR; the slt corpus replays
 the reference's own test files.  What neither covers is the
 combinatorial space of expression COMPOSITIONS (CASE inside a
 comparison inside a filter under a grouped sum...).  This fuzzer
