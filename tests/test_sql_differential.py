@@ -642,6 +642,45 @@ def test_aggregate_equality_differential(fuzz_env):
         _run_both(fuzz_env, sql)
 
 
+def test_grouping_sets_differential(fuzz_env):
+    """GROUPING SETS / ROLLUP / CUBE over a derived pair of group keys:
+    the multi-grouping Expand path (agg_rollup/agg_cube are the
+    operator pins; this samples their composition with fuzzed
+    aggregates).  grouping(col) disambiguates set-NULLs from data
+    NULLs so the multiset compare stays exact.
+
+    Pinned policy divergence (found by this shape's first run): on an
+    EMPTY input, the grand-total set `()` yields one count=0 row in
+    DuckDB/Postgres (the standard's global-aggregate behavior) but ZERO
+    rows in Spark — Spark only restores the empty-input global-agg row
+    for a plain ungrouped aggregate, not through the Expand path.  The
+    filter below keeps a 4-row floor so the fuzzer samples the
+    semantics both engines define identically."""
+    rng = random.Random(SEED + 13)
+    for _ in range(N_PER_SHAPE // 2):
+        spec = rng.choice(
+            [
+                "GROUPING SETS ((g), (i2g), (g, i2g), ())",
+                "GROUPING SETS ((g, i2g), (g))",
+                "ROLLUP (g, i2g)",
+                "CUBE (g, i2g)",
+            ]
+        )
+        fp = (
+            f"CAST(sum(CAST(round(({dbl_expr(rng)}) * 1000, 0) AS BIGINT))"
+            " AS BIGINT)"
+        )
+        sql = (
+            f"SELECT g, i2g, CAST(grouping(g) AS BIGINT) AS gg, "
+            f"CAST(grouping(i2g) AS BIGINT) AS gi, "
+            f"count(*) AS a0, {fp} AS a1, max({int_expr(rng)}) AS a2 "
+            f"FROM (SELECT g, (i2 % NULLIF(3, 0)) AS i2g, i1, i2, d1, d2, "
+            f"s1, s2, b1 FROM fz WHERE {bool_expr(rng)} OR rid < 4) t "
+            f"GROUP BY {spec}"
+        )
+        _run_both(fuzz_env, sql)
+
+
 def test_dialect_executor_differential(fuzz_env, tmp_path):
     """Same grammar, but SELECTs routed through the reference-dialect
     executor (StatementExecutor.execute_query -> rewrite_query ->
