@@ -511,13 +511,23 @@ _R10_RECHECK: tuple[str, ...] = (
 _R11_RECHECK: tuple[str, ...] = (
     "ann_ivf_pq_search",
     "ann_pq_adc_topk",
+    # Rewritten IN round 11, fronted the same round so no provenance
+    # gap opens (the lesson of the r10 ANN pair): nsw_edges gained the
+    # NSW_MAX_GROUP sub-group split (plan change: a sizes broadcast
+    # join), and the distributed-rank/prefix-sum helpers gained the
+    # _persist_bounded sameResult hit-check and the Decimal
+    # accumulator branch — front their heaviest consumers.
+    "ann_nsw_graph_search",
+    "sample_systematic_pps",
+    "sample_training_order",
+    "text_quality_percentile_cut",
 )
 
 # New in round 11 (never driver-verified): per-source Pareto-front
 # (skyline) quality selection, and the leakage-safe cluster-grouped
-# train/val split.  They take the 50-slot gate's positions 3-4, so the
-# last two names of _R11_GATE (tpch_q5, tpch_q6) slip to the head of
-# next round's staleness rotation.
+# train/val split.  With the 6-entry recheck above, the bounded gate
+# keeps the first 42 of _R11_GATE — its last six names (tpch_q21/q22/
+# q3/q4/q5/q6) slip to the head of next round's staleness rotation.
 _R11_NEW: tuple[str, ...] = (
     "pipeline_pareto_front",
     "sample_leakage_safe_split",
