@@ -274,6 +274,14 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
             if v is pd.NaT:  # NaTType subclasses datetime — catch first
                 vals.append("<NULL>")
                 continue
+            if isinstance(v, pd.Timedelta):
+                v = v.to_pytimedelta()
+            if isinstance(v, datetime.timedelta):
+                # Spark DayTimeIntervalType and DuckDB INTERVAL both
+                # come back as timedeltas; whole-second fixtures keep
+                # total_seconds exact.
+                vals.append(f"i:{v.total_seconds():.1f}")
+                continue
             if isinstance(v, pd.Timestamp):
                 v = v.to_pydatetime()
             if hasattr(v, "item"):  # numpy scalar -> python
@@ -677,6 +685,43 @@ def test_grouping_sets_differential(fuzz_env):
             f"FROM (SELECT g, (i2 % NULLIF(3, 0)) AS i2g, i1, i2, d1, d2, "
             f"s1, s2, b1 FROM fz WHERE {bool_expr(rng)} OR rid < 4) t "
             f"GROUP BY {spec}"
+        )
+        _run_both(fuzz_env, sql)
+
+
+def test_interval_arith_differential(fuzz_env):
+    """Timestamp/interval ARITHMETIC (the last handoff-flagged datetime
+    gap): timestamp differences as values, interval-shifted timestamps,
+    and interval comparisons in predicates.  Both engines return
+    TIMESTAMP - TIMESTAMP as an interval (timedelta after transfer) and
+    whole-second fixtures keep total_seconds exact.  DATE - DATE is
+    deliberately OUT of the grammar: Spark types it INTERVAL DAY where
+    DuckDB types it BIGINT days — a literal-TYPING policy difference of
+    the same class as the pinned DECIMAL literal, not a computation to
+    fuzz."""
+    rng = random.Random(SEED + 14)
+    for _ in range(N_PER_SHAPE // 2):
+        diff = f"({ts_expr(rng)} - {ts_expr(rng)})"
+        cols = [
+            f"{diff} AS c0",
+            f"(ts1 + {diff}) AS c1",
+            f"(CASE WHEN {bool_expr(rng)} THEN {ts_expr(rng)} "
+            f"ELSE ts1 END - TIMESTAMP '1995-06-15 00:00:00') AS c2",
+            f"{ts_expr(rng)} AS c3",
+        ]
+        pred = rng.choice(
+            [
+                f"(ts1 - TIMESTAMP '1995-06-15 00:00:00') > "
+                f"INTERVAL '{rng.randint(1, 400)}' HOUR",
+                f"({ts_expr(rng)} - ts1) <= INTERVAL "
+                f"'{rng.randint(1, 300)}' DAY",
+                "ts1 IS NOT NULL",
+                bool_expr(rng),
+            ]
+        )
+        sql = (
+            f"SELECT rid, {', '.join(rng.sample(cols, rng.randint(2, 4)))} "
+            f"FROM fz WHERE {pred}"
         )
         _run_both(fuzz_env, sql)
 
