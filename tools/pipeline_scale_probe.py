@@ -175,8 +175,14 @@ def _duck_source(out: str, t: str) -> str:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    verify = "--verify" in sys.argv
+    only = None
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
+    verify = "--verify" in argv
     if verify:
         n_docs = int(args[0]) if args else 15_000
         n_vecs = int(args[1]) if len(args) > 1 else 6_000
@@ -232,6 +238,8 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_semdedup",
     )
+    if only:
+        names = tuple(n for n in names if n in only)
 
     duck = None
     if verify:
