@@ -228,7 +228,7 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    # Rotating annex: the headline suite covers 92 of 307 registry
+    # Rotating annex: the headline suite covers 92 of 309 registry
     # entries; the other 215 have scale probes but no per-round
     # wall-time trend.  Each round benches a different 50-entry slice
     # (1 sample each — trend data, not a latency claim), rotating on

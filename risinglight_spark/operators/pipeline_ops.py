@@ -3042,3 +3042,260 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), "doc_id")
         .limit(RESERVOIR_K)
     )
+
+
+# -- distributed closed-form model fitting ----------------------------------
+
+# Moment names shared by the Spark plan and the DuckDB oracle so the
+# Cramer expressions below stay textually identical on both sides.
+_OLS_SUMS = ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+
+
+@register(
+    "ml_linreg_normal_eq",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST({T.token_count_sql('text')} AS BIGINT) AS y,
+             CAST(n_chars AS BIGINT) AS x1,
+             CAST(length(text) - length(replace(text, 'e', ''))
+                  AS BIGINT) AS x2
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+             sum(y * y) AS syy
+      FROM f
+    ),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             {', '.join(f'CAST({c} AS DOUBLE) AS {c}d' for c in _OLS_SUMS)}
+      FROM s
+    ),
+    m AS (
+      SELECT *,
+             s11d * s22d - s12d * s12d AS m00,
+             s1d * s22d - s12d * s2d AS m01,
+             s1d * s12d - s11d * s2d AS m02,
+             s1yd * s22d - s12d * s2yd AS a01,
+             s1yd * s12d - s11d * s2yd AS a02,
+             s1d * s2yd - s1yd * s2d AS b02,
+             s11d * s2yd - s1yd * s12d AS c00
+      FROM d
+    ),
+    dets AS (
+      SELECT *,
+             nd * m00 - s1d * m01 + s2d * m02 AS det,
+             syd * m00 - s1d * a01 + s2d * a02 AS det0,
+             nd * a01 - syd * m01 + s2d * b02 AS det1,
+             nd * c00 - s1d * b02 + syd * m02 AS det2
+      FROM m
+    ),
+    w AS (
+      SELECT n, nd, syd, s1yd, s2yd, syyd,
+             det0 / det AS w_bias,
+             det1 / det AS w_chars,
+             det2 / det AS w_echar
+      FROM dets
+    )
+    SELECT n, w_bias, w_chars, w_echar,
+           1.0 - (syyd - (w_bias * syd + w_chars * s1yd
+                          + w_echar * s2yd))
+                 / (syyd - (syd * syd) / nd) AS r2
+    FROM w
+    """,
+    doc="Closed-form OLS by distributed normal equations: regress "
+    "whitespace token count on (bias, n_chars, occurrences of 'e') "
+    "in ONE map-side-combined aggregate that collects the 3x3 moment "
+    "matrix X'X and X'y as exact integer sums, then solves by "
+    "Cramer's rule on the single aggregated row.  This is the "
+    "pattern Spark MLlib's WeightedLeastSquares runs at scale "
+    "(one treeAggregate of d^2/2 doubles, O(d^3) solve on the "
+    "driver) — here the solve stays in the plan because d is a "
+    "literal 3, so the whole fit is a 2-stage job with 10 longs of "
+    "shuffle state per partition regardless of corpus size.  All "
+    "moments are exact BIGINT sums (bit-identical at any "
+    "parallelism, the ml_logreg_train_step trick); the Cramer and "
+    "R^2 arithmetic is the same IEEE-754 expression DAG on both "
+    "engines, so the coefficients hash-match without rounding.",
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    f = t.documents.select(
+        T.token_count(F.col("text")).cast("long").alias("y"),
+        F.col("n_chars").cast("long").alias("x1"),
+        (F.length("text") - F.length(F.regexp_replace("text", "e", "")))
+        .cast("long")
+        .alias("x2"),
+    )
+    s = f.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = s.select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        *[F.col(c).cast("double").alias(c + "d") for c in _OLS_SUMS],
+    )
+    m = d.select(
+        "*",
+        (F.col("s11d") * F.col("s22d") - F.col("s12d") * F.col("s12d")).alias("m00"),
+        (F.col("s1d") * F.col("s22d") - F.col("s12d") * F.col("s2d")).alias("m01"),
+        (F.col("s1d") * F.col("s12d") - F.col("s11d") * F.col("s2d")).alias("m02"),
+        (F.col("s1yd") * F.col("s22d") - F.col("s12d") * F.col("s2yd")).alias("a01"),
+        (F.col("s1yd") * F.col("s12d") - F.col("s11d") * F.col("s2yd")).alias("a02"),
+        (F.col("s1d") * F.col("s2yd") - F.col("s1yd") * F.col("s2d")).alias("b02"),
+        (F.col("s11d") * F.col("s2yd") - F.col("s1yd") * F.col("s12d")).alias("c00"),
+    )
+    dets = m.select(
+        "*",
+        (F.col("nd") * F.col("m00") - F.col("s1d") * F.col("m01")
+         + F.col("s2d") * F.col("m02")).alias("det"),
+        (F.col("syd") * F.col("m00") - F.col("s1d") * F.col("a01")
+         + F.col("s2d") * F.col("a02")).alias("det0"),
+        (F.col("nd") * F.col("a01") - F.col("syd") * F.col("m01")
+         + F.col("s2d") * F.col("b02")).alias("det1"),
+        (F.col("nd") * F.col("c00") - F.col("s1d") * F.col("b02")
+         + F.col("syd") * F.col("m02")).alias("det2"),
+    )
+    w = dets.select(
+        "n",
+        "nd",
+        "syd",
+        "s1yd",
+        "s2yd",
+        "syyd",
+        (F.col("det0") / F.col("det")).alias("w_bias"),
+        (F.col("det1") / F.col("det")).alias("w_chars"),
+        (F.col("det2") / F.col("det")).alias("w_echar"),
+    )
+    return w.select(
+        "n",
+        "w_bias",
+        "w_chars",
+        "w_echar",
+        (
+            F.lit(1.0)
+            - (
+                F.col("syyd")
+                - (
+                    F.col("w_bias") * F.col("syd")
+                    + F.col("w_chars") * F.col("s1yd")
+                    + F.col("w_echar") * F.col("s2yd")
+                )
+            )
+            / (F.col("syyd") - (F.col("syd") * F.col("syd")) / F.col("nd"))
+        ).alias("r2"),
+    )
+
+
+# -- coreset selection (data pruning) ---------------------------------------
+
+KCENTER_K = 5
+_EMB_DIM = 64
+
+
+def _kc_l2_sql(a: str, b: str) -> str:
+    """L2 distance between two embedding columns, expanded to the same
+    left-associated term order as functions.vector.l2_distance so the
+    doubles match bit-for-bit."""
+    terms = " + ".join(
+        f"(CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+        f" * (CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+        for i in range(_EMB_DIM)
+    )
+    return f"sqrt(0.0 + {terms})"
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center in SQL: c1 = lowest vec_id; c{i+1} =
+    argmax (min distance to c1..ci), ties by vec_id."""
+    parts = [
+        "WITH e AS (SELECT vec_id, label, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, label, embedding FROM e"
+        " ORDER BY vec_id LIMIT 1)",
+        "d1 AS (SELECT e.vec_id, e.label, e.embedding,"
+        f" {_kc_l2_sql('e.embedding', 'c1.embedding')} AS md FROM e, c1)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS (SELECT vec_id, label, embedding, md FROM d{p}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"d{i} AS (SELECT d{p}.vec_id, d{p}.label, d{p}.embedding,"
+                f" LEAST(d{p}.md,"
+                f" {_kc_l2_sql(f'd{p}.embedding', f'c{i}.embedding')}) AS md"
+                f" FROM d{p}, c{i})"
+            )
+    selects = ["SELECT 1 AS step, vec_id, label, 0.0 AS radius FROM c1"] + [
+        f"SELECT {i} AS step, vec_id, label, md AS radius FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(KCENTER_K),
+    doc="Greedy k-center coreset selection over the embedding column "
+    "(Gonzalez 1985 farthest-point traversal, the 2-approximation "
+    "behind coreset/data-pruning pipelines a la Sorscher et al. "
+    "2022 'Beyond neural scaling laws'): seed with the lowest "
+    "vec_id, then k-1 times pick the point FARTHEST from the "
+    "chosen set (ties by vec_id) and fold its distance into the "
+    "running min.  Scale shape: each round is one full scan with a "
+    "codegen'd least(md, l2) expression and a TakeOrdered(1) "
+    "reduction — per-partition max + a 1-row driver merge, never a "
+    "shuffle of the corpus; driver state is k*(d+2) doubles.  The "
+    "selected centers double as the radius trace (radius = "
+    "coverage bound when that center was added, monotonically "
+    "non-increasing).  At k in the thousands you'd switch to "
+    "k-means||-style oversampling (Bahmani et al. VLDB'12) — same "
+    "scan body, O(log n) rounds; this entry pins the exact greedy "
+    "semantics those variants approximate.  The DuckDB oracle is "
+    "the same greedy loop unrolled into k CTE levels; distances "
+    "expand to the identical left-associated IEEE-754 term order, "
+    "so selection and radii hash-match bit-for-bit.",
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.functions.vector import l2_distance, lit_vector
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "label", "embedding")
+    # k bounded driver collects of ONE row each (the chosen center) —
+    # the same bounded-scalar policy as vector_kmeans_step's centroids.
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, seed.vec_id, seed.label, 0.0)]
+    cur = emb.withColumn(
+        "md", l2_distance(F.col("embedding"), lit_vector(list(seed.embedding)))
+    )
+    for step in range(2, KCENTER_K + 1):
+        pick = cur.orderBy(F.desc("md"), "vec_id").limit(1).collect()[0]
+        centers.append((step, pick.vec_id, pick.label, float(pick.md)))
+        if step < KCENTER_K:
+            cur = cur.withColumn(
+                "md",
+                F.least(
+                    F.col("md"),
+                    l2_distance(
+                        F.col("embedding"), lit_vector(list(pick.embedding))
+                    ),
+                ),
+            )
+    return spark.createDataFrame(
+        centers, "step int, vec_id long, label int, radius double"
+    )

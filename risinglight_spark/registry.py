@@ -524,13 +524,17 @@ _R11_RECHECK: tuple[str, ...] = (
 )
 
 # New in round 11 (never driver-verified): per-source Pareto-front
-# (skyline) quality selection, and the leakage-safe cluster-grouped
-# train/val split.  With the 6-entry recheck above, the bounded gate
-# keeps the first 42 of _R11_GATE — its last six names (tpch_q21/q22/
-# q3/q4/q5/q6) slip to the head of next round's staleness rotation.
+# (skyline) quality selection, the leakage-safe cluster-grouped
+# train/val split, closed-form OLS via distributed normal equations,
+# and greedy k-center coreset selection.  With the 6-entry recheck
+# above, the bounded gate keeps the first 40 of _R11_GATE — its last
+# eight names (tpch_q2/q20/q21/q22/q3/q4/q5/q6) slip to the head of
+# next round's staleness rotation.
 _R11_NEW: tuple[str, ...] = (
     "pipeline_pareto_front",
     "sample_leakage_safe_split",
+    "ml_linreg_normal_eq",
+    "sample_coreset_kcenter",
 )
 
 # Round-11 staleness rotation: the 48 entries with the OLDEST prior

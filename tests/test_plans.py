@@ -888,3 +888,35 @@ def test_pareto_front_is_salted_two_phase(spark, sf_dir):
         "text",
         "source",
     }
+
+
+def test_linreg_is_single_exchange_aggregate(spark, sf_dir):
+    # the whole OLS fit must be one partial/final aggregate pair over
+    # the scan: exactly one shuffle (of 10 longs per partition), no
+    # Python execution, and the post-agg Cramer math stays in-plan.
+    plan = _plan(spark, sf_dir, "ml_linreg_normal_eq")
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Python" not in plan  # no UDF fallback: pure codegen math
+    assert "CartesianProduct" not in plan
+
+
+def test_kcenter_rounds_are_take_ordered_scans(spark, sf_dir):
+    # each greedy round reduces via a per-partition top-1 heap merge —
+    # never a full sort or a shuffle of the corpus.
+    from risinglight_spark.functions.vector import l2_distance, lit_vector
+    from risinglight_spark.operators.pipeline_ops import KCENTER_K
+    from risinglight_spark.tables import Tables
+
+    import pyspark.sql.functions as F
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    cur = emb.withColumn(
+        "md", l2_distance(F.col("embedding"), lit_vector(list(seed.embedding)))
+    )
+    round_df = cur.orderBy(F.desc("md"), "vec_id").limit(1)
+    plan = round_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert KCENTER_K <= 16  # driver state stays k*(d+2) doubles
