@@ -2,7 +2,7 @@
 through the engine's pinned-semantics session AND DuckDB over identical
 parquet data, results compared as normalized multisets.
 
-The 307 registry oracles verify every OPERATOR; the slt corpus replays
+The 309 registry oracles verify every OPERATOR; the slt corpus replays
 the reference's own test files.  What neither covers is the
 combinatorial space of expression COMPOSITIONS (CASE inside a
 comparison inside a filter under a grouped sum...).  This fuzzer
@@ -790,3 +790,84 @@ def test_dialect_executor_differential(fuzz_env, tmp_path):
         from risinglight_spark.tables import pin_semantics
 
         pin_semantics(spark)
+
+
+def test_outer_join_differential(fuzz_env):
+    """Shape 15: FULL/RIGHT outer joins — the NULL-extension semantics
+    the self-join shape (INNER/LEFT only) never exercises.  Projections
+    COALESCE both sides so the null-extended rows are distinguishable
+    from genuinely-NULL columns; the optional WHERE applies post-join
+    (both engines filter the padded rows identically)."""
+    import re
+
+    qual = {
+        "i1": "a.i1", "d1": "a.d1", "s1": "a.s1", "b1": "a.b1",
+        "g": "a.g", "rid": "a.rid",
+        "i2": "b.i2", "d2": "b.d2", "s2": "b.s2",
+    }
+
+    def q(expr: str) -> str:
+        return re.sub(
+            r"\b(i1|i2|d1|d2|s1|s2|b1|g|rid)\b",
+            lambda m: qual[m.group(1)],
+            expr,
+        )
+
+    rng = random.Random(SEED + 15)
+    for _ in range(N_PER_SHAPE // 2):
+        jtype = rng.choice(["FULL JOIN", "RIGHT JOIN", "FULL JOIN"])
+        on = rng.choice(
+            [
+                "a.g = b.g AND a.rid < b.rid",
+                "a.g = b.g AND a.rid + 7 = b.rid",
+                "a.rid = b.rid AND a.g < b.g",
+            ]
+        )
+        where = (
+            f" WHERE {q(bool_expr(rng))} OR a.rid IS NULL OR b.rid IS NULL"
+            if rng.random() < 0.5
+            else ""
+        )
+        sql = (
+            f"SELECT COALESCE(a.rid, -1) AS ar, COALESCE(b.rid, -1) AS br, "
+            f"CAST({q(int_expr(rng))} AS BIGINT) AS c0, "
+            f"COALESCE({q(str_expr(rng))}, '<null>') AS c1 "
+            f"FROM fz a {jtype} fz b ON {on}{where}"
+        )
+        _run_both(fuzz_env, sql)
+
+
+def test_distinct_aggregate_differential(fuzz_env):
+    """Shape 16: DISTINCT aggregates — multiple COUNT(DISTINCT) over
+    different columns force Spark's Expand-based rewrite (a plan family
+    no other shape reaches); sum/avg(DISTINCT) stay exact because the
+    distinct value sets are small integers (< 2^53 in double)."""
+    rng = random.Random(SEED + 16)
+    for _ in range(N_PER_SHAPE // 2):
+        aggs = [
+            "CAST(count(DISTINCT i1) AS BIGINT) AS a0",
+            "CAST(count(DISTINCT s1) AS BIGINT) AS a1",
+            f"CAST(count(DISTINCT {int_expr(rng)}) AS BIGINT) AS a2",
+            "CAST(sum(DISTINCT i1) AS BIGINT) AS a3",
+            "CAST(sum(DISTINCT i2) AS BIGINT) AS a4",
+            "CAST(avg(DISTINCT i2) AS DOUBLE) AS a5",
+            "CAST(count(DISTINCT b1) AS BIGINT) AS a6",
+        ]
+        chosen = rng.sample(aggs, rng.randint(2, 4))
+        grouped = rng.random() < 0.6
+        having = (
+            f" HAVING count(DISTINCT i1) > {rng.randint(0, 2)}"
+            if grouped and rng.random() < 0.4
+            else ""
+        )
+        if grouped:
+            sql = (
+                f"SELECT g, {', '.join(chosen)} FROM fz "
+                f"WHERE {bool_expr(rng)} GROUP BY g{having}"
+            )
+        else:
+            sql = (
+                f"SELECT {', '.join(chosen)} FROM fz "
+                f"WHERE {bool_expr(rng)}"
+            )
+        _run_both(fuzz_env, sql)
