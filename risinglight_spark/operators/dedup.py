@@ -465,14 +465,18 @@ def _rep_minhash_pairs(
         ).otherwise(0)
         for j in range(N_PERM)
     )
-    # shuffle_hash, not broadcast: the signature table has one row per
-    # distinct text — broadcasting it is infeasible at scale, and
-    # shuffling both sides on the bucket key gives IDENTICAL exchanges
-    # that Spark's ReusedExchange dedupes, so the Arrow signature
-    # pipeline runs ONCE, not once per join side.
+    # shuffle_merge, not broadcast (the signature table has one row per
+    # distinct text — broadcasting is infeasible at scale) and not
+    # shuffle_hash: a shuffled-hash build CANNOT spill, and the 16x
+    # (28.8M-doc) bounded-heap probe OOM'd exactly there ("not enough
+    # memory to build hash map") — sort-merge degrades to disk sort
+    # gracefully when a band bucket's partition outgrows its task share.
+    # Both sides still shuffle identically on the bucket key, so the
+    # Arrow signature pipeline's exchange is shared, and A/B at sf0.1
+    # measures parity (4.74 vs 4.64 s median-of-3).
     rep_pairs = (
-        a.hint("shuffle_hash").join(
-            b.hint("shuffle_hash"),
+        a.hint("shuffle_merge").join(
+            b.hint("shuffle_merge"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -602,13 +606,15 @@ def _rep_simhash_pairs(
     a, b = nib.alias("a"), nib.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
 
-    # shuffle_hash for the same reason as the minhash band join: never
-    # broadcast an n-row signature table, and identical exchanges on
-    # both sides let ReusedExchange run the signature pipeline once.
+    # shuffle_merge for the same reason as the minhash band join: never
+    # broadcast an n-row signature table, never hash-build an unbounded
+    # neighborhood bucket (SHJ builds can't spill — the 16x bounded-heap
+    # probe's lesson); the identical exchanges still run the signature
+    # pipeline once.
     def mine() -> DataFrame:
         return (
-            a.hint("shuffle_hash").join(
-                b.hint("shuffle_hash"),
+            a.hint("shuffle_merge").join(
+                b.hint("shuffle_merge"),
                 (F.col("a.nk") == F.col("b.nk"))
                 & (F.col("a.nib") == F.col("b.nib"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1495,9 +1501,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mine_dropped() -> DataFrame:
         return (
-            a.hint("shuffle_hash")
+            a.hint("shuffle_merge")
             .join(
-                b.hint("shuffle_hash"),
+                b.hint("shuffle_merge"),
                 (F.col("a.cell") == F.col("b.cell"))
                 & (F.col("a.subcell") == F.col("b.subcell"))
                 & (F.col("a.rep") < F.col("b.rep")),
