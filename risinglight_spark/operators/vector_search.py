@@ -2106,10 +2106,16 @@ def nsw_edges(nodes: DataFrame) -> DataFrame:
     wclass = Window.partitionBy("cell", "bkt", "embedding").orderBy(
         "d", "y_rep"
     )
+    # shuffle_merge, not shuffle_hash: NSW_MAX_GROUP bounds the GROUP,
+    # but an SHJ build holds the whole shuffle PARTITION (many groups,
+    # grows with the corpus) and cannot spill — the same failure mode
+    # the 16x minhash probe hit.  Sort-merge keeps the identical
+    # group-key exchanges and sort-spills when a partition outgrows
+    # its task share; sf0.1 A/B is parity (see SCALE.md).
     near_classes = (
-        x.hint("shuffle_hash")
+        x.hint("shuffle_merge")
         .join(
-            y.hint("shuffle_hash"),
+            y.hint("shuffle_merge"),
             (F.col("x.cell") == F.col("y.cell"))
             & (F.col("x.bkt") == F.col("y.bkt"))
             & (F.col("x.subg") == F.col("y.subg"))
