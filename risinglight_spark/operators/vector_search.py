@@ -2222,18 +2222,40 @@ def ann_nsw_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer1 = e.filter(F.col("vec_id") % NSW_LAYER_MOD == 0).select(
         "vec_id", qd.alias("qd")
     )
-    seeds = layer1.orderBy("qd", "vec_id").limit(NSW_SEED_K)
-    entry = seeds.orderBy("qd", "vec_id").limit(1).select("vec_id")
-    seeds = seeds.select("vec_id")
-    hop1 = edges.join(
-        F.broadcast(entry.withColumnRenamed("vec_id", "src")), "src"
-    ).select(F.col("dst").alias("vec_id"))
-    hop2 = edges.join(
-        F.broadcast(hop1.withColumnRenamed("vec_id", "src")), "src"
-    ).select(F.col("dst").alias("vec_id"))
-    cand = seeds.unionAll(hop1).unionAll(hop2).distinct()
+    # Beam expansion runs as a driver-side frontier loop: each frontier
+    # is bounded BY CONSTRUCTION independent of corpus size (seeds
+    # NSW_SEED_K=4, hop1 <= NSW_M=8, hop2 <= NSW_M^2=64 ids), so
+    # collecting it is a bounded-scalar read, not a data collect — the
+    # same policy as the IVF centroid pulls.  The previous formulation
+    # chained the hops as nested broadcast joins inside ONE lazy plan;
+    # every enclosing broadcast re-executed the inner hops (entry
+    # lineage ran 4x), so probe latency was ~8 sequential recomputing
+    # jobs — pure scheduling overhead that the r11 drift adjudication
+    # traced (SCALE.md: NSW probe A/B).  Candidate SET and results are
+    # identical; only job structure changed.
+    seed_ids = [
+        r[0]
+        for r in layer1.orderBy("qd", "vec_id")
+        .limit(NSW_SEED_K)
+        .select("vec_id")
+        .collect()
+    ]
+    entry_id = seed_ids[0] if seed_ids else -1
+    hop1_ids = [
+        r[0]
+        for r in edges.filter(F.col("src") == entry_id)
+        .select("dst")
+        .collect()
+    ]
+    hop2_ids = [
+        r[0]
+        for r in edges.filter(F.col("src").isin(hop1_ids or [-1]))
+        .select("dst")
+        .collect()
+    ]
+    cand_ids = sorted(set(seed_ids) | set(hop1_ids) | set(hop2_ids))
     return (
-        e.join(F.broadcast(cand), "vec_id")
+        e.filter(F.col("vec_id").isin(cand_ids or [-1]))
         .select("vec_id", F.round(qd, 8).alias("nsw_dist"))
         .orderBy("nsw_dist", "vec_id")
         .limit(NSW_TOPK)
