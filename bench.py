@@ -176,6 +176,18 @@ def main() -> None:
     # drift between rounds showed as 20-40% swings on IDENTICAL code
     # (r6->r7, and twice within round 8); query/calib ratios are the
     # cross-round-comparable numbers.
+    #
+    # Hardened after BENCH_r11 (VERDICT r11 item 2): a single-shot
+    # pre-suite probe said the box ran 18% FAST while the suite ran 31%
+    # SLOW — whatever drifted did so DURING the run, invisible to one
+    # sample.  Two additions: (a) the single-stream probe runs before
+    # AND after the timed suite, so mid-run drift shows as a
+    # before/after gap instead of being inferred from per-query
+    # medians; (b) a parallel-throughput probe (32 concurrent small
+    # jobs — scheduler + task-dispatch bound, the regime the r11 NSW
+    # outlier lived in) complements the single-big-job kernel, which is
+    # blind to scheduling-latency drift (SCALE.md: round-12 outlier
+    # adjudication).
     import statistics as _stats
     from pyspark.sql import functions as _F
 
@@ -186,8 +198,21 @@ def main() -> None:
         ).agg(_F.sum("h")).collect()
         return time.perf_counter() - t0
 
+    def _calib_parallel() -> float:
+        # 32 tiny independent jobs submitted back-to-back from one
+        # thread: measures job-scheduling round-trip latency, which the
+        # big single-stage kernel amortizes away entirely.
+        t0 = time.perf_counter()
+        for _ in range(32):
+            spark.range(1_000).agg(_F.sum("id")).collect()
+        return time.perf_counter() - t0
+
     _calib()  # compile
     calib = round(_stats.median(_calib() for _ in range(3)), 3)
+    _calib_parallel()  # compile
+    calib_sched_before = round(
+        _stats.median(_calib_parallel() for _ in range(3)), 3
+    )
     # Reference calibration: BENCH_r08's calib_sec on the box state
     # that produced the round-8 baseline.  Calibrated totals are
     # raw * (CALIB_REF / calib) — i.e. "what this run would read on
@@ -227,6 +252,13 @@ def main() -> None:
         per_query[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    # Post-suite probes: a before/after gap on EITHER kernel means the
+    # box drifted mid-run and the raw total is not attributable to code.
+    calib_after = round(_stats.median(_calib() for _ in range(3)), 3)
+    calib_sched_after = round(
+        _stats.median(_calib_parallel() for _ in range(3)), 3
+    )
 
     # Rotating annex: the headline suite covers 92 of 309 registry
     # entries; the other 215 have scale probes but no per-round
@@ -300,9 +332,20 @@ def main() -> None:
         "samples": samples,
         "sample_stat": "median",
         "calib_sec": calib,
+        "calib_sec_after": calib_after,
+        "calib_sched_sec": calib_sched_before,
+        "calib_sched_sec_after": calib_sched_after,
         "calib_ref_sec": CALIB_REF,
-        "value_calibrated": round(total * (CALIB_REF / calib), 3),
-        "r02_subset_calibrated": round(r02_total * (CALIB_REF / calib), 3),
+        # Calibrated totals use the MEAN of the before/after probes —
+        # the best single estimate of box speed over the suite window.
+        # When before/after disagree materially the gap itself is the
+        # finding (mid-run drift; see calib_sec vs calib_sec_after).
+        "value_calibrated": round(
+            total * (CALIB_REF / ((calib + calib_after) / 2)), 3
+        ),
+        "r02_subset_calibrated": round(
+            r02_total * (CALIB_REF / ((calib + calib_after) / 2)), 3
+        ),
         "annex": annex,
         "annex_slice": slice_idx,
         "annex_total": round(sum(annex.values()), 3),
