@@ -374,6 +374,7 @@ def sample_leakage_safe_split(
 # -- Pareto-front (skyline) quality selection --------------------------------
 
 PARETO_SALT = 32  # phase-1 chunking fan-out for the local fronts
+PARETO_SALT_MID = 8  # salt-tree middle level: 32 -> 8 -> 1 per source
 
 
 def _pareto_local_front(pdf):
@@ -381,26 +382,86 @@ def _pareto_local_front(pdf):
     maximize (n_tok, n_uniq, alpha_ratio).  A point survives iff no
     other point is >= on every dimension and > on at least one —
     identical points never dominate each other, matching the oracle's
-    NOT EXISTS.  O(n * |front|) with numpy broadcasting; fronts of
-    anti-correlated 3-d data are small, and phase-1 salting bounds n."""
+    NOT EXISTS.
+
+    Kung/Luccio/Preparata 3-d maxima sweep (JACM 1975), O(n log n):
+    points sorted lexicographically descending; a point can only be
+    dominated by a point sorting no later.  For strictly-greater-x
+    dominators the sweep keeps a STAIRCASE — the 2-d (y, z) maxima of
+    processed points, y ascending / z strictly descending — so the
+    dominance test is one binary search (does the staircase reach
+    z >= p.z at y >= p.y), not a comparison against every kept point.
+    Equal-x runs are checked 2-d within the run (running max-z over
+    strictly-greater y, plus a strict-z test inside equal-(x,y) ties),
+    then merged into the staircase.  The previous kernel compared each
+    point against ALL kept points (O(n * |front|) numpy broadcast):
+    harmless on real text where fronts are tiny, but an adversarial
+    all-on-front antichain made the single root-merge task do ~n^2/2
+    comparisons (~25M at n=5k) — the cliff tools/pareto_front_probe.py
+    records and VERDICT r11 item 5 ordered flattened."""
+    import bisect
+
     import numpy as np
 
-    a = pdf[["n_tok", "n_uniq", "alpha_ratio"]].to_numpy(dtype="float64")
-    order = np.lexsort(
-        (pdf["doc_id"].to_numpy(), -a[:, 2], -a[:, 1], -a[:, 0])
-    )
-    a = a[order]
-    keep: list[int] = []
-    kept = np.empty((0, 3))
-    for i in range(len(a)):
-        p = a[i]
-        if kept.size:
-            ge = (kept >= p).all(axis=1)
-            gt = (kept > p).any(axis=1)
-            if bool((ge & gt).any()):
-                continue
-        keep.append(i)
-        kept = np.vstack([kept, p])
+    x = pdf["n_tok"].to_numpy(dtype="int64")
+    y = pdf["n_uniq"].to_numpy(dtype="int64")
+    z = pdf["alpha_ratio"].to_numpy(dtype="float64")
+    order = np.lexsort((pdf["doc_id"].to_numpy(), -z, -y, -x))
+    x, y, z = x[order], y[order], z[order]
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    # Staircase: ys ascending, zs strictly descending (2-d maxima of
+    # all points processed in earlier — strictly-greater-x — runs).
+    ys: list[float] = []
+    zs: list[float] = []
+
+    def _covered(py: float, pz: float) -> bool:
+        # exists staircase (Y, Z) with Y >= py and Z >= pz?  Suffix
+        # [i:] of ys has Y >= py; its max Z sits at index i (z desc).
+        i = bisect.bisect_left(ys, py)
+        return i < len(ys) and zs[i] >= pz
+
+    def _insert(py: float, pz: float) -> None:
+        if _covered(py, pz):  # equal-or-better entry already present
+            return
+        # entries with y <= py form the prefix [0:i2); among them those
+        # with z <= pz are its tail [j:i2) (z desc) — now dominated.
+        i2 = bisect.bisect_right(ys, py)
+        j = i2
+        while j > 0 and zs[j - 1] <= pz:
+            j -= 1
+        del ys[j:i2]
+        del zs[j:i2]
+        ys.insert(j, py)
+        zs.insert(j, pz)
+
+    g0 = 0
+    while g0 < n:
+        g1 = g0
+        while g1 < n and x[g1] == x[g0]:
+            g1 += 1
+        # within-run 2-d check: rows sorted y desc, z desc
+        maxz_gt = float("-inf")  # max z among strictly-greater y
+        r0 = g0
+        while r0 < g1:
+            r1 = r0
+            while r1 < g1 and y[r1] == y[r0]:
+                r1 += 1
+            run_max_z = z[r0]  # z desc within equal (x, y)
+            for k in range(r0, r1):
+                if maxz_gt >= z[k] or run_max_z > z[k]:
+                    continue  # dominated within the equal-x run
+                if _covered(float(y[k]), float(z[k])):
+                    continue  # dominated by a strictly-greater-x point
+                keep[k] = True
+            maxz_gt = max(maxz_gt, run_max_z)
+            r0 = r1
+        # merge the run's survivors into the staircase AFTER the whole
+        # equal-x run is judged (staircase semantics are strict-x)
+        for k in range(g0, g1):
+            if keep[k]:
+                _insert(float(y[k]), float(z[k]))
+        g0 = g1
     return pdf.iloc[order[keep]][
         ["doc_id", "source", "n_tok", "n_uniq", "alpha_ratio"]
     ]
@@ -435,12 +496,15 @@ def _pareto_local_front(pdf):
     "axis, i.e. multi-signal exemplar selection WITHOUT scalarizing "
     "weights (the step before a weighted quality cut commits to a "
     "trade-off).  Distributed divide-and-conquer: dominance is "
-    "transitive, so skyline(union of chunk skylines) == skyline — "
-    "phase 1 computes local fronts per (source, salt-of-32) Arrow "
-    "group, phase 2 merges the (small) fronts per source; the full "
-    "corpus never gathers anywhere, and the signals themselves are "
-    "one JVM-side scan.  The naive formulation is the O(n^2) NOT "
-    "EXISTS self-join the oracle runs.",
+    "transitive, so skyline(union of chunk skylines) == skyline — a "
+    "salt-tree of local fronts per (source, salt-of-32) Arrow group, "
+    "merged 32 -> 8 -> 1 per source; the full corpus never gathers "
+    "anywhere, and the signals themselves are one JVM-side scan.  "
+    "Each group runs the Kung/Luccio/Preparata O(n log n) staircase "
+    "sweep (see _pareto_local_front), so even the adversarial "
+    "all-on-front antichain costs n log n at the root merge instead "
+    "of the former n^2/2 pairwise comparisons.  The naive formulation "
+    "is the O(n^2) NOT EXISTS self-join the oracle runs.",
 )
 def pipeline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -469,7 +533,23 @@ def pipeline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "_salt")
         .applyInPandas(lambda pdf: _pareto_local_front(pdf), schema)
     )
-    return local.groupBy("source").applyInPandas(
+    # Salt-tree merge (the round-11 docstring promise, VERDICT r11 item
+    # 5): 32 local fronts -> 8 mid-level groups -> 1 per source.
+    # Dominance is transitive, so skyline(union of skylines) == skyline
+    # at every level.  The middle level bounds the fan-in any single
+    # merge task absorbs to PARETO_SALT/PARETO_SALT_MID fronts; on an
+    # all-on-front antichain the root still ingests the full front
+    # (that IS the output), where the O(n log n) staircase kernel —
+    # not the fan-in — is what flattens the former ~n^2/2-comparison
+    # cliff (probe table in SCALE.md).
+    mid = (
+        local.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(PARETO_SALT_MID))
+        )
+        .groupBy("source", "_salt")
+        .applyInPandas(lambda pdf: _pareto_local_front(pdf), schema)
+    )
+    return mid.groupBy("source").applyInPandas(
         lambda pdf: _pareto_local_front(pdf), schema
     )
 
@@ -3067,11 +3147,14 @@ _OLS_SUMS = ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
              sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
              sum(x2 * x2) AS s22,
              sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
-             sum(y * y) AS syy
+             sum(y * y) AS syy,
+             greatest(max(abs(x1)), max(abs(x2)), max(abs(y))) AS mx
       FROM f
     ),
     d AS (
       SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(n AS DOUBLE) * CAST(mx AS DOUBLE) * CAST(mx AS DOUBLE)
+               < 9.0e18 AS moments_exact,
              {', '.join(f'CAST({c} AS DOUBLE) AS {c}d' for c in _OLS_SUMS)}
       FROM s
     ),
@@ -3096,15 +3179,18 @@ _OLS_SUMS = ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
     ),
     w AS (
       SELECT n, nd, syd, s1yd, s2yd, syyd,
-             det0 / det AS w_bias,
-             det1 / det AS w_chars,
-             det2 / det AS w_echar
+             det0 / (CASE WHEN moments_exact THEN nullif(det, 0.0) END)
+               AS w_bias,
+             det1 / (CASE WHEN moments_exact THEN nullif(det, 0.0) END)
+               AS w_chars,
+             det2 / (CASE WHEN moments_exact THEN nullif(det, 0.0) END)
+               AS w_echar
       FROM dets
     )
     SELECT n, w_bias, w_chars, w_echar,
            1.0 - (syyd - (w_bias * syd + w_chars * s1yd
                           + w_echar * s2yd))
-                 / (syyd - (syd * syd) / nd) AS r2
+                 / nullif(syyd - (syd * syd) / nd, 0.0) AS r2
     FROM w
     """,
     doc="Closed-form OLS by distributed normal equations: regress "
@@ -3120,7 +3206,17 @@ _OLS_SUMS = ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
     "moments are exact BIGINT sums (bit-identical at any "
     "parallelism, the ml_logreg_train_step trick); the Cramer and "
     "R^2 arithmetic is the same IEEE-754 expression DAG on both "
-    "engines, so the coefficients hash-match without rounding.",
+    "engines, so the coefficients hash-match without rounding.  "
+    "Exactness bound (ADVICE r11): every moment is <= n * mx^2 for "
+    "mx = max(|x1|, |x2|, |y|), so int64 sums are exact while "
+    "n * mx^2 < 2^63 — ~9e10 rows of 10-kB docs; the plan aggregates "
+    "mx alongside the moments (3 more longs of state, same single "
+    "exchange) and NULLs the fit if the bound is breached, the same "
+    "sentinel the oracle computes.  Past it, swap the moment sums to "
+    "DECIMAL(38,0) on both sides (DuckDB's HUGEINT promotion).  A "
+    "singular design matrix (det = 0) likewise pins to NULL "
+    "coefficients on both engines rather than either engine's "
+    "double/0 default.",
 )
 def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -3142,10 +3238,25 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x1") * F.col("y")).alias("s1y"),
         F.sum(F.col("x2") * F.col("y")).alias("s2y"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.greatest(
+            F.max(F.abs(F.col("x1"))),
+            F.max(F.abs(F.col("x2"))),
+            F.max(F.abs(F.col("y"))),
+        ).alias("mx"),
     )
     d = s.select(
         "n",
         F.col("n").cast("double").alias("nd"),
+        # Overflow sentinel (ADVICE r11): every moment is bounded by
+        # n * mx^2, so this double-side check (margin under 2^63 =
+        # 9.22e18) certifies the int64 sums did not wrap.  Identical
+        # expression in the oracle -> identical boolean.
+        (
+            F.col("n").cast("double")
+            * F.col("mx").cast("double")
+            * F.col("mx").cast("double")
+            < F.lit(9.0e18)
+        ).alias("moments_exact"),
         *[F.col(c).cast("double").alias(c + "d") for c in _OLS_SUMS],
     )
     m = d.select(
@@ -3169,6 +3280,14 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nd") * F.col("c00") - F.col("s1d") * F.col("b02")
          + F.col("syd") * F.col("m02")).alias("det2"),
     )
+    # Degenerate-input pin (ADVICE r11): a singular design matrix
+    # (det = 0 — e.g. exactly collinear signals or n < 3) or a corpus
+    # past the int64 moment bound yields NULL coefficients on BOTH
+    # engines via the same guarded divisor, instead of relying on
+    # either engine's double/0 default.
+    safe_det = F.when(
+        F.col("moments_exact"), F.when(F.col("det") != 0.0, F.col("det"))
+    )
     w = dets.select(
         "n",
         "nd",
@@ -3176,10 +3295,11 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1yd",
         "s2yd",
         "syyd",
-        (F.col("det0") / F.col("det")).alias("w_bias"),
-        (F.col("det1") / F.col("det")).alias("w_chars"),
-        (F.col("det2") / F.col("det")).alias("w_echar"),
+        (F.col("det0") / safe_det).alias("w_bias"),
+        (F.col("det1") / safe_det).alias("w_chars"),
+        (F.col("det2") / safe_det).alias("w_echar"),
     )
+    tss = F.col("syyd") - (F.col("syd") * F.col("syd")) / F.col("nd")
     return w.select(
         "n",
         "w_bias",
@@ -3195,7 +3315,7 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.col("w_echar") * F.col("s2yd")
                 )
             )
-            / (F.col("syyd") - (F.col("syd") * F.col("syd")) / F.col("nd"))
+            / F.when(tss != 0.0, tss)
         ).alias("r2"),
     )
 

@@ -595,6 +595,82 @@ _R11_GATE: tuple[str, ...] = (
     "tpch_q6",
 )
 
+# Round-12 recheck: entries whose implementation was rewritten THIS
+# round — fronted the same round so no provenance gap opens (the
+# standing invariant since round 9).  ann_nsw_graph_search: the 2-hop
+# beam probe became a driver-side bounded frontier loop (identical
+# candidate set; SCALE.md round-12 outlier adjudication).
+_R12_RECHECK: tuple[str, ...] = (
+    "ann_nsw_graph_search",
+    # pipeline_pareto_front: phase-2 per-source merge rewritten as the
+    # hierarchical salt-tree promised in round 11 (VERDICT r11 item 5).
+    "pipeline_pareto_front",
+    # ml_linreg_normal_eq: degenerate-determinant guard pinned on both
+    # engines (ADVICE r11) — result unchanged on non-degenerate input,
+    # but the plan now carries the NULLIF/when guard.
+    "ml_linreg_normal_eq",
+)
+
+# Round-12 staleness rotation (VERDICT r11 item 3): the 13 entries whose
+# latest driver row is still round 3 — the 8 TPC-H entries displaced
+# from the bounded r11 gate (registry history above) plus the 5 r3
+# leftovers — then the head of the round-4 cohort (alphabetical within
+# round, the same total order every rotation has used).  With the
+# 3-entry recheck the bounded 50-slot gate reaches ~34 names into the
+# r4 cohort; the rest queue for round 13.
+_R12_GATE: tuple[str, ...] = (
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "vector_distance_ops",
+    "vector_l2_topk",
+    "agg_mode_deterministic",
+    "ann_batch_topk_join",
+    "ann_index_partitioned",
+    "ann_ivf_probe",
+    "ann_matryoshka_truncated",
+    "ann_multiprobe",
+    "ann_recall_eval",
+    "copy_zorder_clustered",
+    "dedup_incremental_batch",
+    "dedup_incremental_minhash",
+    "dedup_minhash_eval",
+    "dedup_minhash_index_materialized",
+    "dedup_multi_signal",
+    "events_interval_union",
+    "events_linear_trend",
+    "events_pareto_share",
+    "events_pattern_seq",
+    "events_transition_matrix",
+    "events_watermark_lateness",
+    "expr_higher_order_library",
+    "expr_try_functions",
+    "join_bloom_prefilter",
+    "join_null_safe_eq",
+    "mm_decode_stub",
+    "pipeline_dataset_card",
+    "sample_topk_per_group",
+    "setop_unpivot",
+    "streaming_chained_agg",
+    "streaming_custom_sink",
+    "streaming_custom_source",
+    "streaming_foreachbatch_upsert",
+    "streaming_interval_join_outer",
+    "streaming_rocksdb_state",
+    "subquery_recursive_cte",
+    "text_bpe_pair_stats",
+    "text_chunk_overlap",
+    "text_corpus_stats",
+)
+
 # First-occurrence dedupe at construction: earlier rounds' comprehension
 # filters let 17 duplicate names slip in (they only worked because
 # collect() dedupes via dict first-occurrence).  dict.fromkeys makes a
@@ -603,6 +679,8 @@ _R11_GATE: tuple[str, ...] = (
 _PRIORITY: tuple[str, ...] = tuple(
     dict.fromkeys(
         (
+            *_R12_RECHECK,
+            *_R12_GATE,
             *_R11_RECHECK,
             *_R11_NEW,
             *_R11_GATE,

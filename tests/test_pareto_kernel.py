@@ -1,0 +1,80 @@
+"""The Kung/Luccio/Preparata staircase kernel behind
+pipeline_pareto_front (pipeline_ops._pareto_local_front) must compute
+the EXACT skyline — identical to the O(n^2) dominance definition the
+DuckDB oracle runs — for every tie pattern: equal-x runs, equal-(x,y)
+ties, fully identical triples (which never dominate each other), and
+the all-on-front antichain that motivated the O(n log n) rewrite
+(VERDICT r11 item 5).  Pure pandas, no Spark session."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from risinglight_spark.operators.pipeline_ops import _pareto_local_front
+
+
+def _brute(rows):
+    out = []
+    for a in rows:
+        dominated = False
+        for b in rows:
+            if (
+                b[1] >= a[1]
+                and b[2] >= a[2]
+                and b[3] >= a[3]
+                and (b[1] > a[1] or b[2] > a[2] or b[3] > a[3])
+            ):
+                dominated = True
+                break
+        if not dominated:
+            out.append(a[0])
+    return sorted(out)
+
+
+def _front(rows):
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "n_tok", "n_uniq", "alpha_ratio"]
+    )
+    pdf["source"] = "s"
+    return sorted(_pareto_local_front(pdf)["doc_id"].tolist())
+
+
+def test_kernel_matches_brute_force_fuzz():
+    rng = random.Random(20260816)
+    for _ in range(300):
+        n = rng.randint(1, 60)
+        # small value domains force dense ties on every dimension
+        lim = rng.choice([2, 3, 5, 50])
+        rows = [
+            (
+                i,
+                rng.randint(0, lim),
+                rng.randint(0, lim),
+                round(rng.randint(0, lim) * 0.25, 8),
+            )
+            for i in range(n)
+        ]
+        assert _front(rows) == _brute(rows), rows
+
+
+def test_kernel_antichain_keeps_everything():
+    n = 500
+    rows = [(i, 1000 - i, i, 0.5) for i in range(n)]
+    assert _front(rows) == list(range(n))
+
+
+def test_kernel_identical_points_never_dominate_each_other():
+    rows = [(0, 5, 5, 0.5), (1, 5, 5, 0.5), (2, 4, 6, 0.5)]
+    assert _front(rows) == [0, 1, 2]
+    # ...but a strictly-better point removes both copies
+    rows = [(0, 5, 5, 0.5), (1, 5, 5, 0.5), (2, 5, 5, 0.6)]
+    assert _front(rows) == [2]
+
+
+def test_kernel_equal_x_run_tie_semantics():
+    # equal n_tok: dominance decided on (n_uniq, alpha_ratio) alone
+    rows = [(0, 7, 3, 0.5), (1, 7, 3, 0.4), (2, 7, 4, 0.4), (3, 7, 2, 0.9)]
+    # 1 is dominated by 0 (same y, lower z) and by 2 (higher y, same z)
+    assert _front(rows) == [0, 2, 3]

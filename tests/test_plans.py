@@ -865,22 +865,23 @@ def test_kl_divergence_has_no_single_partition_window(spark, sf_dir):
 
 
 def test_pareto_front_is_salted_two_phase(spark, sf_dir):
-    """pipeline_pareto_front: the skyline must be the two-phase
-    divide-and-conquer — a salted (source, _salt) Arrow group for the
-    local fronts, then one (source) Arrow merge of the SMALL fronts —
-    never a single per-source pass over the raw corpus (a hot source
-    would funnel its whole shard through one task) and never a pair
-    join (the oracle's O(n^2) NOT EXISTS stays DuckDB-side).  The scan
-    must prune to the three signal inputs."""
+    """pipeline_pareto_front: the skyline must be the salt-tree
+    divide-and-conquer — salted (source, _salt-of-32) Arrow groups for
+    the local fronts, a (source, _salt-of-8) middle merge, then one
+    (source) root merge of the SMALL fronts — never a single
+    per-source pass over the raw corpus (a hot source would funnel its
+    whole shard through one task) and never a pair join (the oracle's
+    O(n^2) NOT EXISTS stays DuckDB-side).  The scan must prune to the
+    three signal inputs."""
     import re
 
     plan = _plan(spark, sf_dir, "pipeline_pareto_front")
     groups = re.findall(r"FlatMapGroupsInPandas \[([^\]]*)\]", plan)
-    assert len(groups) == 2, groups
-    # phase 1 groups on (source, salt); phase 2 on source alone
-    assert any("_salt" in g for g in groups)
-    assert any("_salt" not in g for g in groups)
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert len(groups) == 3, groups
+    # leaf + middle levels group on (source, salt); root on source alone
+    assert sum("_salt" in g for g in groups) == 2
+    assert sum("_salt" not in g for g in groups) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
     assert "Join" not in plan and "CartesianProduct" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {

@@ -78,11 +78,20 @@ def _word(idx):
     8x rebuild spent 45 min in BoxesRunTime.equals on exactly that.
     element_at on a constant-folded 4096-string literal produces
     byte-identical words (verified: 15k-doc corpus value-hash equal
-    under both formulations) at ~50x the generation throughput."""
+    under both formulations) at ~50x the generation throughput.
+
+    The VOCAB bound is applied HERE (pmod), not trusted from callers:
+    the old WHEN chain degraded gracefully on any index, but
+    element_at past the literal's length yields NULL (or an ANSI
+    error) — silently empty words if a caller ever forgot its own
+    pmod (ADVICE r11).  For in-range indexes pmod is the identity, so
+    all existing callers stay byte-identical."""
     from pyspark.sql import functions as F
 
     vocab = STOPWORDS + [f"w{i:04d}" for i in range(len(STOPWORDS), VOCAB)]
-    return F.element_at(F.lit(vocab), idx.cast("int") + 1)
+    return F.element_at(
+        F.lit(vocab), F.pmod(idx.cast("int"), F.lit(VOCAB)) + 1
+    )
 
 
 def build_corpus(spark, n_docs: int, n_vecs: int, out: str) -> str:
