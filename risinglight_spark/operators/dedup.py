@@ -1393,7 +1393,6 @@ def _semdedup_oracle() -> str:
     "bounded (SemDeDup's own k ~ n recipe).",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.functions.vector import l2_distance
     from risinglight_spark.operators.vector_search import (
         _centroid_cols_sql,  # noqa: F401  (doc parity)
     )
@@ -1423,17 +1422,17 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("cvec"),
         )
     )
-    assign = (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cell",
-            l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
+    # Shared vectorized argmin (vector_search._ivf_argmin_assign): the
+    # old crossJoin -> min(struct) here planned as a SortAggregate that
+    # SORTED all n x C distance rows — O(n x C) scratch disk, the
+    # round-12 bounded-heap find that kept the 8x semdedup probe from
+    # fitting any volume (SCALE.md).  Same (d, cell) tie-break,
+    # bit-exact distances, zero shuffle.
+    from risinglight_spark.operators.vector_search import (
+        _ivf_argmin_assign,
     )
+
+    assign = _ivf_argmin_assign(e, cents)
     # Exact-duplicate collapse within a cell: identical embeddings have
     # cos = 1 >= tau, so of a replica group only the min-vec_id
     # representative can survive — every other member is dropped by

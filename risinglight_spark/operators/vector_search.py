@@ -1720,18 +1720,86 @@ def _ivf_centroid_means(df: DataFrame) -> DataFrame:
 def _ivf_argmin_assign(df: DataFrame, cvecs: DataFrame) -> DataFrame:
     """(vec_id, cell) argmin assignment over broadcast centroid
     vectors, order-pinned on (distance, cell) — the one shared
-    tie-break every IVF oracle replays."""
-    return (
-        df.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cvecs))
-        .select(
-            "vec_id",
-            "cell",
-            l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
+    tie-break every IVF oracle replays.
+
+    Vectorized Arrow formulation (round 12).  The original shape —
+    crossJoin(broadcast(centroids)) -> min(struct(d, cell)) groupBy —
+    plans as a SORT-aggregate pair (min over a struct has no
+    fixed-width mutable buffer, so HashAggregate is ineligible and the
+    map side SORTS the full n x C crossJoin output).  The round-12
+    bounded-heap escalation caught this as O(n x C) DISK: the 8x
+    semdedup probe (3.84M vectors x 1,600 cells = 6.1B rows into an
+    external sorter) wrote scratch quadratically in corpus scale and
+    could not fit any volume — the same at-scale defect class as the
+    r11 unspillable-SHJ-build find (SCALE.md round-12 section).
+
+    Here the centroid matrix is a BOUNDED index asset (C x DIM
+    doubles — the same object every IVF probe already collects), so
+    the assignment is one zero-shuffle Arrow map: numpy computes the
+    distances per batch and argmins row-wise.  BIT-EXACT with the SQL
+    formulation and the DuckDB oracles: the accumulation runs per-dim
+    left-to-right in float64 (acc += (e_i - c_i)^2), exactly the
+    l2_distance left fold / the oracle's `0.0 + t0 + t1 + ...` chain;
+    sqrt is applied (argmin over squared distances could MERGE ties
+    that sqrt rounding creates); centroids are sorted ascending so
+    numpy's first-minimum argmin IS the (d, cell) tie-break.  At 100
+    TB the asset bound is the usual IVF contract (C ~ sqrt(n) cells:
+    ~1M cells x 64 dims = 512 MB broadcast — past that, shard the
+    matrix or add a coarse quantizer level)."""
+    cell_type = cvecs.schema["cell"].dataType.simpleString()
+    vid_type = df.schema["vec_id"].dataType.simpleString()
+    crows = sorted(
+        cvecs.select("cell", "cvec").collect(), key=lambda r: r["cell"]
+    )
+    if not crows:
+        # empty centroid set (e.g. an all-delta upsert corpus): the
+        # inner crossJoin produced zero assignments — preserve that
+        return df.select(
+            "vec_id", F.lit(None).cast(cell_type).alias("cell")
+        ).filter(F.lit(False))
+    cells = [r["cell"] for r in crows]
+    mat = [[float(v) for v in r["cvec"]] for r in crows]
+    bc = df.sparkSession.sparkContext.broadcast((cells, mat))
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cell_ids, mat_l = bc.value
+        c = np.asarray(mat_l, dtype=np.float64)  # (C, D)
+        cid = np.asarray(cell_ids)
+        n_dim = c.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            out = np.empty(len(pdf), dtype=np.int64)
+            # sub-blocks bound the (B, C) distance frame in memory
+            for lo in range(0, len(pdf), 2048):
+                eb = e[lo : lo + 2048]
+                acc = np.zeros((eb.shape[0], c.shape[0]))
+                for i in range(n_dim):  # left-to-right, like the fold
+                    diff = eb[:, i, None] - c[None, :, i]
+                    acc += diff * diff
+                d = np.sqrt(acc)
+                # SQL sorts NaN distances GREATER than every double
+                # (both engines), so a NaN cell must lose to any
+                # finite one; numpy argmin would instead surface NaN.
+                # Masking to +inf preserves that rule (all-NaN rows
+                # degenerate to the smallest cell, the same (d, cell)
+                # tie-break).  Finite +inf vs NaN coexisting — which
+                # SQL would order inf-first — needs an Inf-producing
+                # embedding and stays out of scope like int overflow.
+                d[np.isnan(d)] = np.inf
+                out[lo : lo + eb.shape[0]] = cid[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": out}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        assign_batches, f"vec_id {vid_type}, cell {cell_type}"
     )
 
 

@@ -609,6 +609,16 @@ _R12_RECHECK: tuple[str, ...] = (
     # engines (ADVICE r11) — result unchanged on non-degenerate input,
     # but the plan now carries the NULLIF/when guard.
     "ml_linreg_normal_eq",
+    # _ivf_argmin_assign consumers: the shared centroid-argmin helper
+    # was rewritten from crossJoin -> min(struct) (a SortAggregate that
+    # sorted all n x C distance rows — the O(n x C) scratch-disk find
+    # of the round-12 bounded-heap escalation, SCALE.md) to the
+    # vectorized Arrow assignment over the collected centroid asset.
+    "dedup_semdedup",
+    "ann_ivf_pq_search",
+    "ann_ivf_incremental_upsert",
+    "ml_knn_eval_ivf",
+    "sample_cluster_balanced",
 )
 
 # Round-12 staleness rotation (VERDICT r11 item 3): the 13 entries whose

@@ -871,3 +871,169 @@ def test_distinct_aggregate_differential(fuzz_env):
                 f"WHERE {bool_expr(rng)}"
             )
         _run_both(fuzz_env, sql)
+
+
+# substring with the REFERENCE's negative-start/backwards-window rule,
+# rendered as the same engine-neutral formula substring_rl/
+# substring_rl_sql materialize (functions/scalar.py) — the fuzzer
+# composes the SHIM ITSELF, which unit tests cover only pointwise.
+def _rl_substr(s: str, start: str, length: str) -> str:
+    st = (
+        f"(CASE WHEN ({start}) >= 0 THEN ({start}) - 1 "
+        f"ELSE length({s}) + ({start}) END)"
+    )
+    en = f"({st} + ({length}))"
+    skip = f"greatest(least({st}, {en}), 0)"
+    take = f"greatest(greatest({st}, {en}) - {skip}, 0)"
+    return f"substring({s}, {skip} + 1, {take})"
+
+
+def rich_str_expr(rng: random.Random, depth: int = 0) -> str:
+    """String grammar for shape 17: everything str_expr has PLUS the
+    families only unit-tested until now — the substring_rl formula with
+    RANDOM (negative) start/length subexpressions, repeat with a
+    computed clamped count, lpad/rpad, and nested replace."""
+    if depth >= 2 or rng.random() < 0.35:
+        return rng.choice(["s1", "s2", "'ab'", "'Xy z'", "''", "'aAa'"])
+    pick = rng.randrange(9)
+    a = rich_str_expr(rng, depth + 1)
+    if pick == 0:
+        return f"({a} || {rich_str_expr(rng, depth + 1)})"
+    if pick == 1:
+        return f"upper({a})"
+    if pick == 2:
+        return f"lower({a})"
+    if pick == 3:
+        # the shim formula with fuzzed window: start in [-6, 6],
+        # length in [-4, 6] — negative start counts from the end,
+        # negative length selects backwards, exactly ops.rs:304-335
+        start = rng.choice(
+            [str(rng.randint(-6, 6)), f"({int_expr(rng, 2)} % 7)"]
+        )
+        length = str(rng.randint(-4, 6))
+        return _rl_substr(a, start, length)
+    if pick == 4:
+        frm = rng.choice(["a", "b", "ab", "A", " "])
+        to = rng.choice(["_", "", "zz"])
+        return f"replace({a}, '{frm}', '{to}')"
+    if pick == 5:
+        # computed repeat count clamped to [0, 3]: both engines return
+        # '' for 0; NULL propagates identically
+        return f"repeat({a}, abs({int_expr(rng, 2)}) % 4)"
+    if pick == 6:
+        return f"trim({a})"
+    if pick == 7:
+        n = rng.randint(0, 10)
+        pad = rng.choice(["x", "xy"])
+        fn = rng.choice(["lpad", "rpad"])
+        return f"{fn}({a}, {n}, '{pad}')"
+    return f"substring({a}, {rng.randint(1, 5)}, {rng.randint(0, 5)})"
+
+
+def test_string_function_differential(fuzz_env):
+    """Shape 17 (VERDICT r11 item 6): string-function COMPOSITIONS —
+    the one scalar family with a hand-written parity shim
+    (substring_rl, functions/scalar.py: the reference's negative-start
+    / backwards-window rule) was covered by unit tests and one registry
+    entry but never composition-sampled.  Samples nested ||, upper/
+    lower, replace, repeat(computed n), lpad/rpad, trim, and the
+    substring_rl formula with fuzzed negative windows; projects them,
+    filters on LIKE/equality over them, groups by a string expression,
+    and aggregates min/max/count over them."""
+    rng = random.Random(SEED + 17)
+    for _ in range(N_PER_SHAPE):
+        e1, e2 = rich_str_expr(rng), rich_str_expr(rng)
+        mode = rng.randrange(3)
+        if mode == 0:
+            pat = rng.choice(["%a%", "a%", "%z", "%b_a%", "A%", "%_%"])
+            sql = (
+                f"SELECT rid, {e1} AS x, length({e2}) AS n FROM fz "
+                f"WHERE {e2} LIKE '{pat}' OR ({e1}) = ({e2})"
+            )
+        elif mode == 1:
+            sql = (
+                f"SELECT {e1} AS k, CAST(count(*) AS BIGINT) AS n, "
+                f"min({e2}) AS lo, max({e2}) AS hi "
+                f"FROM fz WHERE {bool_expr(rng)} GROUP BY 1"
+            )
+        else:
+            sql = (
+                f"SELECT rid, (CASE WHEN {bool_expr(rng)} THEN {e1} "
+                f"ELSE {e2} END) AS x, ({e1} || {e2}) AS y FROM fz"
+            )
+        _run_both(fuzz_env, sql)
+
+
+# DECIMAL grammar: literals typed DECIMAL on both engines; +,-,* are
+# EXACT in decimal arithmetic, so values agree bit-for-bit regardless
+# of each engine's (p, s) result-typing policy (Spark: Hive rules;
+# DuckDB: its own widening) — the normalizer compares VALUES.  Depth
+# and literal ranges keep every product far from either engine's
+# overflow/NULL edge (SURVEY §1.2 pins overflow handling out of
+# scope the same way int overflow is).  Division is excluded: the
+# result SCALE (hence rounding) is policy-typed per engine.
+def dec_expr(rng: random.Random, depth: int = 0) -> str:
+    if depth >= 2 or rng.random() < 0.4:
+        # literal fraction digits EXACTLY match the declared scale: a
+        # scale-REDUCING decimal cast is a pinned policy divergence
+        # (first run of this shape found it: Spark rounds HALF_UP,
+        # DuckDB 1.0 truncates toward zero — CAST(42.458 AS
+        # DECIMAL(9,2)) = 42.46 vs 42.45), so the grammar never
+        # downscales; round(, k) IS sampled instead (both engines
+        # round decimal ties away from zero).
+        scale = rng.choice([1, 2, 3])
+        whole = rng.randint(-99, 99)
+        frac = rng.randint(0, 10**scale - 1)
+        return f"CAST({whole}.{frac:0{scale}d} AS DECIMAL(9, {scale}))"
+    pick = rng.randrange(5)
+    a, b = dec_expr(rng, depth + 1), dec_expr(rng, depth + 1)
+    if pick == 0:
+        return f"({a} + {b})"
+    if pick == 1:
+        return f"({a} - {b})"
+    if pick == 2:
+        return f"({a} * {b})"
+    if pick == 3:
+        return f"(- {a})"
+    return f"(CASE WHEN {bool_expr(rng, depth + 1)} THEN {a} ELSE {b} END)"
+
+
+def test_decimal_arithmetic_differential(fuzz_env):
+    """Shape 18 (VERDICT r11 item 6): DECIMAL(p, s) arithmetic
+    compositions — exact +/-/* chains over mixed scales, round() to a
+    fuzzed scale, CAST rescaling, comparisons between decimal
+    expressions, and exact grouped sum(decimal).  Result-type (p, s)
+    policies differ per engine; VALUES of exact operations cannot."""
+    rng = random.Random(SEED + 18)
+    for _ in range(N_PER_SHAPE):
+        e1, e2 = dec_expr(rng), dec_expr(rng)
+        mode = rng.randrange(4)
+        if mode == 0:
+            sql = (
+                f"SELECT rid, CAST({e1} AS DOUBLE) AS x, "
+                f"round({e2}, {rng.randint(0, 3)}) AS r FROM fz "
+                f"WHERE {bool_expr(rng)}"
+            )
+        elif mode == 1:
+            # UPscaling CAST only (exact on both engines); DOWNscaling
+            # is the pinned truncate-vs-round policy divergence noted
+            # in dec_expr
+            s = rng.randint(14, 16)
+            sql = (
+                f"SELECT rid, CAST({e1} AS DECIMAL(38, {s})) AS x "
+                f"FROM fz WHERE {bool_expr(rng)}"
+            )
+        elif mode == 2:
+            op = rng.choice(["<", "<=", "=", "<>", ">", ">="])
+            sql = (
+                f"SELECT rid FROM fz "
+                f"WHERE ({e1}) {op} ({e2}) AND {bool_expr(rng)}"
+            )
+        else:
+            # exact grouped sum: sum of DECIMAL is exact on both
+            # engines; multiply by i2 (small int) stays exact
+            sql = (
+                f"SELECT g, sum({e1} * COALESCE(i2, 0)) AS s "
+                f"FROM fz GROUP BY g"
+            )
+        _run_both(fuzz_env, sql)
