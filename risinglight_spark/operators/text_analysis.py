@@ -536,6 +536,191 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- unigram-LM tokenizer: one Viterbi-EM round (SentencePiece-style) -------
+
+UNI_MAX_WORD = 12  # words longer than this are excluded (documented cap)
+UNI_MAX_PIECE = 3  # max piece length in the seed vocabulary
+UNI_SEED = 64  # seed vocabulary size (top substrings by weighted count)
+UNI_TOPK = 40  # output size
+
+
+def _unigram_oracle() -> str:
+    """Unrolled-CTE replay of the Viterbi-EM round: the DP over word
+    positions is UNROLLED to UNI_MAX_WORD stages (the BPE-oracle
+    technique), each stage = candidate extensions from the previous
+    <=UNI_MAX_PIECE positions + a row_number pick of the best state
+    per word under (k ASC, cs DESC, path ASC)."""
+    toks = T.tokens_sql(T.normalized_text_sql("text"))
+    parts = [
+        f"""w AS (
+      SELECT t AS word, count(*)::BIGINT AS wc
+      FROM (SELECT unnest({toks}) AS t FROM documents)
+      WHERE regexp_matches(t, '^[a-z]{{1,{UNI_MAX_WORD}}}$')
+      GROUP BY t
+    )""",
+        f"""p0 AS MATERIALIZED (
+      SELECT substring(word, i, l) AS piece, sum(wc)::BIGINT AS n
+      FROM w,
+           unnest(range(1, length(word) + 1)) AS t1(i),
+           unnest(range(1, {UNI_MAX_PIECE} + 1)) AS t2(l)
+      WHERE i + l - 1 <= length(word)
+      GROUP BY 1
+    )""",
+        f"""seed AS (
+      SELECT piece, n FROM p0
+      ORDER BY n * length(piece) DESC, piece ASC LIMIT {UNI_SEED}
+    )""",
+        """vocab AS MATERIALIZED (
+      SELECT piece, max(n) AS n FROM (
+        SELECT * FROM seed
+        UNION ALL
+        SELECT piece, n FROM p0 WHERE length(piece) = 1
+      ) GROUP BY piece
+    )""",
+        """dp0 AS MATERIALIZED (
+      SELECT word, wc, 0 AS k, 0::BIGINT AS cs, '' AS path, 0 AS pos
+      FROM w
+    )""",
+    ]
+    for i in range(1, UNI_MAX_WORD + 1):
+        prevs = " UNION ALL ".join(
+            f"SELECT * FROM dp{j}"
+            for j in range(max(0, i - UNI_MAX_PIECE), i)
+        )
+        parts.append(
+            f"""cand{i} AS MATERIALIZED (
+      SELECT d.word, d.wc, d.k + 1 AS k, d.cs + v.n AS cs,
+             CASE WHEN d.path = '' THEN v.piece
+                  ELSE d.path || chr(31) || v.piece END AS path
+      FROM ({prevs}) d
+      JOIN vocab v
+        ON v.piece = substring(d.word, d.pos + 1, {i} - d.pos)
+      WHERE length(d.word) >= {i}
+    )"""
+        )
+        parts.append(
+            f"""dp{i} AS MATERIALIZED (
+      SELECT word, wc, k, cs, path, {i} AS pos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY word ORDER BY k ASC, cs DESC, path ASC) AS rn
+        FROM cand{i}) WHERE rn = 1
+    )"""
+        )
+    fins = " UNION ALL ".join(
+        f"SELECT word, wc, path FROM dp{i} WHERE length(word) = {i}"
+        for i in range(1, UNI_MAX_WORD + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    fin AS ({fins})
+    SELECT piece, sum(wc)::BIGINT AS used FROM (
+      SELECT unnest(str_split(path, chr(31))) AS piece, wc FROM fin)
+    GROUP BY piece ORDER BY used DESC, piece ASC LIMIT {UNI_TOPK}
+    """
+    )
+
+
+@register(
+    "text_unigram_lm_step",
+    oracle=_unigram_oracle(),
+    doc=f"Unigram-LM tokenizer training, one Viterbi-EM round "
+    "(SentencePiece, Kudo & Richardson 2018) — the tokenizer family's "
+    "other half beside BPE train/encode: seed a substring vocabulary "
+    f"(all pieces of length <= {UNI_MAX_PIECE} weighted by word "
+    f"frequency and scored count x length, the SentencePiece seed "
+    f"score; top {UNI_SEED} + every single char for coverage), "
+    "segment each DISTINCT word by Viterbi over the seeded scores, "
+    "re-count piece usage from the best segmentations (the E-step; "
+    f"output = top {UNI_TOPK} pieces by usage).  Scoring is EXACT "
+    "INTEGER lexicographic — fewest pieces, then highest total piece "
+    "count, then lexicographically smallest segmentation — a "
+    "deterministic surrogate for log-prob Viterbi chosen because "
+    "ln() differs in the last ulp across engines (the q15/round() "
+    "lesson); path ties compare equal-LENGTH strings at equal (pos, "
+    "k), which is what makes keeping one best state per position "
+    "exact (prefix order survives appending a common suffix only at "
+    "equal length).  Distribution: two keyed count shuffles (word "
+    "histogram, piece usage — both map-side combined), a "
+    f"vocabulary-bounded seed collect (<= {UNI_SEED} + alphabet "
+    "rows), and one Arrow-batched Viterbi over DISTINCT words — the "
+    "word histogram is the same vocabulary-sized funnel class as "
+    "text_zipf_fit (SCALE.md round-8 audit); words longer than "
+    f"{UNI_MAX_WORD} chars are excluded by BOTH engines (documented "
+    "cap; the oracle unrolls the DP to that depth).  Reference: the "
+    "reference has no tokenizer — this is pipeline superset surface, "
+    "VERDICT r11 item 8.",
+)
+def text_unigram_lm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select(
+            F.explode(
+                T.tokens(T.normalized_text(F.col("text")))
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike(f"^[a-z]{{1,{UNI_MAX_WORD}}}$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    subs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                f"transform(sequence(1, least({UNI_MAX_PIECE}, "
+                "length(word) - i + 1)), l -> substring(word, i, l))))"
+            )
+        ).alias("piece"),
+    )
+    pcounts = subs.groupBy("piece").agg(F.sum("wc").alias("n"))
+    seed = pcounts.orderBy(
+        F.desc(F.col("n") * F.length("piece")), "piece"
+    ).limit(UNI_SEED)
+    vocab_df = seed.unionAll(
+        pcounts.filter(F.length("piece") == 1)
+    ).dropDuplicates(["piece"])
+    # bounded asset: <= UNI_SEED + |alphabet| rows
+    vocab = {r["piece"]: r["n"] for r in vocab_df.collect()}
+    sep = "\x1f"
+
+    @pandas_udf("string")
+    def viterbi(col: pd.Series) -> pd.Series:
+        def best(word):
+            L = len(word)
+            dp = [None] * (L + 1)
+            dp[0] = (0, 0, "")
+            for pos in range(1, L + 1):
+                cands = []
+                for plen in range(1, UNI_MAX_PIECE + 1):
+                    j = pos - plen
+                    if j < 0 or dp[j] is None:
+                        continue
+                    n = vocab.get(word[j:pos])
+                    if n is None:
+                        continue
+                    k, cs, path = dp[j]
+                    newp = (path + sep + word[j:pos]) if path else word[j:pos]
+                    cands.append((k + 1, -(cs + n), newp))
+                if cands:
+                    k, negcs, path = min(cands)
+                    dp[pos] = (k, -negcs, path)
+            return dp[L][2] if dp[L] else ""
+
+        return col.map(best)
+
+    return (
+        words.select("wc", F.explode(F.split(viterbi("word"), sep)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("used"))
+        .orderBy(F.desc("used"), "piece")
+        .limit(UNI_TOPK)
+    )
+
+
 # PII scrubbing patterns — the regex subset where Java (Spark) and RE2
 # (DuckDB) agree exactly, so the oracle replays the scrub verbatim.
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"

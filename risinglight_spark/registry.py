@@ -619,6 +619,10 @@ _R12_RECHECK: tuple[str, ...] = (
     "ann_ivf_incremental_upsert",
     "ml_knn_eval_ivf",
     "sample_cluster_balanced",
+    # New in round 12 (never driver-verified): unigram-LM tokenizer
+    # Viterbi-EM round (VERDICT r11 item 8 — completes the tokenizer
+    # pair beside BPE train/encode).
+    "text_unigram_lm_step",
 )
 
 # Round-12 staleness rotation (VERDICT r11 item 3): the 13 entries whose
