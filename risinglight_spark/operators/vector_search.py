@@ -436,22 +436,14 @@ def vector_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
-    cents = cents.select("clabel", carr.alias("cvec"))
+    cents = cents.select(F.col("clabel").alias("cell"), carr.alias("cvec"))
     e = t.embeddings.select("vec_id", "label", "embedding")
-    dists = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
-    )
-    # argmin centroid per vector as min(struct(d, clabel)) — an
-    # aggregate with map-side combine (k rows in, 1 out per vector
-    # pre-shuffle) instead of a row_number window's shuffle+sort;
-    # lexicographic struct order = the same (d, clabel) tie-break
-    assign = (
-        dists.groupBy("vec_id", "label")
-        .agg(F.min(F.struct("d", "clabel")).alias("m"))
-        .select("vec_id", "label", F.col("m.clabel").alias("new_label"))
+    # vectorized argmin over the bounded centroid asset (the shared
+    # _ivf_argmin_assign Arrow path; see its docstring for why the
+    # crossJoin -> min(struct) form is an O(n x C) external sort) —
+    # label rides along as a passthrough column
+    assign = _ivf_argmin_assign(e, cents, passthrough=("label",)).select(
+        "vec_id", "label", F.col("cell").alias("new_label")
     )
     return assign.groupBy(
         F.col("label").alias("old_label"), "new_label"
@@ -1133,19 +1125,17 @@ def vector_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("dim", "c"))),
                 lambda s: s["c"],
             ).alias("cvec")
-        ).select(F.col("cluster").alias("ccl"), "cvec")
-        scored = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "ccl",
-            l2_distance(F.col("embedding"), F.col("cvec")).alias("d"),
-        )
+        ).select(F.col("cluster").alias("cell"), "cvec")
+        # vectorized argmin (shared _ivf_argmin_assign Arrow path): one
+        # K_TRAIN-row centroid collect per Lloyd round — the loop
+        # already materializes per-round state, so the bounded pull
+        # replaces the crossJoin -> min(struct) external sort
         assign = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "ccl")).alias("m"))
+            _ivf_argmin_assign(e, cents, with_dist=True)
             .select(
                 "vec_id",
-                F.col("m.ccl").alias("cluster"),
-                F.round(F.col("m.d"), 10).alias("d"),
+                F.col("cell").alias("cluster"),
+                F.round(F.col("d"), 10).alias("d"),
             )
             # cut lineage between Lloyd rounds: the assignment table is
             # the bounded iterative state (vec_id, cluster, d); without
@@ -1717,10 +1707,16 @@ def _ivf_centroid_means(df: DataFrame) -> DataFrame:
     return df.groupBy(F.col("label").alias("cell")).agg(*means)
 
 
-def _ivf_argmin_assign(df: DataFrame, cvecs: DataFrame) -> DataFrame:
-    """(vec_id, cell) argmin assignment over broadcast centroid
-    vectors, order-pinned on (distance, cell) — the one shared
-    tie-break every IVF oracle replays.
+def _ivf_argmin_assign(
+    df: DataFrame,
+    cvecs: DataFrame,
+    passthrough: tuple[str, ...] = (),
+    with_dist: bool = False,
+) -> DataFrame:
+    """(vec_id[, *passthrough], cell[, d]) argmin assignment over
+    broadcast centroid vectors, order-pinned on (distance, cell) — the
+    one shared tie-break every IVF oracle replays.  ``passthrough``
+    columns of df are echoed; ``with_dist`` adds the winning distance.
 
     Vectorized Arrow formulation (round 12).  The original shape —
     crossJoin(broadcast(centroids)) -> min(struct(d, cell)) groupBy —
@@ -1747,16 +1743,20 @@ def _ivf_argmin_assign(df: DataFrame, cvecs: DataFrame) -> DataFrame:
     ~1M cells x 64 dims = 512 MB broadcast — past that, shard the
     matrix or add a coarse quantizer level)."""
     cell_type = cvecs.schema["cell"].dataType.simpleString()
-    vid_type = df.schema["vec_id"].dataType.simpleString()
+    keep = ["vec_id", *passthrough]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+    ) + f", cell {cell_type}" + (", d double" if with_dist else "")
     crows = sorted(
         cvecs.select("cell", "cvec").collect(), key=lambda r: r["cell"]
     )
     if not crows:
         # empty centroid set (e.g. an all-delta upsert corpus): the
         # inner crossJoin produced zero assignments — preserve that
-        return df.select(
-            "vec_id", F.lit(None).cast(cell_type).alias("cell")
-        ).filter(F.lit(False))
+        extra = [F.lit(None).cast(cell_type).alias("cell")]
+        if with_dist:
+            extra.append(F.lit(None).cast("double").alias("d"))
+        return df.select(*keep, *extra).filter(F.lit(False))
     cells = [r["cell"] for r in crows]
     mat = [[float(v) for v in r["cvec"]] for r in crows]
     bc = df.sparkSession.sparkContext.broadcast((cells, mat))
@@ -1776,6 +1776,7 @@ def _ivf_argmin_assign(df: DataFrame, cvecs: DataFrame) -> DataFrame:
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             out = np.empty(len(pdf), dtype=np.int64)
+            dmin = np.empty(len(pdf), dtype=np.float64)
             # sub-blocks bound the (B, C) distance frame in memory
             for lo in range(0, len(pdf), 2048):
                 eb = e[lo : lo + 2048]
@@ -1792,14 +1793,22 @@ def _ivf_argmin_assign(df: DataFrame, cvecs: DataFrame) -> DataFrame:
                 # tie-break).  Finite +inf vs NaN coexisting — which
                 # SQL would order inf-first — needs an Inf-producing
                 # embedding and stays out of scope like int overflow.
-                d[np.isnan(d)] = np.inf
-                out[lo : lo + eb.shape[0]] = cid[np.argmin(d, axis=1)]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": out}
-            )
+                dm = np.where(np.isnan(d), np.inf, d)
+                idx = np.argmin(dm, axis=1)
+                out[lo : lo + eb.shape[0]] = cid[idx]
+                # the reported distance keeps the UNMASKED value (an
+                # all-NaN row reports NaN, exactly min(struct).d)
+                dmin[lo : lo + eb.shape[0]] = d[
+                    np.arange(eb.shape[0]), idx
+                ]
+            res = {c2: pdf[c2] for c2 in keep}
+            res["cell"] = out
+            if with_dist:
+                res["d"] = dmin
+            yield pd.DataFrame(res)
 
-    return df.select("vec_id", "embedding").mapInPandas(
-        assign_batches, f"vec_id {vid_type}, cell {cell_type}"
+    return df.select(*keep, "embedding").mapInPandas(
+        assign_batches, out_schema
     )
 
 

@@ -619,6 +619,8 @@ _R12_RECHECK: tuple[str, ...] = (
     "ann_ivf_incremental_upsert",
     "ml_knn_eval_ivf",
     "sample_cluster_balanced",
+    "vector_kmeans_step",
+    "vector_kmeans_train",
     # New in round 12 (never driver-verified): unigram-LM tokenizer
     # Viterbi-EM round (VERDICT r11 item 8 — completes the tokenizer
     # pair beside BPE train/encode).
