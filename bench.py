@@ -183,9 +183,9 @@ def main() -> None:
     # sample.  Two additions: (a) the single-stream probe runs before
     # AND after the timed suite, so mid-run drift shows as a
     # before/after gap instead of being inferred from per-query
-    # medians; (b) a parallel-throughput probe (32 concurrent small
-    # jobs — scheduler + task-dispatch bound, the regime the r11 NSW
-    # outlier lived in) complements the single-big-job kernel, which is
+    # medians; (b) a scheduling-latency probe (32 tiny jobs submitted
+    # back-to-back from one thread — job-dispatch round-trip bound,
+    # the regime the r11 NSW outlier lived in) complements the single-big-job kernel, which is
     # blind to scheduling-latency drift (SCALE.md: round-12 outlier
     # adjudication).
     import statistics as _stats

@@ -387,20 +387,22 @@ def _pareto_local_front(pdf):
     Kung/Luccio/Preparata 3-d maxima sweep (JACM 1975), O(n log n):
     points sorted lexicographically descending; a point can only be
     dominated by a point sorting no later.  For strictly-greater-x
-    dominators the sweep keeps a STAIRCASE — the 2-d (y, z) maxima of
-    processed points, y ascending / z strictly descending — so the
-    dominance test is one binary search (does the staircase reach
-    z >= p.z at y >= p.y), not a comparison against every kept point.
-    Equal-x runs are checked 2-d within the run (running max-z over
-    strictly-greater y, plus a strict-z test inside equal-(x,y) ties),
-    then merged into the staircase.  The previous kernel compared each
-    point against ALL kept points (O(n * |front|) numpy broadcast):
-    harmless on real text where fronts are tiny, but an adversarial
-    all-on-front antichain made the single root-merge task do ~n^2/2
-    comparisons (~25M at n=5k) — the cliff tools/pareto_front_probe.py
-    records and VERDICT r11 item 5 ordered flattened."""
-    import bisect
-
+    dominators the sweep answers "exists processed point with Y >= py
+    and Z >= pz" with a max-FENWICK TREE over rank-compressed y
+    (ranks reversed so the Y >= py suffix becomes a prefix): query
+    and update are O(log n) for EVERY input orientation — the first
+    cut kept a sorted-list staircase whose front-inserts were O(n)
+    shifts, re-creating the quadratic cliff on the orientation that
+    grows y downward (caught by the round-12 adversarial review;
+    both orientations are probed now).  Equal-x runs are checked 2-d
+    within the run (running max-z over strictly-greater y, plus a
+    strict-z test inside equal-(x,y) ties), then merged into the
+    tree.  The pre-round-12 kernel compared each point against ALL
+    kept points (O(n * |front|) numpy broadcast): harmless on real
+    text where fronts are tiny, but an adversarial all-on-front
+    antichain made the single root-merge task do ~n^2/2 comparisons
+    (~25M at n=5k) — the cliff tools/pareto_front_probe.py records
+    and VERDICT r11 item 5 ordered flattened."""
     import numpy as np
 
     x = pdf["n_tok"].to_numpy(dtype="int64")
@@ -410,30 +412,27 @@ def _pareto_local_front(pdf):
     x, y, z = x[order], y[order], z[order]
     n = len(x)
     keep = np.zeros(n, dtype=bool)
-    # Staircase: ys ascending, zs strictly descending (2-d maxima of
-    # all points processed in earlier — strictly-greater-x — runs).
-    ys: list[float] = []
-    zs: list[float] = []
+    # Max-Fenwick over reversed y-ranks: tree index i covers a prefix
+    # of the DESCENDING-y order, i.e. a suffix of ascending y — so
+    # query(rev_rank(py)) = max z among processed points with Y >= py.
+    uy = np.unique(y)  # ascending
+    m = len(uy)
+    rev = m - np.searchsorted(uy, y)  # y -> 1-based reversed rank
+    tree = np.full(m + 1, -np.inf)
 
-    def _covered(py: float, pz: float) -> bool:
-        # exists staircase (Y, Z) with Y >= py and Z >= pz?  Suffix
-        # [i:] of ys has Y >= py; its max Z sits at index i (z desc).
-        i = bisect.bisect_left(ys, py)
-        return i < len(ys) and zs[i] >= pz
+    def _query(i: int) -> float:
+        best = -np.inf
+        while i > 0:
+            if tree[i] > best:
+                best = tree[i]
+            i -= i & -i
+        return best
 
-    def _insert(py: float, pz: float) -> None:
-        if _covered(py, pz):  # equal-or-better entry already present
-            return
-        # entries with y <= py form the prefix [0:i2); among them those
-        # with z <= pz are its tail [j:i2) (z desc) — now dominated.
-        i2 = bisect.bisect_right(ys, py)
-        j = i2
-        while j > 0 and zs[j - 1] <= pz:
-            j -= 1
-        del ys[j:i2]
-        del zs[j:i2]
-        ys.insert(j, py)
-        zs.insert(j, pz)
+    def _update(i: int, val: float) -> None:
+        while i <= m:
+            if tree[i] < val:
+                tree[i] = val
+            i += i & -i
 
     g0 = 0
     while g0 < n:
@@ -451,16 +450,16 @@ def _pareto_local_front(pdf):
             for k in range(r0, r1):
                 if maxz_gt >= z[k] or run_max_z > z[k]:
                     continue  # dominated within the equal-x run
-                if _covered(float(y[k]), float(z[k])):
+                if _query(int(rev[k])) >= z[k]:
                     continue  # dominated by a strictly-greater-x point
                 keep[k] = True
             maxz_gt = max(maxz_gt, run_max_z)
             r0 = r1
-        # merge the run's survivors into the staircase AFTER the whole
-        # equal-x run is judged (staircase semantics are strict-x)
+        # merge the run's survivors into the tree AFTER the whole
+        # equal-x run is judged (tree semantics are strict-x)
         for k in range(g0, g1):
             if keep[k]:
-                _insert(float(y[k]), float(z[k]))
+                _update(int(rev[k]), float(z[k]))
         g0 = g1
     return pdf.iloc[order[keep]][
         ["doc_id", "source", "n_tok", "n_uniq", "alpha_ratio"]

@@ -1759,13 +1759,17 @@ def _ivf_argmin_assign(
         return df.select(*keep, *extra).filter(F.lit(False))
     cells = [r["cell"] for r in crows]
     mat = [[float(v) for v in r["cvec"]] for r in crows]
-    bc = df.sparkSession.sparkContext.broadcast((cells, mat))
+    # plain closure capture, NOT sc.broadcast: the asset is bounded by
+    # the helper's own premise, and an explicit broadcast per call
+    # (one per Lloyd round, per bench sample, ...) is never destroyed
+    # — a driver/executor memory leak in long sessions (round-12
+    # review finding); closure payloads die with the serialized task.
 
     def assign_batches(batches):
         import numpy as np
         import pandas as pd
 
-        cell_ids, mat_l = bc.value
+        cell_ids, mat_l = cells, mat
         c = np.asarray(mat_l, dtype=np.float64)  # (C, D)
         cid = np.asarray(cell_ids)
         n_dim = c.shape[1]
@@ -1775,7 +1779,7 @@ def _ivf_argmin_assign(
             e = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            out = np.empty(len(pdf), dtype=np.int64)
+            out = np.empty(len(pdf), dtype=cid.dtype)
             dmin = np.empty(len(pdf), dtype=np.float64)
             # sub-blocks bound the (B, C) distance frame in memory
             for lo in range(0, len(pdf), 2048):

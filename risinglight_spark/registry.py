@@ -631,9 +631,15 @@ _R12_RECHECK: tuple[str, ...] = (
 # latest driver row is still round 3 — the 8 TPC-H entries displaced
 # from the bounded r11 gate (registry history above) plus the 5 r3
 # leftovers — then the head of the round-4 cohort (alphabetical within
-# round, the same total order every rotation has used).  With the
-# 3-entry recheck the bounded 50-slot gate reaches ~34 names into the
-# r4 cohort; the rest queue for round 13.
+# round, the same total order every rotation has used).  The recheck
+# block above grew to 11 entries as round-12 rewrites landed (NSW
+# frontier, pareto, linreg, the 5 argmin-assign consumers, 2 kmeans
+# entries, plus the new unigram entry), so the bounded 50-slot gate
+# keeps the first 39 of the 50 names below; the last 11 — setop_unpivot
+# through text_corpus_stats (the streaming block, subquery_recursive_
+# cte, text_bpe_pair_stats, text_chunk_overlap, text_corpus_stats) —
+# slip to the head of the round-13 staleness rotation, the same
+# explicitly-tracked displacement discipline as r11's 8 TPC-H slips.
 _R12_GATE: tuple[str, ...] = (
     "tpch_q2",
     "tpch_q20",

@@ -873,19 +873,11 @@ def test_distinct_aggregate_differential(fuzz_env):
         _run_both(fuzz_env, sql)
 
 
-# substring with the REFERENCE's negative-start/backwards-window rule,
-# rendered as the same engine-neutral formula substring_rl/
-# substring_rl_sql materialize (functions/scalar.py) — the fuzzer
-# composes the SHIM ITSELF, which unit tests cover only pointwise.
-def _rl_substr(s: str, start: str, length: str) -> str:
-    st = (
-        f"(CASE WHEN ({start}) >= 0 THEN ({start}) - 1 "
-        f"ELSE length({s}) + ({start}) END)"
-    )
-    en = f"({st} + ({length}))"
-    skip = f"greatest(least({st}, {en}), 0)"
-    take = f"greatest(greatest({st}, {en}) - {skip}, 0)"
-    return f"substring({s}, {skip} + 1, {take})"
+# substring with the REFERENCE's negative-start/backwards-window rule —
+# the fuzzer composes the SHIM ITSELF (the exact SQL the oracles
+# render), imported so a future formula fix cannot leave the fuzzer
+# exercising a stale copy (round-12 review finding).
+from risinglight_spark.functions.scalar import substring_rl_sql as _rl_substr
 
 
 def rich_str_expr(rng: random.Random, depth: int = 0) -> str:
@@ -992,7 +984,16 @@ def dec_expr(rng: random.Random, depth: int = 0) -> str:
     if pick == 1:
         return f"({a} - {b})"
     if pick == 2:
-        return f"({a} * {b})"
+        # nested products are bounded to ONE level: a product of
+        # products pushes Spark's result precision past 38 (p1+p2+1),
+        # where Spark ROUNDS to fit (HALF_UP at the cap) while DuckDB
+        # keeps the exact value — a typing-policy divergence like the
+        # downscale cast, confirmed live ((1.11*1.13)*(1.17*1.19):
+        # 1.7463619 vs 1.74636189).  Leaf-only factors keep every
+        # product exact on both engines.
+        fa = dec_expr(rng, 2)  # depth 2 => literal leaf
+        fb = dec_expr(rng, 2)
+        return f"({fa} * {fb})"
     if pick == 3:
         return f"(- {a})"
     return f"(CASE WHEN {bool_expr(rng, depth + 1)} THEN {a} ELSE {b} END)"

@@ -97,7 +97,7 @@ def main() -> None:
 
     calib_after = round(statistics.median(calib() for _ in range(3)), 3)
     c = statistics.median([calib_before, calib_after])
-    scale = R10_CALIB / c  # >1 means this box is slower than the r10 box
+    scale = R10_CALIB / c  # <1 means this box is SLOWER than the r10 box
 
     rows = {}
     for name in TARGETS:

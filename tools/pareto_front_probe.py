@@ -98,22 +98,32 @@ def kernel_bench(ns: list[int]) -> None:
         _pareto_local_front,
     )
 
-    print(f"{'n':>9} {'kernel_s':>9} {'front':>9}")
+    print(f"{'orientation':>12} {'n':>9} {'kernel_s':>9} {'front':>9}")
     for n in ns:
-        pdf = pd.DataFrame(
-            {
-                "doc_id": range(n),
-                "source": "s",
+        # two antichain orientations: y ascending (inserts append-ish)
+        # and y descending with z breaking the antichain (inserts land
+        # at the structure's front) — the round-12 review measured the
+        # first-cut sorted-list staircase quadratic on the second;
+        # the Fenwick kernel must stay flat on BOTH.
+        for name, pdf in (
+            ("y-asc", pd.DataFrame({
+                "doc_id": range(n), "source": "s",
                 "n_tok": [2 * n - i + 1 for i in range(n)],
                 "n_uniq": [i + 2 for i in range(n)],
                 "alpha_ratio": [0.5] * n,
-            }
-        )
-        _pareto_local_front(pdf.head(100))  # warm imports
-        t0 = time.perf_counter()
-        front = len(_pareto_local_front(pdf))
-        dt = time.perf_counter() - t0
-        print(f"{n:>9,} {dt:>9.3f} {front:>9,}", flush=True)
+            })),
+            ("y-desc", pd.DataFrame({
+                "doc_id": range(n), "source": "s",
+                "n_tok": [2 * n - i + 1 for i in range(n)],
+                "n_uniq": [n - i for i in range(n)],
+                "alpha_ratio": [i * 1e-9 for i in range(n)],
+            })),
+        ):
+            _pareto_local_front(pdf.head(100))  # warm imports
+            t0 = time.perf_counter()
+            front = len(_pareto_local_front(pdf))
+            dt = time.perf_counter() - t0
+            print(f"{name:>12} {n:>9,} {dt:>9.3f} {front:>9,}", flush=True)
 
 
 def main() -> None:
