@@ -65,6 +65,16 @@ def test_kernel_antichain_keeps_everything():
     assert _front(rows) == list(range(n))
 
 
+def test_kernel_antichain_adverse_orientation():
+    # y DESCENDING with z breaking the antichain: the orientation whose
+    # structure-front inserts made the first-cut sorted-list staircase
+    # quadratic (round-12 review) — the Fenwick kernel must stay exact
+    # (and flat; wall asserted only by the probe, exactness here)
+    n = 500
+    rows = [(i, 1000 - i, n - i, round(i * 1e-6, 8)) for i in range(n)]
+    assert _front(rows) == list(range(n))
+
+
 def test_kernel_identical_points_never_dominate_each_other():
     rows = [(0, 5, 5, 0.5), (1, 5, 5, 0.5), (2, 4, 6, 0.5)]
     assert _front(rows) == [0, 1, 2]
