@@ -1079,8 +1079,19 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-join both read `gated`, and plan-level reuse does not
     # dedupe Python stages — without this the two doc-feature UDFs
     # re-score the whole corpus twice.  At cluster scale this is the
-    # post-gate corpus you'd write back to storage between stages.
-    gated = gated.persist()
+    # post-gate corpus you'd write back to storage between stages —
+    # and the storage level says exactly that: DISK_ONLY streams the
+    # columnar batches to local disk instead of unrolling each
+    # partition's TEXT column in the MemoryStore first.  The default
+    # MEMORY_AND_DISK put must hold a whole partition's deserialized
+    # batches in heap per concurrent task; at the 32x bounded-heap
+    # probe (57.6M docs, ~1 GB of text per partition x 32 tasks under
+    # a 16 GB heap) that OOM'd the executor — the round-12 escalation
+    # find (SCALE.md).  Re-reads stream from disk, which is what a
+    # between-stages corpus materialization costs anyway.
+    from pyspark import StorageLevel
+
+    gated = gated.persist(StorageLevel.DISK_ONLY)
     gated.count()
     sh5 = F.array_distinct(T.word_shingles_pandas(5)(c))
     bench = (
