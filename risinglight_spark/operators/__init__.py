@@ -147,7 +147,7 @@ def _corpus_fingerprint(sf_dir: str) -> str:
 
 
 def _cached_persisted(
-    spark: SparkSession, sf_dir: str, kind: str, build
+    spark: SparkSession, sf_dir: str, kind: str, build, storage_level=None
 ) -> DataFrame:
     key = (kind, sf_dir)
     sess = spark.sparkContext.applicationId
@@ -167,7 +167,7 @@ def _cached_persisted(
             del _ASSET_CACHE[key]
     # build OUTSIDE the lock (Spark jobs run here; holding the lock
     # would serialize unrelated corpora behind one build)
-    df = build().persist()
+    df = build().persist(storage_level) if storage_level else build().persist()
     df.count()  # eager populate: exactly one build execution
     with _ASSET_LOCK:
         race = _ASSET_CACHE.get(key)

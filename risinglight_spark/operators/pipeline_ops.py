@@ -1087,12 +1087,22 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batches in heap per concurrent task; at the 32x bounded-heap
     # probe (57.6M docs, ~1 GB of text per partition x 32 tasks under
     # a 16 GB heap) that OOM'd the executor — the round-12 escalation
-    # find (SCALE.md).  Re-reads stream from disk, which is what a
-    # between-stages corpus materialization costs anyway.
+    # find (SCALE.md).  Memoized via _cached_persisted (one cache per
+    # corpus): a bare per-call persist leaked one never-unpersisted
+    # cache entry per invocation, and the cache manager's sameResult
+    # scan over the growing entry list showed up as per-call DRIVER
+    # latency in long sessions (bench/driver) — the same leak class
+    # the round-12 review caught on the argmin broadcast.
     from pyspark import StorageLevel
+    from risinglight_spark.operators import _cached_persisted
 
-    gated = gated.persist(StorageLevel.DISK_ONLY)
-    gated.count()
+    def build_gated(g=gated):
+        return g
+
+    gated = _cached_persisted(
+        spark, sf_dir, "e2e_gated", build_gated,
+        storage_level=StorageLevel.DISK_ONLY,
+    )
     sh5 = F.array_distinct(T.word_shingles_pandas(5)(c))
     bench = (
         t.documents.filter(F.col("doc_id") % 97 == 0)

@@ -621,6 +621,9 @@ _R12_RECHECK: tuple[str, ...] = (
     "sample_cluster_balanced",
     "vector_kmeans_step",
     "vector_kmeans_train",
+    # pipeline_pretraining_e2e: survivor-set persist became DISK_ONLY
+    # after the 32x bounded-heap OOM find (SCALE.md round-12).
+    "pipeline_pretraining_e2e",
     # New in round 12 (never driver-verified): unigram-LM tokenizer
     # Viterbi-EM round (VERDICT r11 item 8 — completes the tokenizer
     # pair beside BPE train/encode).
