@@ -146,10 +146,31 @@ def _corpus_fingerprint(sf_dir: str) -> str:
         return "<unreadable>"
 
 
+def _evict_cached(kind: str, sf_dir: str) -> None:
+    """Drop (and unpersist) every cached asset for (kind, sf_dir),
+    whatever storage level it was persisted at.  Test/probe hook —
+    production code never evicts; the LRU bound does."""
+    with _ASSET_LOCK:
+        victims = [
+            k for k in _ASSET_CACHE if k[0] == kind and k[1] == sf_dir
+        ]
+        hits = [_ASSET_CACHE.pop(k) for k in victims]
+    for _, _, df in hits:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _cached_persisted(
     spark: SparkSession, sf_dir: str, kind: str, build, storage_level=None
 ) -> DataFrame:
-    key = (kind, sf_dir)
+    # storage_level is part of the key: two callers sharing a kind but
+    # asking for different levels must not silently reuse whichever
+    # DataFrame was persisted first at the wrong level (round-13 advice
+    # fix; in practice each kind has one canonical level, so this never
+    # duplicates work — it just makes the contract explicit).
+    key = (kind, sf_dir, str(storage_level))
     sess = spark.sparkContext.applicationId
     fp = _corpus_fingerprint(sf_dir)
     with _ASSET_LOCK:

@@ -1432,7 +1432,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_argmin_assign,
     )
 
-    assign = _ivf_argmin_assign(e, cents)
     # Exact-duplicate collapse within a cell: identical embeddings have
     # cos = 1 >= tau, so of a replica group only the min-vec_id
     # representative can survive — every other member is dropped by
@@ -1449,6 +1448,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cell", "embedding")
 
     def build() -> DataFrame:
+        # _ivf_argmin_assign collects the centroid matrix EAGERLY (one
+        # embeddings scan + groupBy job), so it must run inside build():
+        # calling it at operator-construction time charged every
+        # dedup_semdedup call that centroid job even when the memoized
+        # semdedup_assign asset made it dead work (round-13 fix for the
+        # r12 +43% bench regression).
+        assign = _ivf_argmin_assign(e, cents)
         return (
             e.join(assign, "vec_id")
             .select(

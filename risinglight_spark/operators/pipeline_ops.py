@@ -1875,6 +1875,14 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 5
 KNN_TEST_MOD = 5  # vec_id % 5 == 0 -> held-out test split
 _VOTE_RADIX = 1024  # argmax key packing: (K - votes) * radix + label
+# Bounded eval batch: the scaled eval holds out test vectors only from
+# a fixed id range, so eval cost grows with the TRAIN corpus (linear
+# scan partitioned by cell), not quadratically with corpus x corpus.
+# Every driver SF (<= sf1-equivalent ids) is unaffected; the 10x/100x
+# replica probes (ids shifted by 1e7 per replica) keep a constant-size
+# test batch, which is exactly how a production eval is run.  Enforced
+# in-code by BOTH evals (exact + IVF) and both oracles.
+KNN_TEST_CAP = 1_000_000
 
 
 def _knn_oracle() -> str:
@@ -1894,7 +1902,8 @@ def _knn_oracle() -> str:
                ORDER BY sqrt(0.0 + {sq}), b.vec_id
              ) AS rn
       FROM embeddings a, embeddings b
-      WHERE a.vec_id % {KNN_TEST_MOD} = 0 AND b.vec_id % {KNN_TEST_MOD} <> 0
+      WHERE a.vec_id % {KNN_TEST_MOD} = 0 AND a.vec_id <= {KNN_TEST_CAP}
+        AND b.vec_id % {KNN_TEST_MOD} <> 0
     ),
     votes AS (
       SELECT test_id, true_label, nn_label, count(*) AS v
@@ -2060,8 +2069,16 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     # The bounded eval batch (same payload the broadcast variant ships
     # to every executor — a driver copy of it is the same memory class).
+    # KNN_TEST_CAP is ENFORCED, not just documented: a deterministic id
+    # range cap (no sort, prunes at the scan) keeps the driver batch
+    # and broadcast payload flat at any corpus scale (round-13 fix —
+    # the cap never binds at driver SFs, so the oracle is unchanged in
+    # effect; it carries the same predicate for exactness).
     test_pdf = (
-        emb.filter(F.col("vec_id") % KNN_TEST_MOD == 0)
+        emb.filter(
+            (F.col("vec_id") % KNN_TEST_MOD == 0)
+            & (F.col("vec_id") <= KNN_TEST_CAP)
+        )
         .select("vec_id", "embedding", "label")
         .toPandas()
     )
@@ -2101,13 +2118,6 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_NPROBE = 3  # coarse cells probed per test vector
 KNN_AUDIT_MOD = KNN_TEST_MOD * 10  # recall audited on 1/10 of tests
-# Bounded eval batch: the scaled eval holds out test vectors only from
-# a fixed id range, so eval cost grows with the TRAIN corpus (linear
-# scan partitioned by cell), not quadratically with corpus x corpus.
-# Every driver SF (<= sf1-equivalent ids) is unaffected; the 10x/100x
-# replica probes (ids shifted by 1e7 per replica) keep a constant-size
-# test batch, which is exactly how a production eval is run.
-KNN_TEST_CAP = 1_000_000
 
 
 def _knn_ivf_oracle() -> str:

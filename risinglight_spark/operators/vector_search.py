@@ -1757,21 +1757,29 @@ def _ivf_argmin_assign(
         if with_dist:
             extra.append(F.lit(None).cast("double").alias("d"))
         return df.select(*keep, *extra).filter(F.lit(False))
-    cells = [r["cell"] for r in crows]
-    mat = [[float(v) for v in r["cvec"]] for r in crows]
-    # plain closure capture, NOT sc.broadcast: the asset is bounded by
-    # the helper's own premise, and an explicit broadcast per call
-    # (one per Lloyd round, per bench sample, ...) is never destroyed
-    # — a driver/executor memory leak in long sessions (round-12
-    # review finding); closure payloads die with the serialized task.
+    import numpy as np_drv
+
+    # Captured as numpy arrays, not lists-of-lists: a (C, D) float64
+    # ndarray pickles as one contiguous binary blob (~8·C·D bytes)
+    # instead of C·D boxed floats — the closure payload shipped with
+    # every task of every consuming stage shrinks ~6-10x (round-13
+    # advice fix).  Still plain closure capture, NOT sc.broadcast: the
+    # asset is bounded by the helper's own premise, and an explicit
+    # broadcast per call (one per Lloyd round, per bench sample, ...)
+    # is never destroyed — a driver/executor memory leak in long
+    # sessions (round-12 review finding); closure payloads die with
+    # the serialized task.
+    cid_arr = np_drv.asarray([r["cell"] for r in crows])
+    mat_arr = np_drv.asarray(
+        [[float(v) for v in r["cvec"]] for r in crows], dtype=np_drv.float64
+    )
 
     def assign_batches(batches):
         import numpy as np
         import pandas as pd
 
-        cell_ids, mat_l = cells, mat
-        c = np.asarray(mat_l, dtype=np.float64)  # (C, D)
-        cid = np.asarray(cell_ids)
+        c = mat_arr  # (C, D)
+        cid = cid_arr
         n_dim = c.shape[1]
         for pdf in batches:
             if len(pdf) == 0:

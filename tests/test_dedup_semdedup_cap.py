@@ -29,13 +29,7 @@ def _evict(sf_dir):
     from risinglight_spark import operators as ops
 
     for kind in ("semdedup_assign", "semdedup_dropped"):
-        with ops._ASSET_LOCK:
-            hit = ops._ASSET_CACHE.pop((kind, sf_dir), None)
-        if hit is not None:
-            try:
-                hit[2].unpersist()
-            except Exception:
-                pass
+        ops._evict_cached(kind, sf_dir)
 
 
 def test_capped_drops_are_subset_of_exact(spark, sf_dir, monkeypatch):

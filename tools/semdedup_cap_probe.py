@@ -69,13 +69,7 @@ def _evict(sf_dir: str) -> None:
     from risinglight_spark import operators as ops
 
     for kind in ("semdedup_assign", "semdedup_dropped"):
-        with ops._ASSET_LOCK:
-            hit = ops._ASSET_CACHE.pop((kind, sf_dir), None)
-        if hit is not None:
-            try:
-                hit[2].unpersist()
-            except Exception:
-                pass
+        ops._evict_cached(kind, sf_dir)
 
 
 def _time_mining(spark, sf_dir: str) -> tuple[float, int]:
