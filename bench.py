@@ -304,6 +304,44 @@ def main() -> None:
             except Exception as exc:  # annex is telemetry, never fatal
                 print(f"# annex {name} failed: {exc}", file=sys.stderr)
 
+    # Pinned fixed baseline (VERDICT r12 item 2): BASELINE_BENCH.json
+    # holds per-query medians expressed in r10-box seconds (r10's
+    # driver medians verbatim; later-landed queries filled from a clean
+    # run calibrated onto the same kernel).  Every ratio below converts
+    # THIS run onto that box via the calibration kernel and divides by
+    # the pinned number — so "within 2x" is checked against a fixed
+    # number, not adjudicated against round-over-round drift essays.
+    vs_pinned = None
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BASELINE_BENCH.json",
+            )
+        ) as f:
+            _pin = json.load(f)
+        _pin_q = _pin["queries"]
+        _scale = float(_pin["calib_ref"]) / ((calib + calib_after) / 2)
+        _shared = [n for n in per_query if n in _pin_q]
+        _ratios = {
+            n: round(per_query[n] * _scale / _pin_q[n], 3) for n in _shared
+        }
+        _srt = sorted(_ratios.items(), key=lambda kv: -kv[1])
+        vs_pinned = {
+            "n_shared": len(_shared),
+            "total_ratio": round(
+                sum(per_query[n] * _scale for n in _shared)
+                / sum(_pin_q[n] for n in _shared),
+                3,
+            ),
+            "median_ratio": round(
+                statistics.median(_ratios.values()), 3
+            ),
+            "worst5": dict(_srt[:5]),
+        }
+    except Exception as exc:
+        print(f"# pinned baseline unavailable ({exc})", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # Round-over-round comparability: the headline suite GROWS as
     # operators land (39 queries in round 2, more each round), so the
@@ -343,9 +381,15 @@ def main() -> None:
         "value_calibrated": round(
             total * (CALIB_REF / ((calib + calib_after) / 2)), 3
         ),
+        # Definition change r12 (ADVICE r12): denominator is the MEAN
+        # of before/after kernels; r11-and-earlier used the pre-suite
+        # kernel alone.  Cross-round ratios vs <=r11 calibrated totals
+        # must adjudicate against this field.
+        "calib_definition": "mean(before,after) since r12; pre-suite only <=r11",
         "r02_subset_calibrated": round(
             r02_total * (CALIB_REF / ((calib + calib_after) / 2)), 3
         ),
+        "vs_pinned_baseline": vs_pinned,
         "annex": annex,
         "annex_slice": slice_idx,
         "annex_total": round(sum(annex.values()), 3),

@@ -70,6 +70,10 @@ def ddl_create_insert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(staging)
     spark.read.parquet(staging).write.insertInto("rl_ddl_t", overwrite=True)
     out = spark.sql("SELECT id, name, val FROM rl_ddl_t")
+    # Deliberate driver materialization, bounded by CATALOG size (a
+    # 3-row DDL demo table here; never corpus data): the result must
+    # survive the DROP below, so it is detached from the table's scan
+    # plan by round-tripping through the driver.  Not a scale concern.
     result = spark.createDataFrame(out.collect(), out.schema)
     spark.sql("DROP TABLE IF EXISTS rl_ddl_t")
     return result

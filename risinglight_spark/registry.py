@@ -643,6 +643,82 @@ _R12_RECHECK: tuple[str, ...] = (
 # cte, text_bpe_pair_stats, text_chunk_overlap, text_corpus_stats) —
 # slip to the head of the round-13 staleness rotation, the same
 # explicitly-tracked displacement discipline as r11's 8 TPC-H slips.
+# Round-13 recheck (standing provenance invariant: any rewrite is
+# fronted into the SAME round's gate).  dedup_semdedup: the eager
+# centroid-collect moved inside build() (the r12 +43% bench regression
+# fix — plan semantics identical, oracle unchanged); ml_knn_eval:
+# KNN_TEST_CAP now ENFORCED as an id-range predicate in both the Spark
+# plan and the oracle (never binds at driver SFs).
+_R13_RECHECK: tuple[str, ...] = (
+    "dedup_semdedup",
+    "ml_knn_eval",
+)
+
+# Round-13 staleness rotation (VERDICT r12 item 3): the 22 entries whose
+# latest driver row is still round 4 (including the 11 slipped from the
+# bounded r12 gate — setop_unpivot through text_corpus_stats — plus the
+# streaming custom source/sink family, recursive CTE, the vector
+# utility family, tpch_refresh_rf1_rf2) followed by the 28 oldest
+# round-5 rows (alphabetical within round — the same total order every
+# rotation has used; computed by unioning CORRECTNESS_r1..r12, latest
+# hash-green round per entry).  With the 2-entry recheck block above,
+# the bounded 50-slot gate keeps the first 48 of the 50 names below;
+# the last 2 — streaming_transform_with_state, subquery_any_all_rewrite
+# — slip to the head of the round-14 rotation, the same
+# explicitly-tracked displacement discipline as r11/r12.
+_R13_GATE: tuple[str, ...] = (
+    "sample_topk_per_group",
+    "setop_unpivot",
+    "streaming_chained_agg",
+    "streaming_custom_sink",
+    "streaming_custom_source",
+    "streaming_foreachbatch_upsert",
+    "streaming_interval_join_outer",
+    "streaming_rocksdb_state",
+    "subquery_recursive_cte",
+    "text_bpe_pair_stats",
+    "text_chunk_overlap",
+    "text_corpus_stats",
+    "text_doc_frequency",
+    "text_keywords_tfidf",
+    "text_pii_scrub",
+    "text_top_tokens",
+    "text_zipf_fit",
+    "tpch_refresh_rf1_rf2",
+    "vector_covariance_matrix",
+    "vector_group_centroid",
+    "vector_normalize",
+    "vector_quantize_int8",
+    "agg_bitmap_exact_distinct",
+    "agg_histogram_equiwidth",
+    "copy_compact_small_files",
+    "dedup_duplicate_ngram_spans",
+    "events_ab_ratio_delta",
+    "events_ab_ttest",
+    "events_cooccurrence_lift",
+    "events_cumulative_uniques",
+    "events_dau_wau",
+    "events_debounce",
+    "events_forecast_backtest",
+    "events_pit_join_scd2",
+    "events_scd2_history",
+    "events_type_islands",
+    "events_variant_json",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_interval_bucketed_global",
+    "mix_temperature_resample",
+    "ml_kfold_split",
+    "ml_logreg_train_step",
+    "pairs_contrastive_mining",
+    "pipeline_data_quality",
+    "pipeline_drop_reasons",
+    "search_hybrid_rrf",
+    "streaming_transform_with_state",
+    "subquery_any_all_rewrite",
+)
+
 _R12_GATE: tuple[str, ...] = (
     "tpch_q2",
     "tpch_q20",
@@ -704,6 +780,8 @@ _R12_GATE: tuple[str, ...] = (
 _PRIORITY: tuple[str, ...] = tuple(
     dict.fromkeys(
         (
+            *_R13_RECHECK,
+            *_R13_GATE,
             *_R12_RECHECK,
             *_R12_GATE,
             *_R11_RECHECK,

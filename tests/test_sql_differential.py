@@ -37,6 +37,7 @@ import pytest
 
 N_PER_SHAPE = int(os.environ.get("SQLFUZZ_N", "40"))
 SEED = 0xA10
+VDIM = 4  # shape-19 vector columns (v1, v2) dimension
 
 
 # ---------------------------------------------------------------------------
@@ -49,6 +50,19 @@ def fuzz_env(spark, tmp_path_factory):
     import datetime
 
     rng = random.Random(SEED)
+    # SEPARATE stream for the shape-19 vector columns: drawing them
+    # from `rng` would shift every later row's draws and silently
+    # change the data all earlier shapes were tuned against.
+    vrng = random.Random(SEED ^ 0x13)
+
+    def _vec():
+        if vrng.random() < 0.15:
+            return None  # whole-vector NULL (propagates as NULL dist)
+        while True:
+            v = [round(vrng.uniform(-3, 3), 3) for _ in range(VDIM)]
+            if any(x != 0.0 for x in v):  # zero-norm would hit the
+                return v  # div-by-zero policy, pinned elsewhere
+
     words = ["alpha", "Bravo", "charlie x", "", "dAta", "zebra", "ab", "Abc"]
     epoch_d = datetime.date(1995, 1, 1)
     epoch_t = datetime.datetime(1995, 1, 1)
@@ -88,13 +102,15 @@ def fuzz_env(spark, tmp_path_factory):
                         ),
                     ]
                 ),  # ts1
+                _vec(),  # v1 (separate stream, see above)
+                _vec(),  # v2
             )
         )
     pdf = pd.DataFrame(
         rows,
         columns=[
             "rid", "g", "i1", "i2", "d1", "d2", "s1", "s2", "b1",
-            "dt1", "ts1",
+            "dt1", "ts1", "v1", "v2",
         ],
     )
     # explicit datetime64 for ts1 (a mixed object column would make
@@ -1038,3 +1054,129 @@ def test_decimal_arithmetic_differential(fuzz_env):
                 f"FROM fz GROUP BY g"
             )
         _run_both(fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# shape 19: vector expressions through the DIALECT path (VERDICT r12
+# item 6).  The pgvector operators <-> / <#> / <=> and
+# '[..]'::VECTOR(n) literals are the one hand-rolled rewrite family
+# (sql/dialect.py rewrite_vector -> zip_with/aggregate higher-order
+# expressions); tests/sql/vector.slt covers them only in isolation.
+# This shape samples COMPOSITIONS: distances projected beside each
+# other, compared against thresholds, nested in CASE, driving a pinned
+# ORDER BY ... LIMIT top-k, and aggregated under the fpsum discipline.
+#
+# Engine side: SQL in the reference's own dialect (infix operators,
+# vector casts), run through sql.dialect.rewrite_query — exactly the
+# path shell/slt queries take.  DuckDB side: the tandem-rendered
+# left-fold expansion (0.0 + t1 + t2 + ...), element-indexed, the same
+# chain every registry vector oracle uses — Spark's aggregate() fold is
+# left-associated per element, so values are bit-exact, not approximate.
+# Literal elements are CAST AS DOUBLE on the DuckDB side: a bare
+# decimal literal would type DECIMAL and a lit*lit product would be
+# EXACT where Spark's double*double rounds (the shape-18 lesson).
+# ---------------------------------------------------------------------------
+
+
+def _vec_operand(rng: random.Random) -> tuple[str, list[str]]:
+    """-> (engine dialect src, per-element DuckDB srcs)."""
+    pick = rng.randrange(4)
+    if pick < 2:
+        col = "v1" if pick == 0 else "v2"
+        return col, [f"{col}[{i + 1}]" for i in range(VDIM)]
+    while True:
+        vals = [round(rng.uniform(-3, 3), 3) for _ in range(VDIM)]
+        if any(v != 0.0 for v in vals):
+            break
+    txt = "[" + ",".join(repr(v) for v in vals) + "]"
+    return (
+        f"'{txt}'::VECTOR({VDIM})",
+        [f"CAST({v!r} AS DOUBLE)" for v in vals],
+    )
+
+
+def _duck_dot(a: list[str], b: list[str]) -> str:
+    return "(0.0 + " + " + ".join(f"{x}*{y}" for x, y in zip(a, b)) + ")"
+
+
+def _duck_l2(a: list[str], b: list[str]) -> str:
+    terms = " + ".join(f"({x} - {y})*({x} - {y})" for x, y in zip(a, b))
+    return f"sqrt(0.0 + {terms})"
+
+
+def _vec_dist(rng: random.Random) -> tuple[str, str]:
+    """One fuzzed distance expression -> (engine dialect, duck SQL)."""
+    op = rng.choice(["<->", "<#>", "<=>"])
+    ea, da = _vec_operand(rng)
+    eb, db = _vec_operand(rng)
+    eng = f"{ea} {op} {eb}"
+    if op == "<->":
+        duck = _duck_l2(da, db)
+    elif op == "<#>":
+        duck = f"(- {_duck_dot(da, db)})"
+    else:  # <=> : 1 - dot/(|a|*|b|), association mirrors rewrite_vector
+        duck = (
+            f"(1.0 - {_duck_dot(da, db)} / (sqrt({_duck_dot(da, da)}) "
+            f"* sqrt({_duck_dot(db, db)})))"
+        )
+    return eng, duck
+
+
+def _run_both_vec(fuzz_env, eng_sql: str, duck_sql: str) -> None:
+    from risinglight_spark.sql.dialect import rewrite_query
+
+    spark, duck = fuzz_env
+    got = _normalize(spark.sql(rewrite_query(eng_sql)).toPandas())
+    want = _normalize(duck.execute(duck_sql).df())
+    assert got == want, (
+        f"engine mismatch for:\n{eng_sql}\nduck: {duck_sql}\n"
+        f"spark={got[:5]}\nduck={want[:5]}"
+    )
+
+
+def test_vector_expression_differential(fuzz_env):
+    """Shape 19: vector-operator compositions through the dialect."""
+    rng = random.Random(SEED + 19)
+    for _ in range(N_PER_SHAPE):
+        (e1, d1), (e2, d2) = _vec_dist(rng), _vec_dist(rng)
+        mode = rng.randrange(5)
+        if mode == 0:
+            cond = bool_expr(rng)
+            tpl = (
+                "SELECT rid, ({e1}) AS x, ({e2}) AS y FROM fz "
+                f"WHERE {cond}"
+            )
+        elif mode == 1:
+            tau = f"CAST({round(rng.uniform(0.1, 6.0), 2)!r} AS DOUBLE)"
+            op = rng.choice(["<", "<=", ">", ">="])
+            # NULL distances (NULL vectors) fail the comparison on
+            # both engines; no IS NOT NULL needed
+            tpl = f"SELECT rid, ({{e1}}) AS x FROM fz WHERE ({{e2}}) {op} {tau}"
+        elif mode == 2:
+            k = rng.randint(3, 12)
+            # pinned total order: bit-exact doubles + unique rid, and
+            # an explicit NULLS FIRST (Spark's ASC default; DuckDB
+            # defaults NULLS LAST — the shape-5 lesson)
+            tpl = (
+                "SELECT rid, ({e1}) AS d FROM fz "
+                f"ORDER BY d ASC NULLS FIRST, rid LIMIT {k}"
+            )
+        elif mode == 3:
+            # fpsum: scale-0 round of x*1000 (ties are exact binary
+            # halves on both engines), BIGINT sum is partition-proof
+            tpl = (
+                "SELECT g, CAST(sum(CAST(round(({e1}) * 1000, 0) AS "
+                "BIGINT)) AS BIGINT) AS s, CAST(count(({e2})) AS "
+                "BIGINT) AS n FROM fz GROUP BY g"
+            )
+        else:
+            tau = f"CAST({round(rng.uniform(0.2, 2.0), 2)!r} AS DOUBLE)"
+            tpl = (
+                "SELECT rid, (CASE WHEN ({e2}) < " + tau + " THEN ({e1}) "
+                "ELSE (- ({e1})) END) AS x FROM fz"
+            )
+        _run_both_vec(
+            fuzz_env,
+            tpl.format(e1=e1, e2=e2),
+            tpl.format(e1=d1, e2=d2),
+        )
