@@ -1585,20 +1585,48 @@ SPAN_N = 8  # words per span (the paper dedupes 50-token spans; same shape)
 )
 def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    grams = t.documents.select(
-        "doc_id",
-        F.explode(T.shingle_hashes_pandas(SPAN_N)(F.col("text"))).alias("gh"),
-    ).localCheckpoint()
-    freq = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
-    dup = F.when(F.col("n_occ") > 1, 1)
+
+    def grams() -> DataFrame:
+        return t.documents.select(
+            "doc_id",
+            F.explode(
+                T.shingle_hashes_pandas(SPAN_N)(F.col("text"))
+            ).alias("gh"),
+        )
+
+    # The duplicated-gram INDEX (gh -> n_occ, >1 keys only) is the
+    # memoized mined asset — the thing the docstring promises at
+    # 100 TB.  The original form localCheckpointed the full exploded
+    # gram stream per call (token-stream-sized scratch — the same
+    # storage non-starter text_oov_rate's rewrite removed); instead,
+    # the index build and the per-doc rollup each re-derive grams
+    # lazily from the corpus scan, and the index keeps only repeated
+    # keys, so singleton mass (the overwhelming majority) never
+    # reaches the join.  Round-13, same defect class as the
+    # dedup_semdedup eager-collect fix.
+    from risinglight_spark.operators import _cached_persisted
+
+    dup_index = _cached_persisted(
+        spark,
+        sf_dir,
+        "ngram_dup_index",
+        lambda: grams()
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1),
+    )
+    # left join against the >1-only index: n_occ is NULL exactly for
+    # singleton grams, so "is duplicated" = n_occ IS NOT NULL
+    dup = F.when(F.col("n_occ").isNotNull(), 1)
     return (
-        grams.join(freq, "gh")
+        grams()
+        .join(dup_index, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.count(dup).alias("n_dup_grams"),
             F.count_distinct(
-                F.when(F.col("n_occ") > 1, F.col("gh"))
+                F.when(F.col("n_occ").isNotNull(), F.col("gh"))
             ).alias("n_dup_distinct"),
             F.round(F.count(dup) / F.count("*"), 10).alias("dup_frac"),
         )

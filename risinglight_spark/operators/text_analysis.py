@@ -2080,16 +2080,30 @@ OOV_VOCAB_K = 1000
     "100x vocab probe, and a storage non-starter at 100 TB).",
 )
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import _cached_persisted
+
     t = Tables(spark, sf_dir)
-    per_lt = (
-        t.documents.select(
-            "lang",
-            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+
+    def build() -> DataFrame:
+        return (
+            t.documents.select(
+                "lang",
+                F.explode(
+                    T.tokens(T.normalized_text(F.col("text")))
+                ).alias("tok"),
+            )
+            .groupBy("lang", "tok")
+            .agg(F.count("*").alias("n"))
         )
-        .groupBy("lang", "tok")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint()
-    )
+
+    # Memoized mined asset, not a per-call localCheckpoint: the eager
+    # checkpoint re-scanned the corpus on EVERY call even though the
+    # (lang, token) count table is a stable corpus asset (the same
+    # class as bigram_lm_model / dsir_bucket_model above — the thing
+    # you'd write to storage after the count job).  Vocab-sized, so
+    # the persist is bounded at any corpus scale (round-13; same
+    # defect class as the dedup_semdedup eager-collect fix).
+    per_lt = _cached_persisted(spark, sf_dir, "oov_per_lt", build)
     vocab = (
         per_lt.groupBy("tok")
         .agg(F.sum("n").alias("tn"))
