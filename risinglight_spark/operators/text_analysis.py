@@ -842,17 +842,35 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independent.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import _cached_persisted
+
     t = Tables(spark, sf_dir)
-    bag = (
-        t.documents.select(
-            "doc_id",
-            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
+
+    def bag() -> DataFrame:
+        return (
+            t.documents.select(
+                "doc_id",
+                F.explode(
+                    T.tokens(T.normalized_text(F.col("text")))
+                ).alias("tok"),
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("k"))
         )
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("k"))
-        .localCheckpoint()
+
+    # The trained unigram LM (tok -> count) is the memoized VOCAB-sized
+    # asset, like bigram_lm_model below; the (doc_id, tok, k) bag is
+    # re-derived lazily in the scoring join (one corpus scan) instead
+    # of being localCheckpointed per call — the old form materialized
+    # the tokenized corpus to scratch on EVERY call, the same storage
+    # non-starter the round-12 text_oov_rate rewrite removed (round-13,
+    # same defect class as the dedup_semdedup eager-collect fix).
+    freq = _cached_persisted(
+        spark,
+        sf_dir,
+        "unigram_lm_freq",
+        lambda: bag().groupBy("tok").agg(F.sum("k").alias("n")),
     )
-    freq = bag.groupBy("tok").agg(F.sum("k").alias("n"))
     total = freq.agg(F.sum("n")).collect()[0][0]
     neg_ln = F.round(-F.log(F.col("n").cast("double") / total), 10)
     fp_weighted = (
@@ -862,7 +880,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1e6
     )
     return (
-        bag.join(freq, "tok")
+        bag().join(freq, "tok")
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_tokens"),

@@ -651,13 +651,17 @@ _R12_RECHECK: tuple[str, ...] = (
 # plan and the oracle (never binds at driver SFs); text_oov_rate: the
 # per-call eager localCheckpoint of the (lang, token) count table
 # became the memoized oov_per_lt asset (same defect class as the
-# semdedup fix).  dedup_duplicate_ngram_spans was also rewritten
-# (gram-stream checkpoint -> memoized >1-key dup index) but already
-# sits in the _R13_GATE staleness block below.
+# semdedup fix); text_unigram_logprob: the per-call localCheckpoint
+# of the (doc_id, tok, k) bag became a memoized vocab-sized LM asset
+# with the bag re-derived lazily in the scoring join.
+# dedup_duplicate_ngram_spans was also rewritten (gram-stream
+# checkpoint -> memoized >1-key dup index) but already sits in the
+# _R13_GATE staleness block below.
 _R13_RECHECK: tuple[str, ...] = (
     "dedup_semdedup",
     "ml_knn_eval",
     "text_oov_rate",
+    "text_unigram_logprob",
 )
 
 # Round-13 staleness rotation (VERDICT r12 item 3): the 22 entries whose
@@ -667,12 +671,12 @@ _R13_RECHECK: tuple[str, ...] = (
 # utility family, tpch_refresh_rf1_rf2) followed by the 28 oldest
 # round-5 rows (alphabetical within round — the same total order every
 # rotation has used; computed by unioning CORRECTNESS_r1..r12, latest
-# hash-green round per entry).  With the 3-entry recheck block above,
-# the bounded 50-slot gate keeps the first 47 of the 50 names below;
-# the last 3 — search_hybrid_rrf, streaming_transform_with_state,
-# subquery_any_all_rewrite — slip to the head of the round-14
-# rotation, the same explicitly-tracked displacement discipline as
-# r11/r12.
+# hash-green round per entry).  With the 4-entry recheck block above,
+# the bounded 50-slot gate keeps the first 46 of the 50 names below;
+# the last 4 — pipeline_drop_reasons, search_hybrid_rrf,
+# streaming_transform_with_state, subquery_any_all_rewrite — slip to
+# the head of the round-14 rotation, the same explicitly-tracked
+# displacement discipline as r11/r12.
 _R13_GATE: tuple[str, ...] = (
     "sample_topk_per_group",
     "setop_unpivot",

@@ -625,10 +625,19 @@ def test_knn_scoring_is_local_topk(spark, sf_dir):
 
 def test_dup_ngram_span_join_is_keyed(spark, sf_dir):
     # The gram-frequency join must be keyed on the 8-byte gram hash
-    # (shuffle carries hashes, never text), not a cartesian.
+    # (shuffle carries hashes, never text), not a cartesian.  After the
+    # round-13 rewrite the >1-key dup index joins broadcast (tiny at
+    # test SF; gh-keyed at scale) and text exists only map-side in the
+    # Arrow hashing stage — so the invariant is: every Exchange's
+    # partitioning keys are ids/hashes, never the text column.
+    import re
+
     plan = _plan(spark, sf_dir, "dedup_duplicate_ngram_spans")
     assert "CartesianProduct" not in plan
-    assert "text" not in plan.split("Exchange", 1)[-1].split("Scan", 1)[0]
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys  # the doc rollup (and index build) shuffles exist
+    for k in keys:
+        assert "text" not in k, k
 
 
 def test_scd2_single_exchange(spark, sf_dir):

@@ -757,7 +757,12 @@ def test_dialect_executor_differential(fuzz_env, tmp_path):
         "d1 DOUBLE, d2 DOUBLE, s1 VARCHAR, s2 VARCHAR, b1 BOOLEAN, "
         "dt1 DATE, ts1 TIMESTAMP)"
     )
-    src = spark.sql("SELECT * FROM fz").toPandas()
+    # the 11 scalar columns only: fzd's DDL above predates the
+    # shape-19 vector columns, and lit() renders scalars, not arrays
+    _fzd_cols = (
+        "rid, g, i1, i2, d1, d2, s1, s2, b1, dt1, ts1"
+    )
+    src = spark.sql(f"SELECT {_fzd_cols} FROM fz").toPandas()
 
     def lit(v):
         import datetime
@@ -781,7 +786,7 @@ def test_dialect_executor_differential(fuzz_env, tmp_path):
         for row in src.itertuples(index=False)
     )
     ex.execute_statement(f"INSERT INTO fzd VALUES {values}")
-    duck.execute("CREATE TABLE fzd AS SELECT * FROM fz")
+    duck.execute(f"CREATE TABLE fzd AS SELECT {_fzd_cols} FROM fz")
     try:
         rng = random.Random(SEED + 4)
         for _ in range(max(N_PER_SHAPE // 2, 10)):
