@@ -1185,3 +1185,140 @@ def test_vector_expression_differential(fuzz_env):
             tpl.format(e1=e1, e2=e2),
             tpl.format(e1=d1, e2=d2),
         )
+
+
+# ---------------------------------------------------------------------------
+# shape 20: higher-order ARRAY expressions (round 13).  The engine's
+# vector operators are built on Spark's higher-order array primitives
+# (transform / filter / aggregate / sort_array / element_at / size);
+# shape 19 samples only the three pgvector distance compositions, so
+# the primitives themselves had no composition coverage.  Tandem
+# rendering again: Spark higher-order calls on the engine side, the
+# DuckDB list_* equivalents (or element-indexed left-fold chains where
+# the fold init semantics differ: DuckDB's list_reduce seeds from the
+# first element, Spark's aggregate takes an explicit 0D — the chain
+# sidesteps the mismatch bit-exactly).  Scalar-valued expressions only
+# (fold-of-transform, size-of-filter, sorted element_at, fold min/max,
+# contains): array-valued results would compare element ORDER, which
+# only sort_array pins — and each scalar is double/int/bool typed so
+# the existing mode templates (project, threshold filter, fpsum
+# group, CASE) compose unchanged.
+# ---------------------------------------------------------------------------
+
+_ARR_LAMBDAS = (
+    # (spark lambda body, duck per-element template) over element {x}
+    ("x * x", "({x} * {x})"),
+    ("x * 2.0D", "({x} * CAST(2.0 AS DOUBLE))"),
+    ("x + 1.0D", "({x} + CAST(1.0 AS DOUBLE))"),
+    ("- x", "(- {x})"),
+    ("abs(x)", "abs({x})"),
+)
+
+
+def arr_scalar_expr(rng: random.Random) -> tuple[str, str, str]:
+    """-> (engine SQL, duck SQL, result kind in {'d', 'i', 'b'})."""
+    v = rng.choice(["v1", "v2"])
+    els = [f"{v}[{i + 1}]" for i in range(VDIM)]
+    pick = rng.randrange(6)
+    if pick == 0:
+        # fold of transform: explicit 0D seed on the Spark side, the
+        # element-indexed left chain on the DuckDB side
+        body, tpl = rng.choice(_ARR_LAMBDAS)
+        eng = (
+            f"aggregate(transform({v}, x -> {body}), 0D, "
+            f"(acc, x) -> acc + x)"
+        )
+        duck = "(0.0 + " + " + ".join(tpl.format(x=e) for e in els) + ")"
+        return eng, duck, "d"
+    if pick == 1:
+        # non-ANSI Spark size(NULL) = -1 (legacy sizeOfNull); a
+        # non-null array's size is never -1, so nullif restores the
+        # NULL-in-NULL-out DuckDB len() semantics exactly
+        return f"nullif(size({v}), -1)", f"len({v})", "i"
+    if pick == 2:
+        c = f"CAST({round(rng.uniform(-2, 2), 2)!r} AS DOUBLE)"
+        op = rng.choice(["<", "<=", ">", ">="])
+        return (
+            f"nullif(size(filter({v}, x -> x {op} {c})), -1)",
+            f"len(list_filter({v}, x -> x {op} {c}))",
+            "i",
+        )
+    if pick == 3:
+        k = rng.randint(1, VDIM)
+        return (
+            f"element_at(sort_array({v}), {k})",
+            f"list_sort({v})[{k}]",
+            "d",
+        )
+    if pick == 4:
+        agg = rng.choice(["max", "min"])
+        return (
+            f"array_{agg}({v})",
+            f"list_aggregate({v}, '{agg}')",
+            "d",
+        )
+    # membership: exact double equality — a drawn probe value almost
+    # never matches (FALSE on both engines), an element re-probe always
+    # does (TRUE); both branches sampled
+    if rng.random() < 0.5:
+        c = f"CAST({round(rng.uniform(-3, 3), 3)!r} AS DOUBLE)"
+        return (
+            f"array_contains({v}, {c})",
+            f"list_contains({v}, {c})",
+            "b",
+        )
+    k = rng.randint(1, VDIM)
+    return (
+        f"array_contains({v}, element_at({v}, {k}))",
+        f"list_contains({v}, {v}[{k}])",
+        "b",
+    )
+
+
+def test_array_function_differential(fuzz_env):
+    """Shape 20: higher-order array-expression compositions."""
+    rng = random.Random(SEED + 20)
+    for _ in range(N_PER_SHAPE):
+        e1, d1, k1 = arr_scalar_expr(rng)
+        e2, d2, k2 = arr_scalar_expr(rng)
+        mode = rng.randrange(4)
+        if mode == 0:
+            cond = bool_expr(rng)
+            tpl = f"SELECT rid, ({{e1}}) AS x, ({{e2}}) AS y FROM fz WHERE {cond}"
+        elif mode == 1:
+            if k2 == "d":
+                tau = f"CAST({round(rng.uniform(-2, 6), 2)!r} AS DOUBLE)"
+            elif k2 == "i":
+                tau = str(rng.randint(0, VDIM))
+            else:
+                tau = rng.choice(["TRUE", "FALSE"])
+            op = rng.choice(["<", "<=", ">", ">=", "=", "<>"]) if k2 != "b" else "="
+            tpl = f"SELECT rid, ({{e1}}) AS x FROM fz WHERE ({{e2}}) {op} {tau}"
+        elif mode == 2:
+            # fpsum of a double-kind expr, plain sum of int kind,
+            # count-filter of bool kind — per kind of e1
+            if k1 == "d":
+                agg = (
+                    "CAST(sum(CAST(round(({e1}) * 1000, 0) AS BIGINT)) "
+                    "AS BIGINT) AS s"
+                )
+            elif k1 == "i":
+                agg = "CAST(sum({e1}) AS BIGINT) AS s"
+            else:
+                agg = "CAST(count(CASE WHEN ({e1}) THEN 1 END) AS BIGINT) AS s"
+            tpl = f"SELECT g, {agg}, CAST(count(*) AS BIGINT) AS n FROM fz GROUP BY g"
+        else:
+            cond = (
+                "({e2}) IS NOT NULL"
+                if k2 != "b"
+                else "COALESCE(({e2}), FALSE)"
+            )
+            tpl = (
+                "SELECT rid, (CASE WHEN " + cond + " THEN ({e1}) "
+                "ELSE NULL END) AS x FROM fz"
+            )
+        _run_both_vec(
+            fuzz_env,
+            tpl.format(e1=e1, e2=e2),
+            tpl.format(e1=d1, e2=d2),
+        )
