@@ -137,6 +137,24 @@ FLAGSHIPS = [
         "DISTINCT vectors only — every member-level stage is a keyed "
         "join against <= M+1-row per-class lists, no cartesian.",
     ),
+    (
+        "text_oov_rate",
+        "The (lang, token) count table is a memoized asset (round 13: "
+        "InMemoryTableScan, no per-call corpus re-scan); the top-K "
+        "vocabulary derives from it via TakeOrdered and probes back "
+        "as a BroadcastHashJoin — both sides of the final rollup are "
+        "vocab-sized, the corpus is scanned zero times on cache hits.",
+    ),
+    (
+        "dedup_duplicate_ngram_spans",
+        "The >1-occurrence gram index is the memoized asset (round "
+        "13: InMemoryTableScan behind a Filter(n_occ > 1)); the gram "
+        "stream re-derives lazily map-side (ArrowEvalPython before "
+        "any exchange) and joins the index broadcast/keyed on the "
+        "8-byte hash — singleton grams never reach the join, text "
+        "never shuffles, and the only exchanges are the doc rollup "
+        "partials.",
+    ),
 ]
 
 
