@@ -327,8 +327,22 @@ def main() -> None:
             n: round(per_query[n] * _scale / _pin_q[n], 3) for n in _shared
         }
         _srt = sorted(_ratios.items(), key=lambda kv: -kv[1])
+        # Scheduling-latency ratio alongside: sub-second queries (all
+        # of TPC-H at sf0.1) are dispatch-bound, not compute-bound, so
+        # their drift tracks this kernel, not the single-stream one
+        # (the r12 NSW adjudication's regime split).
+        _sched_ref = _pin.get("calib_sched_ref")
+        _sched_ratio = (
+            round(
+                ((calib_sched_before + calib_sched_after) / 2) / _sched_ref,
+                3,
+            )
+            if _sched_ref
+            else None
+        )
         vs_pinned = {
             "n_shared": len(_shared),
+            "sched_kernel_ratio": _sched_ratio,
             "total_ratio": round(
                 sum(per_query[n] * _scale for n in _shared)
                 / sum(_pin_q[n] for n in _shared),
