@@ -2464,3 +2464,100 @@ def ann_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(UPSERT_TOPK)
     )
+
+
+# -- epsilon-ball range search with lossless IVF cell pruning ----------------
+#
+# The one ANN query shape the family lacked: "every vector within
+# distance eps of q" (pgvector: WHERE embedding <-> q < eps; FAISS
+# range_search).  Unlike top-k, the result size is data-dependent, so
+# the scale design question is the SCAN bound, answered by the
+# triangle inequality: for any member x of cell c,
+#     d(q, x) >= d(q, centroid_c) - d(x, centroid_c)
+#             >= d(q, centroid_c) - maxrad_c,
+# so a cell with d(q, centroid_c) - maxrad_c > eps cannot contain a
+# match and is never read.  Both pruning inputs are bounded index
+# assets (C centroids; C max-radii), so the driver decides survivors
+# without touching the corpus — at 100 TB with partition-by-cell
+# layout (ann_index_partitioned) the pruned cells are pruned at the
+# STORAGE layer.  The prune carries a 1e-6 slack so float64 rounding
+# (~1e-13 over a 64-dim fold) can never drop a boundary cell: results
+# are EXACTLY the brute-force eps-filter, which is what the oracle
+# replays (tests/test_range_search.py asserts prune-losslessness at a
+# sweep of eps values).
+
+RANGE_EPS = 2.85  # ~15% of the fixture corpus matches at sf0.01
+_RANGE_PRUNE_SLACK = 1e-6
+
+
+def _cell_maxrad_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, maxrad) — max member distance to the OWN assigned
+    centroid; the second half of the range-search index, memoized
+    beside ivf_assign/ivf_centroids."""
+    from risinglight_spark.operators import _cached_persisted
+
+    t = Tables(spark, sf_dir)
+    cents = ivf_centroids_cached(spark, sf_dir)
+
+    def build() -> DataFrame:
+        carr = F.array(*[F.col(f"c{i}") for i in range(DIM)])
+        cvecs = cents.select("cell", carr.alias("cvec"))
+        return (
+            _ivf_argmin_assign(t.embeddings, cvecs, with_dist=True)
+            .groupBy("cell")
+            .agg(F.max("d").alias("maxrad"))
+        )
+
+    return _cached_persisted(spark, sf_dir, "ivf_cell_maxrad", build)
+
+
+@register(
+    "ann_range_search_ivf",
+    oracle=f"""
+    SELECT vec_id,
+           round({_l2_sql('embedding', QUERY_VEC)}, 10) AS d
+    FROM embeddings
+    WHERE {_l2_sql('embedding', QUERY_VEC)} <= {RANGE_EPS!r}
+    """,
+    doc=f"Epsilon-ball range search (eps={RANGE_EPS}): every vector "
+    "within eps of the query, found by triangle-inequality cell "
+    "pruning over the memoized IVF index (centroids + per-cell max "
+    "radius) followed by the exact distance filter on surviving "
+    "cells only.  The prune is LOSSLESS (1e-6 slack >> the 1e-13 "
+    "float64 fold error), so the result is bit-identical to the "
+    "oracle's brute-force eps-filter.  ref: pgvector `<->` range "
+    "WHERE + src/array/ops.rs:655-719 distance semantics.",
+)
+def ann_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cents = ivf_centroids_cached(spark, sf_dir)
+    maxrad = {
+        r["cell"]: r["maxrad"]
+        for r in _cell_maxrad_cached(spark, sf_dir).collect()
+    }
+    # driver-side survivor decision from the two bounded assets: plain
+    # left-to-right float64 fold for d(q, centroid) — pruning needs
+    # only the slack guarantee, not bit-exactness
+    survivors = []
+    for r in cents.collect():
+        acc = 0.0
+        for i in range(DIM):
+            diff = float(r[f"c{i}"]) - QUERY_VEC[i]
+            acc += diff * diff
+        dq = math.sqrt(acc)
+        mr = maxrad.get(r["cell"])
+        if mr is not None and dq - mr <= RANGE_EPS + _RANGE_PRUNE_SLACK:
+            survivors.append(r["cell"])
+    assign = ivf_assign_cached(spark, sf_dir)
+    qd = l2_distance(F.col("embedding"), lit_vector(QUERY_VEC))
+    return (
+        t.embeddings.select("vec_id", "embedding")
+        .join(
+            assign.filter(F.col("cell").isin(survivors)).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        .select("vec_id", qd.alias("dx"))
+        .filter(F.col("dx") <= F.lit(RANGE_EPS))
+        .select("vec_id", F.round(F.col("dx"), 10).alias("d"))
+    )
