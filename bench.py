@@ -91,6 +91,7 @@ HEADLINE_EXTRA = (
     "text_gopher_rules",
     "ann_nsw_graph_search",
     "ann_ivf_incremental_upsert",
+    "ann_range_search_ivf",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.
