@@ -123,9 +123,11 @@ from collections import OrderedDict  # noqa: E402
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402, F811
 from pyspark.sql.types import StructField, StructType  # noqa: E402
 
-_ASSET_CACHE: OrderedDict[tuple[str, str], tuple[str, str, DataFrame]] = (
-    OrderedDict()
-)
+# key = (kind, sf_dir, str(storage_level)); value = (session, corpus
+# fingerprint, persisted DataFrame)
+_ASSET_CACHE: OrderedDict[
+    tuple[str, str, str], tuple[str, str, DataFrame]
+] = OrderedDict()
 _ASSET_CACHE_MAX = 64
 _ASSET_LOCK = threading.Lock()
 
