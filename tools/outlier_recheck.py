@@ -1,0 +1,144 @@
+"""Generalized bench-outlier recheck — the standing adjudication
+playbook (r12's NSW/DSIR adjudication, r13's semdedup adjudication),
+parameterized so future rounds don't need a bespoke script.
+
+    PYTHONPATH=/root/repo python tools/outlier_recheck.py \
+        [--sf-dir DIR] [--controls q14,q15,q6] target [target ...]
+
+Method (the one every adjudication since r11 has used):
+- warm each target at sf0.001 (codegen/UDF-worker compile) and warm
+  the timed SF's parquet footers;
+- time each target median-of-3 at the timed SF;
+- run the single-stream calibration kernel BEFORE and AFTER the timed
+  section (mid-run drift shows as a before/after gap), plus the
+  scheduling-latency kernel (32 tiny jobs — the regime sub-second
+  queries live in);
+- report each target beside UNTOUCHED-code controls and beside the
+  pinned envelope (BASELINE_BENCH.json) so the verdict is "real
+  regression" vs "box drift" on numbers, not narrative.
+
+Prints one JSON line; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_CONTROLS = ("tpch_q14", "tpch_q15", "tpch_q6")
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    controls = list(DEFAULT_CONTROLS)
+    targets: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf-dir":
+            sf_dir = argv[i + 1]
+            i += 2
+        elif argv[i] == "--controls":
+            controls = argv[i + 1].split(",")
+            i += 2
+        else:
+            targets.append(argv[i])
+            i += 1
+    if not targets:
+        sys.exit("usage: outlier_recheck.py [--sf-dir D] [--controls a,b] target...")
+
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.registry import collect
+    from risinglight_spark.session import get_spark
+
+    spark = get_spark(app_name="outlier_recheck", shuffle_partitions=16)
+    entries = collect()
+    names = targets + [c for c in controls if c not in targets]
+
+    def calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.sum("h")).collect()
+        return time.perf_counter() - t0
+
+    def calib_sched() -> float:
+        t0 = time.perf_counter()
+        for _ in range(32):
+            spark.range(1_000).agg(F.sum("id")).collect()
+        return time.perf_counter() - t0
+
+    calib()
+    calib_before = round(statistics.median(calib() for _ in range(3)), 3)
+    calib_sched()
+    sched_before = round(statistics.median(calib_sched() for _ in range(3)), 3)
+
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        entries[name].fn(spark, warm_dir).collect()
+    from risinglight_spark.tables import TABLES, load
+
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
+
+    timed: dict[str, dict] = {}
+    for name in names:
+        obs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            entries[name].fn(spark, sf_dir).collect()
+            obs.append(time.perf_counter() - t0)
+        timed[name] = {
+            "median": round(statistics.median(obs), 3),
+            "obs": [round(o, 3) for o in obs],
+            "role": "target" if name in targets else "control",
+        }
+        print(f"# {name}: {timed[name]['median']:.3f}s "
+              f"(obs {timed[name]['obs']})", file=sys.stderr)
+
+    calib_after = round(statistics.median(calib() for _ in range(3)), 3)
+    sched_after = round(statistics.median(calib_sched() for _ in range(3)), 3)
+
+    # pinned-envelope ratios, same conversion bench.py uses
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "BASELINE_BENCH.json",
+            )
+        ) as f:
+            pin = json.load(f)
+        scale = float(pin["calib_ref"]) / ((calib_before + calib_after) / 2)
+        for name, row in timed.items():
+            base = pin["queries"].get(name)
+            if base:
+                row["pinned"] = base
+                row["ratio_vs_pinned"] = round(
+                    row["median"] * scale / base, 3
+                )
+    except Exception as exc:
+        print(f"# pinned baseline unavailable ({exc})", file=sys.stderr)
+
+    out = {
+        "probe": "outlier_recheck",
+        "sf_dir": sf_dir,
+        "calib_before": calib_before,
+        "calib_after": calib_after,
+        "sched_before": sched_before,
+        "sched_after": sched_after,
+        "rows": timed,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
