@@ -833,9 +833,8 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stand-in for LM-perplexity quality filtering (KenLM-style): "
     "corpus token frequencies as the model, score = mean -ln p(tok).  "
     "One scan collapses the stream to the per-doc (doc_id, tok, k) "
-    "bag (the checkpointed asset — bag-sized, never the corpus-sized "
-    "stream: the text_oov_rate flaw class); the frequency model and "
-    "corpus total both derive from the bag by rollups, and the score "
+    "bag; the frequency model (the memoized vocab-sized asset, round "
+    "13) and corpus total derive from it by rollups, and the score "
     "is the k-weighted fixed-point sum (identical to per-occurrence "
     "by distributivity over the int64 sum).  ln rounded to 10 dp "
     "(JVM/libm last-ulp) so the per-doc mean is partition-order "
@@ -2338,4 +2337,153 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha_r, 10).alias("alpha_word_frac"),
         "stop_hits",
         keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style mixture-weight update (Xie et al. 2023, "DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining"): one
+# multiplicative-weights step over the per-domain proxy loss.  The
+# sampling/mixture family had static policies (token budgets,
+# temperature resampling, stratified splits); this is the LEARNING
+# step that produces those weights — domains whose proxy loss exceeds
+# the corpus reference get up-weighted by exp(eta * excess), then the
+# weights renormalize.  The proxy loss here is the corpus-unigram
+# negative log-probability (the same trained model text_unigram_logprob
+# scores with — at production scale the proxy model's loss column
+# arrives precomputed; every downstream step is identical).
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA = 1.0
+
+
+@register(
+    "mix_doremi_weight_update",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT d.source, unnest({T.tokens_sql(T.normalized_text_sql("d.text"))}) AS tok
+      FROM documents d
+    ),
+    freq AS MATERIALIZED (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ),
+    total AS (SELECT count(*) AS t FROM toks),
+    dom AS (
+      SELECT source,
+             count(*) AS n_tokens,
+             ({fpsum_sql("round(-ln(f.n::DOUBLE / (SELECT t FROM total)), 10)", 1000000)}
+              / count(*)) AS loss
+      FROM toks JOIN freq f USING (tok)
+      GROUP BY source
+    ),
+    ref AS (
+      SELECT sum(CAST(round(loss * 1000000.0, 0) AS BIGINT) * n_tokens)::DOUBLE
+             / 1000000.0 / sum(n_tokens) AS ref_loss
+      FROM dom
+    ),
+    upd AS (
+      SELECT source, n_tokens,
+             round(loss, 10) AS domain_loss,
+             round(greatest(loss - (SELECT ref_loss FROM ref), 0.0), 10)
+                 AS excess,
+             n_tokens::DOUBLE / (SELECT t FROM total) AS w0,
+             round(exp({DOREMI_ETA!r} *
+                   round(greatest(loss - (SELECT ref_loss FROM ref), 0.0), 10)),
+                   10) AS factor
+      FROM dom
+    )
+    SELECT source,
+           n_tokens,
+           domain_loss,
+           excess,
+           round(w0, 10) AS token_share,
+           round(CAST(round(w0 * factor * 1e12, 0) AS BIGINT)::DOUBLE
+                 / (SELECT sum(CAST(round(w0 * factor * 1e12, 0) AS BIGINT))
+                    FROM upd)::DOUBLE, 10) AS weight
+    FROM upd
+    """,
+    doc=f"DoReMi multiplicative mixture-weight step (eta={DOREMI_ETA}): "
+    "per-domain unigram proxy loss (token-weighted fixed-point mean), "
+    "token-weighted corpus reference, excess = max(loss - ref, 0), "
+    "weight ∝ token_share * round(exp(eta*excess), 10), renormalized "
+    "through a 1e12 fixed-point sum so the |domains|-row normalization "
+    "is partition-order-free.  Reuses the memoized unigram_lm_freq "
+    "asset; the scoring join is one corpus scan + broadcast model — "
+    "all downstream arithmetic runs on a |domains|-row table.  "
+    "ref (semantics): Xie et al. 2023 §3 algorithm 1 excess-loss "
+    "update; exp/ln rounded to 10 dp per the repo-wide libm "
+    "discipline.",
+)
+def mix_doremi_weight_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from risinglight_spark.operators import _cached_persisted
+
+    t = Tables(spark, sf_dir)
+
+    def bag() -> DataFrame:
+        return (
+            t.documents.select(
+                "doc_id",
+                "source",
+                F.explode(
+                    T.tokens(T.normalized_text(F.col("text")))
+                ).alias("tok"),
+            )
+            .groupBy("doc_id", "source", "tok")
+            .agg(F.count("*").alias("k"))
+        )
+
+    freq = _cached_persisted(
+        spark,
+        sf_dir,
+        "unigram_lm_freq_src",
+        lambda: bag().groupBy("tok").agg(F.sum("k").alias("n")),
+    )
+    total = freq.agg(F.sum("n")).collect()[0][0]
+    neg_ln = F.round(-F.log(F.col("n").cast("double") / total), 10)
+    fp = F.sum(
+        F.round(neg_ln * 1e6, 0).cast("long") * F.col("k")
+    ).cast("double") / 1e6
+    dom = (
+        bag().join(freq, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            (fp / F.sum("k")).alias("loss"),
+        )
+    )
+    # token-weighted corpus reference over the |domains|-row table:
+    # fixed-point so the tiny cross-domain sum is partition-order-free
+    wall = Window.partitionBy()
+    ref = (
+        F.sum(
+            F.round(F.col("loss") * 1e6, 0).cast("long")
+            * F.col("n_tokens")
+        ).over(wall)
+        .cast("double")
+        / 1e6
+        / F.sum("n_tokens").over(wall)
+    )
+    excess = F.round(F.greatest(F.col("loss") - ref, F.lit(0.0)), 10)
+    w0 = F.col("n_tokens").cast("double") / F.lit(float(total))
+    factor = F.round(F.exp(F.lit(DOREMI_ETA) * excess), 10)
+    upd = dom.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("loss"), 10).alias("domain_loss"),
+        excess.alias("excess"),
+        w0.alias("w0"),
+        factor.alias("factor"),
+    )
+    wfp = F.round(F.col("w0") * F.col("factor") * 1e12, 0).cast("long")
+    return upd.select(
+        "source",
+        "n_tokens",
+        "domain_loss",
+        "excess",
+        F.round(F.col("w0"), 10).alias("token_share"),
+        F.round(
+            wfp.cast("double") / F.sum(wfp).over(wall).cast("double"), 10
+        ).alias("weight"),
     )

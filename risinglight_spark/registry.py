@@ -664,8 +664,11 @@ _R13_RECHECK: tuple[str, ...] = (
     "text_unigram_logprob",
     # New in round 13 (never driver-verified): epsilon-ball range
     # search with lossless triangle-inequality IVF cell pruning — the
-    # ANN query shape the family lacked (registry 311).
+    # ANN query shape the family lacked (registry 311) — and the
+    # DoReMi multiplicative mixture-weight step (registry 312), the
+    # LEARNING piece of the sampling/mixture family.
     "ann_range_search_ivf",
+    "mix_doremi_weight_update",
 )
 
 # Round-13 staleness rotation (VERDICT r12 item 3): the 22 entries whose
@@ -675,13 +678,13 @@ _R13_RECHECK: tuple[str, ...] = (
 # utility family, tpch_refresh_rf1_rf2) followed by the 28 oldest
 # round-5 rows (alphabetical within round — the same total order every
 # rotation has used; computed by unioning CORRECTNESS_r1..r12, latest
-# hash-green round per entry).  With the 5-entry recheck block above,
-# the bounded 50-slot gate keeps the first 45 of the 50 names below;
-# the last 5 — pipeline_data_quality, pipeline_drop_reasons,
-# search_hybrid_rrf, streaming_transform_with_state,
-# subquery_any_all_rewrite — slip to the head of the round-14
-# rotation, the same explicitly-tracked displacement discipline as
-# r11/r12.
+# hash-green round per entry).  With the 6-entry recheck block above,
+# the bounded 50-slot gate keeps the first 44 of the 50 names below;
+# the last 6 — pairs_contrastive_mining, pipeline_data_quality,
+# pipeline_drop_reasons, search_hybrid_rrf,
+# streaming_transform_with_state, subquery_any_all_rewrite — slip to
+# the head of the round-14 rotation, the same explicitly-tracked
+# displacement discipline as r11/r12.
 _R13_GATE: tuple[str, ...] = (
     "sample_topk_per_group",
     "setop_unpivot",
