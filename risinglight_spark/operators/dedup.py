@@ -1547,6 +1547,41 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_N = 8  # words per span (the paper dedupes 50-token spans; same shape)
 
 
+def _gram_stream(t: Tables) -> DataFrame:
+    """(doc_id, p, gh): every word SPAN_N-gram hash with its 1-based
+    gram position — gram p covers tokens p..p+SPAN_N-1 of the
+    normalized text.  Stateless Arrow map over the corpus scan; shared
+    by the span SIGNAL entry (which drops p) and the span REMOVAL
+    entry (which needs it)."""
+    return t.documents.select(
+        "doc_id",
+        F.posexplode(
+            T.shingle_hashes_pandas(SPAN_N)(F.col("text"))
+        ).alias("p0", "gh"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
+
+
+def _ngram_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicated-gram INDEX (gh -> n_occ, >1 keys only) as ONE
+    memoized mined asset shared by dedup_duplicate_ngram_spans and
+    dedup_span_removal — the thing the docstrings promise at 100 TB.
+    The index keeps only repeated keys, so singleton mass (the
+    overwhelming majority) never reaches any downstream join; the gram
+    stream itself is re-derived lazily from the corpus scan rather
+    than checkpointed (round-13, same defect class as the
+    dedup_semdedup eager-collect fix)."""
+    t = Tables(spark, sf_dir)
+    return _cached_persisted(
+        spark,
+        sf_dir,
+        "ngram_dup_index",
+        lambda: _gram_stream(t)
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1),
+    )
+
+
 @register(
     "dedup_duplicate_ngram_spans",
     oracle=f"""
@@ -1587,34 +1622,9 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
 
     def grams() -> DataFrame:
-        return t.documents.select(
-            "doc_id",
-            F.explode(
-                T.shingle_hashes_pandas(SPAN_N)(F.col("text"))
-            ).alias("gh"),
-        )
+        return _gram_stream(t).drop("p")
 
-    # The duplicated-gram INDEX (gh -> n_occ, >1 keys only) is the
-    # memoized mined asset — the thing the docstring promises at
-    # 100 TB.  The original form localCheckpointed the full exploded
-    # gram stream per call (token-stream-sized scratch — the same
-    # storage non-starter text_oov_rate's rewrite removed); instead,
-    # the index build and the per-doc rollup each re-derive grams
-    # lazily from the corpus scan, and the index keeps only repeated
-    # keys, so singleton mass (the overwhelming majority) never
-    # reaches the join.  Round-13, same defect class as the
-    # dedup_semdedup eager-collect fix.
-    from risinglight_spark.operators import _cached_persisted
-
-    dup_index = _cached_persisted(
-        spark,
-        sf_dir,
-        "ngram_dup_index",
-        lambda: grams()
-        .groupBy("gh")
-        .agg(F.count("*").alias("n_occ"))
-        .filter(F.col("n_occ") > 1),
-    )
+    dup_index = _ngram_dup_index(spark, sf_dir)
     # left join against the >1-only index: n_occ is NULL exactly for
     # singleton grams, so "is duplicated" = n_occ IS NOT NULL
     dup = F.when(F.col("n_occ").isNotNull(), 1)
@@ -1630,6 +1640,127 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dup_distinct"),
             F.round(F.count(dup) / F.count("*"), 10).alias("dup_frac"),
         )
+    )
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id,
+             {T.normalized_text_sql('text')} AS nt,
+             {T.tokens_sql(T.normalized_text_sql('text'))} AS toks,
+             ({T.token_hashes_sql('text')}) AS th
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, g.p AS p, g.gh AS gh
+      FROM (SELECT doc_id,
+                   unnest(list_transform({T.shingle_hashes_sql('th', SPAN_N)},
+                          (g, i) -> {{'p': i, 'gh': g}})) AS g
+            FROM tk)
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+    occ AS (
+      SELECT doc_id, p,
+             row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+      FROM grams JOIN dup USING (gh)
+    ),
+    rem AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(
+               list(generate_series(p, p + {SPAN_N - 1}))))) AS rem_pos
+      FROM occ WHERE rn > 1
+      GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT t.doc_id, toks, nt,
+             CASE WHEN rem_pos IS NULL THEN toks
+                  ELSE list_filter(toks,
+                        (x, i) -> NOT list_contains(rem_pos, i::BIGINT))
+             END AS kept
+      FROM tk t LEFT JOIN rem USING (doc_id)
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           (len(toks) - len(kept))::BIGINT AS n_removed_tokens,
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text,
+           (length(nt)
+            - length(coalesce(array_to_string(kept, ' '), '')))::BIGINT
+               AS chars_removed
+    FROM cut
+    """,
+    doc=f"Span REMOVAL on the corpus-repeated {SPAN_N}-gram signal "
+    "(the operator production pipelines actually run on Lee et al. "
+    "2022's finding): every occurrence of a corpus-repeated word "
+    f"{SPAN_N}-gram EXCEPT the globally first (min (doc_id, position)) "
+    "is cut from the document, overlapping flagged spans merging "
+    "naturally via the distinct token-position set; emits cleaned "
+    "text (tokens of the normalized text re-joined) plus "
+    "tokens/chars-removed accounting.  Scale shape: reuses the "
+    "memoized >1-occurrence gram index (ngram_dup_index — singleton "
+    "mass never reaches a join), the keep-first rank shuffles ONLY "
+    "duplicated-gram occurrences keyed on the gram hash (8-byte "
+    "hashes, never text), the per-doc removal sets are a doc-keyed "
+    "rollup of those occurrences, and the edit itself is stateless "
+    "in-plan array surgery (filter-by-position + array_join) on the "
+    "corpus scan — no token-stream shuffle, no Python in the edit "
+    "path.  ref (signal): dedup_duplicate_ngram_spans above.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    dup_index = _ngram_dup_index(spark, sf_dir)
+
+    occ = _gram_stream(t).join(dup_index.select("gh"), "gh")
+    w = Window.partitionBy("gh").orderBy("doc_id", "p")
+    flagged = (
+        occ.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+    )
+    # per-doc removal set: merged 1-based token positions of every
+    # flagged span (gram p covers tokens p..p+SPAN_N-1)
+    rem = flagged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(
+                            F.col("p").cast("long"),
+                            (F.col("p") + SPAN_N - 1).cast("long"),
+                        )
+                    )
+                )
+            )
+        ).alias("rem_pos")
+    )
+    nt = T.normalized_text(F.col("text"))
+    base = t.documents.select(
+        "doc_id", nt.alias("nt"), T.tokens(nt).alias("toks")
+    )
+    joined = base.join(rem, "doc_id", "left")
+    # Spark's filter lambda index is 0-based, rem_pos is 1-based
+    kept = F.when(F.col("rem_pos").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.array_contains(
+                F.col("rem_pos"), (i + 1).cast("long")
+            ),
+        )
+    )
+    cleaned = F.array_join(kept, " ")
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias(
+            "n_removed_tokens"
+        ),
+        cleaned.alias("cleaned_text"),
+        (F.length("nt") - F.length(cleaned)).cast("long").alias(
+            "chars_removed"
+        ),
     )
 
 

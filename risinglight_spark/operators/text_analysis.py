@@ -811,6 +811,32 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "lang", "q", bucket.alias("bucket"))
 
 
+def _unigram_freq_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram LM (tok -> corpus count) as ONE memoized
+    vocab-sized asset, shared by every consumer (text_unigram_logprob,
+    mix_doremi_weight_update) under the
+    single cache kind 'unigram_lm_freq' — round-14 advice fix: the
+    DoReMi entry previously built a content-identical table under its
+    own kind, so running both headline operators scanned the corpus
+    twice and persisted the same vocab table twice."""
+    from risinglight_spark.operators import _cached_persisted
+
+    t = Tables(spark, sf_dir)
+
+    def build() -> DataFrame:
+        return (
+            t.documents.select(
+                F.explode(
+                    T.tokens(T.normalized_text(F.col("text")))
+                ).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count("*").alias("n"))
+        )
+
+    return _cached_persisted(spark, sf_dir, "unigram_lm_freq", build)
+
+
 @register(
     "text_unigram_logprob",
     oracle=f"""
@@ -841,8 +867,6 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independent.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.operators import _cached_persisted
-
     t = Tables(spark, sf_dir)
 
     def bag() -> DataFrame:
@@ -857,19 +881,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("k"))
         )
 
-    # The trained unigram LM (tok -> count) is the memoized VOCAB-sized
-    # asset, like bigram_lm_model below; the (doc_id, tok, k) bag is
-    # re-derived lazily in the scoring join (one corpus scan) instead
-    # of being localCheckpointed per call — the old form materialized
-    # the tokenized corpus to scratch on EVERY call, the same storage
-    # non-starter the round-12 text_oov_rate rewrite removed (round-13,
-    # same defect class as the dedup_semdedup eager-collect fix).
-    freq = _cached_persisted(
-        spark,
-        sf_dir,
-        "unigram_lm_freq",
-        lambda: bag().groupBy("tok").agg(F.sum("k").alias("n")),
-    )
+    # The trained unigram LM (tok -> count) is the shared memoized
+    # VOCAB-sized asset (_unigram_freq_cached); the (doc_id, tok, k)
+    # bag is re-derived lazily in the scoring join (one corpus scan)
+    # instead of being localCheckpointed per call — the old form
+    # materialized the tokenized corpus to scratch on EVERY call, the
+    # same storage non-starter the round-12 text_oov_rate rewrite
+    # removed (round-13, same defect class as the dedup_semdedup
+    # eager-collect fix).
+    freq = _unigram_freq_cached(spark, sf_dir)
     total = freq.agg(F.sum("n")).collect()[0][0]
     neg_ln = F.round(-F.log(F.col("n").cast("double") / total), 10)
     fp_weighted = (
@@ -2407,8 +2427,9 @@ DOREMI_ETA = 1.0
     "token-weighted corpus reference, excess = max(loss - ref, 0), "
     "weight ∝ token_share * round(exp(eta*excess), 10), renormalized "
     "through a 1e12 fixed-point sum so the |domains|-row normalization "
-    "is partition-order-free.  Reuses the memoized unigram_lm_freq "
-    "asset; the scoring join is one corpus scan + broadcast model — "
+    "is partition-order-free.  Shares the memoized unigram_lm_freq "
+    "asset with text_unigram_logprob (one build serves both, r14); "
+    "the scoring join is one corpus scan + broadcast model — "
     "all downstream arithmetic runs on a |domains|-row table.  "
     "ref (semantics): Xie et al. 2023 §3 algorithm 1 excess-loss "
     "update; exp/ln rounded to 10 dp per the repo-wide libm "
@@ -2416,8 +2437,6 @@ DOREMI_ETA = 1.0
 )
 def mix_doremi_weight_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
-
-    from risinglight_spark.operators import _cached_persisted
 
     t = Tables(spark, sf_dir)
 
@@ -2434,12 +2453,10 @@ def mix_doremi_weight_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("k"))
         )
 
-    freq = _cached_persisted(
-        spark,
-        sf_dir,
-        "unigram_lm_freq_src",
-        lambda: bag().groupBy("tok").agg(F.sum("k").alias("n")),
-    )
+    # Shared vocab-sized LM asset — the same 'unigram_lm_freq' cache
+    # kind text_unigram_logprob uses (round-14 advice fix; previously a
+    # content-identical copy was built under 'unigram_lm_freq_src').
+    freq = _unigram_freq_cached(spark, sf_dir)
     total = freq.agg(F.sum("n")).collect()[0][0]
     neg_ln = F.round(-F.log(F.col("n").cast("double") / total), 10)
     fp = F.sum(

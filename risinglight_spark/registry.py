@@ -796,9 +796,92 @@ _R12_GATE: tuple[str, ...] = (
 # collect() dedupes via dict first-occurrence).  dict.fromkeys makes a
 # duplicate structurally impossible, so the 50-slot gate boundary can
 # never silently shift again.
+# Round-14 recheck (standing provenance invariant: any rewrite or new
+# entry is fronted into the SAME round's gate).  dedup_span_removal:
+# NEW (registry 313) — span REMOVAL on the corpus-repeated ngram
+# signal (VERDICT r13 item 4), sharing the memoized ngram_dup_index
+# asset with the signal entry.  mix_doremi_weight_update +
+# text_unigram_logprob: the round-14 advice fix unified their
+# content-identical unigram-LM assets under the single cache kind
+# 'unigram_lm_freq' (shared _unigram_freq_cached helper) — plan
+# semantics unchanged, but both operators' code moved, so both are
+# re-fronted.
+_R14_RECHECK: tuple[str, ...] = (
+    "dedup_span_removal",
+    "mix_doremi_weight_update",
+    "text_unigram_logprob",
+)
+
+# Round-14 staleness rotation (VERDICT r13 item 3): the 15 entries
+# whose latest driver row is still round 5 (the ≤8-round policy edge
+# NOW) followed by the 35 oldest round-7 rows (alphabetical within
+# round — the same total order every rotation has used; computed by
+# unioning CORRECTNESS_r1..r13, latest hash-green round per entry).
+# With the 3-entry recheck block above, the bounded 50-slot gate keeps
+# the first 47 of the 50 names below; the last 3 — setop_intersect,
+# setop_intersect_all, setop_union_all — slip to the head of the
+# round-15 rotation alongside the 13 remaining r7 rows
+# (setop_union_distinct, the subquery_* family, the window_* frame
+# family), the same explicitly-tracked displacement discipline as
+# r11/r12/r13.
+_R14_GATE: tuple[str, ...] = (
+    "pairs_contrastive_mining",
+    "pipeline_data_quality",
+    "pipeline_drop_reasons",
+    "search_hybrid_rrf",
+    "streaming_transform_with_state",
+    "subquery_any_all_rewrite",
+    "text_bpe_encode",
+    "text_bpe_train",
+    "text_langid_eval",
+    "text_mlm_masking",
+    "text_token_entropy",
+    "unnest_with_ordinality",
+    "vector_pca_power_iteration",
+    "vector_pq_encode",
+    "window_exclude_current",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_heavy_hitters_sketch",
+    "agg_incremental_merge",
+    "agg_sketch_mergeable",
+    "ann_filtered_topk",
+    "dedup_cluster_keep_best",
+    "events_attribution_last_touch",
+    "explain_cost_estimates",
+    "expr_array_library",
+    "expr_bitwise_ops",
+    "expr_boolean_3vl",
+    "expr_case_if",
+    "expr_cast_matrix",
+    "expr_datetime_library",
+    "expr_div_by_zero",
+    "expr_extract_date",
+    "expr_hash_json_library",
+    "expr_in_between_like",
+    "expr_interval_arith",
+    "expr_math_library",
+    "expr_null_checks",
+    "expr_regexp_library",
+    "expr_string_funcs",
+    "expr_string_library",
+    "expr_typed_literals",
+    "join_dpp_partition_pruned",
+    "join_salted_skew",
+    "pack_greedy_bins",
+    "sample_hash_stratified",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+)
+
 _PRIORITY: tuple[str, ...] = tuple(
     dict.fromkeys(
         (
+            *_R14_RECHECK,
+            *_R14_GATE,
             *_R13_RECHECK,
             *_R13_GATE,
             *_R12_RECHECK,

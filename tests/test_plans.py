@@ -640,6 +640,28 @@ def test_dup_ngram_span_join_is_keyed(spark, sf_dir):
         assert "text" not in k, k
 
 
+def test_span_removal_edit_pass_is_in_plan(spark, sf_dir):
+    # The span EDIT itself (filter-by-position + array_join) must be
+    # pure in-plan expression on the corpus scan: no Python stage after
+    # the Arrow gram-hashing stage, no token-stream shuffle (every
+    # Exchange is keyed on ids/hashes, never text), no cartesian.  The
+    # keep-first window shuffles only duplicated-gram occurrences
+    # keyed on gh.
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_span_removal")
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys
+    for k in keys:
+        assert "text" not in k and "tok" not in k and "nt" not in k, k
+    # the final edit Project is expression-only: array filter+join
+    assert "array_join" in plan
+    # exactly one window (keep-first rank), partitioned by gram hash
+    assert plan.count("Window") >= 1
+    assert re.search(r"windowspecdefinition\(gh#\d+L", plan), plan[:2000]
+
+
 def test_scd2_single_exchange(spark, sf_dir):
     # lag-filter + row_number + lead share one (user_id) shuffle: all
     # three windows collapse onto the same partitioning/sort spec.

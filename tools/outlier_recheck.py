@@ -89,6 +89,15 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
+    # One UNTIMED priming call per entry at the timed SF: memoized-
+    # asset operators pay their one-time asset build here, not inside
+    # the first timed observation — mirroring the steady state
+    # bench.py's numbers reflect (round-14 advice fix; median-of-3
+    # usually hid it, but an asset-dominated target could read as a
+    # regression vs controls).
+    for name in names:
+        entries[name].fn(spark, sf_dir).collect()
+
     timed: dict[str, dict] = {}
     for name in names:
         obs = []

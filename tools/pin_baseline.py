@@ -37,6 +37,19 @@ def main() -> None:
         r10 = json.load(f)["parsed"]
     with open(os.path.join(REPO, "BENCH_RESULT.json")) as f:
         now = json.load(f)
+    # Fields added to BASELINE_BENCH.json outside this tool (the
+    # scheduling-latency reference, the SF1 block) must round-trip a
+    # regeneration — otherwise re-running the tool silently degrades
+    # bench.py's sched_kernel_ratio / vs_pinned_sf1 to null (round-14
+    # advice fix).
+    carried: dict = {}
+    prev_path = os.path.join(REPO, "BASELINE_BENCH.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        for key in ("calib_sched_ref", "calib_sched_ref_note", "sf1"):
+            if key in prev:
+                carried[key] = prev[key]
 
     calib_r10 = float(r10["calib_sec"])
     cb, ca = float(now["calib_sec"]), float(now["calib_sec_after"])
@@ -75,6 +88,7 @@ def main() -> None:
         "queries": dict(sorted(queries.items())),
         "provenance": dict(sorted(provenance.items())),
     }
+    out.update(carried)
     path = os.path.join(REPO, "BASELINE_BENCH.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

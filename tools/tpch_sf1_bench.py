@@ -1,6 +1,7 @@
 """TPC-H throughput at dbgen SF1 (6M-row lineitem) on local[32].
 
-    PYTHONPATH=/root/repo python tools/tpch_sf1_bench.py [sf]
+    PYTHONPATH=/root/repo python tools/tpch_sf1_bench.py [sf] [--verify]
+    PYTHONPATH=/root/repo python tools/tpch_sf1_bench.py --pin
 
 Runs the reference's own query files (tests/sql/tpch/q{N}.sql, public
 SQL text read at run time) verbatim over the dbgen-faithful parquet
@@ -9,6 +10,15 @@ markdown table (best of 2) plus the total — the scale evidence row
 for SCALE.md.  This is the same corpus + SQL the correctness test
 (tests/test_tpch_dbgen.py) hash-checks against DuckDB; this tool only
 times it.
+
+--pin (VERDICT r13 item 1) records the COMPUTE-BOUND envelope the
+sf0.1 headline cannot provide (every sf0.1 TPC-H query is sub-second
+dispatch noise there): median-of-3 per query at SF1, bracketed by the
+single-stream + scheduling calibration kernels, written as the `sf1`
+block of BASELINE_BENCH.json.  bench.py emits `vs_pinned_sf1` when a
+run sets SPARK_GRAFT_SF1=1; tools/pin_baseline.py carries the block
+through envelope regenerations.  Refuses a contended box (before/after
+kernel drift > 25%), same discipline as pin_baseline.py.
 """
 
 from __future__ import annotations
@@ -60,9 +70,125 @@ def _rows_match(got, want) -> bool:
     )
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_sf1_queries(
+    spark, samples: int = 2, stat: str = "best"
+) -> dict[str, float]:
+    """Time q1-q22 over an already-registered dbgen corpus.  Shared by
+    this tool's --pin mode and bench.py's SPARK_GRAFT_SF1 pass."""
+    import statistics
+
+    checkpoints: dict = {}
+    out: dict[str, float] = {}
+    for qn in range(1, 23):
+        stmts = statements(os.path.join(QUERY_DIR, f"q{qn}.sql"))
+        obs = []
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            for s in stmts:
+                run_spark_stmt(spark, s, checkpoints)
+            obs.append(time.perf_counter() - t0)
+        out[f"tpch_q{qn}"] = round(
+            min(obs) if stat == "best" else statistics.median(obs), 3
+        )
+    return out
+
+
+def register_sf1_views(spark, sf: float = 1.0) -> dict:
+    from risinglight_spark.sources.dbgen import generate
+
+    paths = generate(spark, f"/tmp/dbgen_sf{sf:g}", sf, reuse=True)
+    for t in TABLES:
+        spark.read.parquet(paths[t]).createOrReplaceTempView(t)
+    return paths
+
+
+def pin() -> None:
+    """Write the sf1 block of BASELINE_BENCH.json from a clean run
+    (VERDICT r13 item 1: the compute-bound envelope the sub-second
+    sf0.1 TPC-H slice cannot provide)."""
+    import json
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from risinglight_spark.session import get_spark
+
+    spark = get_spark(app_name="tpch_sf1_pin")
+    register_sf1_views(spark)
+
+    def calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.sum("h")).collect()
+        return time.perf_counter() - t0
+
+    def calib_sched() -> float:
+        t0 = time.perf_counter()
+        for _ in range(32):
+            spark.range(1_000).agg(F.sum("id")).collect()
+        return time.perf_counter() - t0
+
+    # warm: one full untimed pass (codegen compile + shuffle paths)
+    run_sf1_queries(spark, samples=1)
+    calib()
+    cb = round(statistics.median(calib() for _ in range(3)), 3)
+    calib_sched()
+    sb = round(statistics.median(calib_sched() for _ in range(3)), 3)
+    q = run_sf1_queries(spark, samples=3, stat="median")
+    ca = round(statistics.median(calib() for _ in range(3)), 3)
+    sa = round(statistics.median(calib_sched() for _ in range(3)), 3)
+    if max(cb, ca) / min(cb, ca) > 1.25:
+        sys.exit(
+            f"refusing: kernels drifted mid-run ({cb} -> {ca}); "
+            "re-run on a quiet box"
+        )
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
+    path = os.path.join(REPO, "BASELINE_BENCH.json")
+    with open(path) as f:
+        base = json.load(f)
+    base["sf1"] = {
+        "description": (
+            "Compute-bound TPC-H envelope at dbgen SF1 (6M-row "
+            "lineitem, reference q1-q22 verbatim), median-of-3 after "
+            "a full warm pass, in pin-box seconds.  bench.py emits "
+            "vs_pinned_sf1 when SPARK_GRAFT_SF1=1."
+        ),
+        "git_sha": sha,
+        "calib_ref": round((cb + ca) / 2, 3),
+        "calib_before": cb,
+        "calib_after": ca,
+        "calib_sched_ref": round((sb + sa) / 2, 3),
+        "queries": q,
+        "total": round(sum(q.values()), 3),
+    }
+    with open(path, "w") as f:
+        json.dump(base, f, indent=1)
+        f.write("\n")
+    spark.stop()
+    print(
+        f"pinned sf1 block: total {base['sf1']['total']}s, "
+        f"calib {cb}/{ca}, sched {sb}/{sa}"
+    )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     verify = "--verify" in sys.argv
+    if "--pin" in sys.argv:
+        pin()
+        return
     sf = float(args[0]) if args else 1.0
     from risinglight_spark.session import get_spark
     from risinglight_spark.sources.dbgen import generate
