@@ -939,6 +939,126 @@ def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-constrained epoch scheduling (Muennighoff et al. 2023, "Scaling
+# Data-Constrained Language Models"): repeating data has decaying value
+# per epoch.  Allocate a raw-token budget across sources by greedy
+# water-filling over (source, epoch) marginal values u_s * d^k — the
+# principled version of mix_source_weights' flat 4-epoch cap.
+EPOCH_DECAY = 0.6
+EPOCH_MAX = 8
+# per-epoch value weights as 1e6-scaled integers, computed ONCE in
+# Python and injected as literals into BOTH engines — no cross-engine
+# pow() in the plan, so the ranking key is exact integer arithmetic
+_EPOCH_W_FP = tuple(
+    round(EPOCH_DECAY**k * 1_000_000) for k in range(EPOCH_MAX)
+)
+_EPOCH_W_SQL = "[" + ", ".join(str(w) for w in _EPOCH_W_FP) + "]"
+
+
+@register(
+    "mix_epochs_schedule",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, sum({T.token_count_sql("text")})::BIGINT AS u
+      FROM documents GROUP BY source HAVING sum({T.token_count_sql("text")}) > 0
+    ),
+    b AS (SELECT (3 * sum(u)) // 2 AS budget FROM per),
+    pairs AS (
+      SELECT source, u, k0, ({_EPOCH_W_SQL})[k0 + 1]::BIGINT AS w
+      FROM per CROSS JOIN
+           (SELECT unnest(generate_series(0, {EPOCH_MAX - 1})) AS k0)
+    ),
+    ranked AS (
+      SELECT source, u, k0, w,
+             sum(u) OVER (ORDER BY u * w DESC, source, k0
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)::BIGINT AS cum
+      FROM pairs
+    ),
+    funded AS (
+      SELECT source, u, w,
+             greatest(least((SELECT budget FROM b) - (cum - u), u),
+                      0)::BIGINT AS f
+      FROM ranked
+    )
+    SELECT source,
+           max(u)::BIGINT AS unique_tokens,
+           sum(CASE WHEN f = u THEN 1 ELSE 0 END)::BIGINT AS epochs_full,
+           round(sum(CASE WHEN f > 0 AND f < u THEN f ELSE 0 END)::DOUBLE
+                 / max(u), 10) AS frac_epoch,
+           sum(f)::BIGINT AS raw_alloc,
+           round(sum(f * w)::DOUBLE / 1000000.0, 4) AS effective_tokens
+    FROM funded GROUP BY source
+    """,
+    doc=f"Data-constrained epoch schedule (Muennighoff et al. 2023): "
+    f"the k-th epoch of a source is worth u_s * {EPOCH_DECAY}^k "
+    f"effective tokens (weights pinned as 1e6-scaled integer literals, "
+    f"epochs 0..{EPOCH_MAX - 1}); a raw-token budget of 1.5x the "
+    "corpus is spent greedily on the globally highest-marginal-value "
+    "(source, epoch) pairs — water-filling, with the boundary epoch "
+    "funded fractionally (budget - prefix, exact integer).  Emits "
+    "full/fractional epochs, raw allocation, and effective tokens per "
+    "source.  Everything after the per-source token rollup (one "
+    "map-side-combined aggregate) runs on |sources| x "
+    f"{EPOCH_MAX} rows — bounded metadata, the documented-safe global-"
+    "window input class; ranking key u*w and funded amounts are pure "
+    "int64, so both engines agree bit-exactly.  The corpus-total "
+    "collect is a 1-row metadata read (the text_unigram_logprob "
+    "pattern).  The principled upgrade of mix_source_weights' flat "
+    "4-epoch cap; composes with mix_doremi_weight_update (quality-"
+    "aware weights) and sample_token_budget (the doc-level fill).",
+)
+def mix_epochs_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per = (
+        t.documents.groupBy("source")
+        .agg(F.sum(T.token_count(F.col("text"))).alias("u"))
+        .filter(F.col("u") > 0)
+    )
+    # 1-row metadata collect: the budget must be an exact integer
+    # literal shared with the oracle's (3*total)//2
+    total = per.agg(F.sum("u")).collect()[0][0] or 0
+    budget = (3 * int(total)) // 2
+    w_arr = F.array(*[F.lit(int(w)).cast("long") for w in _EPOCH_W_FP])
+    pairs = per.select(
+        "source", "u", F.posexplode(w_arr).alias("k0", "w")
+    )
+    marg = F.col("u") * F.col("w")
+    win = Window.orderBy(F.desc(marg), "source", "k0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pairs.withColumn("cum", F.sum("u").over(win))
+    funded = ranked.select(
+        "source",
+        "u",
+        "w",
+        F.greatest(
+            F.least(F.lit(budget) - (F.col("cum") - F.col("u")), F.col("u")),
+            F.lit(0).cast("long"),
+        ).alias("f"),
+    )
+    return funded.groupBy("source").agg(
+        F.max("u").alias("unique_tokens"),
+        F.sum(
+            F.when(F.col("f") == F.col("u"), 1).otherwise(0)
+        ).cast("long").alias("epochs_full"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("f") > 0) & (F.col("f") < F.col("u")),
+                    F.col("f"),
+                ).otherwise(0)
+            ).cast("double")
+            / F.max("u"),
+            10,
+        ).alias("frac_epoch"),
+        F.sum("f").alias("raw_alloc"),
+        F.round(
+            F.sum(F.col("f") * F.col("w")).cast("double") / 1e6, 4
+        ).alias("effective_tokens"),
+    )
+
+
 # -- deterministic training order -------------------------------------------
 
 ORDER_MULT = 2_654_435_761  # Knuth multiplicative hash (fits in int64 math)

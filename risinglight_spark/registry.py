@@ -805,9 +805,14 @@ _R12_GATE: tuple[str, ...] = (
 # content-identical unigram-LM assets under the single cache kind
 # 'unigram_lm_freq' (shared _unigram_freq_cached helper) — plan
 # semantics unchanged, but both operators' code moved, so both are
-# re-fronted.
+# re-fronted.  mix_epochs_schedule: NEW (registry 314) — data-
+# constrained repeat-epoch budget allocation (Muennighoff et al. 2023
+# water-filling over decayed per-epoch value), the principled upgrade
+# of mix_source_weights' flat 4-epoch cap; oracle-green at sf0.001/
+# 0.01/0.1 (pure-integer ranking key, no cross-engine pow()).
 _R14_RECHECK: tuple[str, ...] = (
     "dedup_span_removal",
+    "mix_epochs_schedule",
     "mix_doremi_weight_update",
     "text_unigram_logprob",
 )
@@ -817,10 +822,10 @@ _R14_RECHECK: tuple[str, ...] = (
 # NOW) followed by the 35 oldest round-7 rows (alphabetical within
 # round — the same total order every rotation has used; computed by
 # unioning CORRECTNESS_r1..r13, latest hash-green round per entry).
-# With the 3-entry recheck block above, the bounded 50-slot gate keeps
-# the first 47 of the 50 names below; the last 3 — setop_intersect,
-# setop_intersect_all, setop_union_all — slip to the head of the
-# round-15 rotation alongside the 13 remaining r7 rows
+# With the 4-entry recheck block above, the bounded 50-slot gate keeps
+# the first 46 of the 50 names below; the last 4 — setop_except_all,
+# setop_intersect, setop_intersect_all, setop_union_all — slip to the
+# head of the round-15 rotation alongside the 13 remaining r7 rows
 # (setop_union_distinct, the subquery_* family, the window_* frame
 # family), the same explicitly-tracked displacement discipline as
 # r11/r12/r13.
