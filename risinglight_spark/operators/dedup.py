@@ -1700,25 +1700,33 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text (tokens of the normalized text re-joined) plus "
     "tokens/chars-removed accounting.  Scale shape: reuses the "
     "memoized >1-occurrence gram index (ngram_dup_index — singleton "
-    "mass never reaches a join), the keep-first rank shuffles ONLY "
-    "duplicated-gram occurrences keyed on the gram hash (8-byte "
-    "hashes, never text), the per-doc removal sets are a doc-keyed "
+    "mass never reaches a join), keep-first is a min(struct) "
+    "AGGREGATE over ONLY duplicated-gram occurrences keyed on the "
+    "gram hash (map-side combinable, so hot boilerplate grams reduce "
+    "in place — no per-gram window task; 8-byte hashes shuffle, "
+    "never text), the per-doc removal sets are a doc-keyed "
     "rollup of those occurrences, and the edit itself is stateless "
     "in-plan array surgery (filter-by-position + array_join) on the "
     "corpus scan — no token-stream shuffle, no Python in the edit "
     "path.  ref (signal): dedup_duplicate_ngram_spans above.",
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     t = Tables(spark, sf_dir)
     dup_index = _ngram_dup_index(spark, sf_dir)
 
     occ = _gram_stream(t).join(dup_index.select("gh"), "gh")
-    w = Window.partitionBy("gh").orderBy("doc_id", "p")
-    flagged = (
-        occ.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
+    # keep-first = min (doc_id, p) per gram, as an AGGREGATE rather
+    # than a row_number window: min(struct) combines map-side, so a
+    # mega-hot boilerplate gram (1e9 occurrences at corpus scale)
+    # reduces within partitions instead of funneling through one
+    # window task — and the residual gh-keyed join is AQE-skew-split
+    # territory, which windows are not.
+    firsts = occ.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "p")).alias("f")
+    )
+    flagged = occ.join(firsts, "gh").filter(
+        (F.col("doc_id") != F.col("f.doc_id"))
+        | (F.col("p") != F.col("f.p"))
     )
     # per-doc removal set: merged 1-based token positions of every
     # flagged span (gram p covers tokens p..p+SPAN_N-1)

@@ -644,9 +644,11 @@ def test_span_removal_edit_pass_is_in_plan(spark, sf_dir):
     # The span EDIT itself (filter-by-position + array_join) must be
     # pure in-plan expression on the corpus scan: no Python stage after
     # the Arrow gram-hashing stage, no token-stream shuffle (every
-    # Exchange is keyed on ids/hashes, never text), no cartesian.  The
-    # keep-first window shuffles only duplicated-gram occurrences
-    # keyed on gh.
+    # Exchange is keyed on ids/hashes, never text), no cartesian.
+    # Keep-first must be a min(struct) AGGREGATE (map-side combinable,
+    # hot-gram-safe), NEVER a per-gram window — a row_number window
+    # partitioned by gh would funnel a mega-hot boilerplate gram
+    # through one task, and AQE skew-split does not cover windows.
     import re
 
     plan = _plan(spark, sf_dir, "dedup_span_removal")
@@ -657,9 +659,9 @@ def test_span_removal_edit_pass_is_in_plan(spark, sf_dir):
         assert "text" not in k and "tok" not in k and "nt" not in k, k
     # the final edit Project is expression-only: array filter+join
     assert "array_join" in plan
-    # exactly one window (keep-first rank), partitioned by gram hash
-    assert plan.count("Window") >= 1
-    assert re.search(r"windowspecdefinition\(gh#\d+L", plan), plan[:2000]
+    # keep-first is the min(struct) aggregate, not a window
+    assert "Window" not in plan, plan[:2000]
+    assert re.search(r"partial_min\(struct\(", plan), plan[:3000]
 
 
 def test_scd2_single_exchange(spark, sf_dir):
