@@ -93,6 +93,8 @@ HEADLINE_EXTRA = (
     "ann_ivf_incremental_upsert",
     "ann_range_search_ivf",
     "mix_doremi_weight_update",
+    "dedup_span_removal",
+    "mix_epochs_schedule",
     # NOT in the headline: dedup_multi_signal / dedup_connected_components
     # are iterative (O(diameter) rounds of materialized label joins) —
     # correct but not a throughput-representative single-pass query.
