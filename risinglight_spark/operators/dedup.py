@@ -1714,35 +1714,46 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     dup_index = _ngram_dup_index(spark, sf_dir)
 
-    occ = _gram_stream(t).join(dup_index.select("gh"), "gh")
-    # keep-first = min (doc_id, p) per gram, as an AGGREGATE rather
-    # than a row_number window: min(struct) combines map-side, so a
-    # mega-hot boilerplate gram (1e9 occurrences at corpus scale)
-    # reduces within partitions instead of funneling through one
-    # window task — and the residual gh-keyed join is AQE-skew-split
-    # territory, which windows are not.
-    firsts = occ.groupBy("gh").agg(
-        F.min(F.struct("doc_id", "p")).alias("f")
-    )
-    flagged = occ.join(firsts, "gh").filter(
-        (F.col("doc_id") != F.col("f.doc_id"))
-        | (F.col("p") != F.col("f.p"))
-    )
-    # per-doc removal set: merged 1-based token positions of every
-    # flagged span (gram p covers tokens p..p+SPAN_N-1)
-    rem = flagged.groupBy("doc_id").agg(
-        F.array_sort(
-            F.array_distinct(
-                F.flatten(
-                    F.collect_list(
-                        F.sequence(
-                            F.col("p").cast("long"),
-                            (F.col("p") + SPAN_N - 1).cast("long"),
+    def mine_removal_sets() -> DataFrame:
+        occ = _gram_stream(t).join(dup_index.select("gh"), "gh")
+        # keep-first = min (doc_id, p) per gram, as an AGGREGATE
+        # rather than a row_number window: min(struct) combines
+        # map-side, so a mega-hot boilerplate gram (1e9 occurrences at
+        # corpus scale) reduces within partitions instead of funneling
+        # through one window task — and the residual gh-keyed join is
+        # AQE-skew-split territory, which windows are not.
+        firsts = occ.groupBy("gh").agg(
+            F.min(F.struct("doc_id", "p")).alias("f")
+        )
+        flagged = occ.join(firsts, "gh").filter(
+            (F.col("doc_id") != F.col("f.doc_id"))
+            | (F.col("p") != F.col("f.p"))
+        )
+        # per-doc removal set: merged 1-based token positions of every
+        # flagged span (gram p covers tokens p..p+SPAN_N-1)
+        return flagged.groupBy("doc_id").agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(
+                                F.col("p").cast("long"),
+                                (F.col("p") + SPAN_N - 1).cast("long"),
+                            )
                         )
                     )
                 )
-            )
-        ).alias("rem_pos")
+            ).alias("rem_pos")
+        )
+
+    # The EDIT LIST (doc_id -> merged removal positions) is the mined
+    # asset, memoized like semdedup_dropped: rows only for docs with
+    # >=1 flagged span, arrays bounded by doc length.  Steady state
+    # pays one tokenize pass + the doc-keyed join; the gram pass,
+    # keep-first aggregate, and span rollup amortize to once per
+    # (corpus, session).
+    rem = _cached_persisted(
+        spark, sf_dir, "span_removal_rem", mine_removal_sets
     )
     nt = T.normalized_text(F.col("text"))
     base = t.documents.select(
