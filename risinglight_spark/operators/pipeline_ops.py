@@ -1009,11 +1009,18 @@ _EPOCH_W_SQL = "[" + ", ".join(str(w) for w in _EPOCH_W_FP) + "]"
     "aware weights) and sample_token_budget (the doc-level fill).",
 )
 def mix_epochs_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from risinglight_spark.operators import _cached_persisted
+
     t = Tables(spark, sf_dir)
-    per = (
-        t.documents.groupBy("source")
+    # the |sources|-row token rollup is the only corpus-touching stage;
+    # memoized, so repeat calls run entirely on K-row metadata
+    per = _cached_persisted(
+        spark,
+        sf_dir,
+        "source_token_counts",
+        lambda: t.documents.groupBy("source")
         .agg(F.sum(T.token_count(F.col("text"))).alias("u"))
-        .filter(F.col("u") > 0)
+        .filter(F.col("u") > 0),
     )
     # 1-row metadata collect: the budget must be an exact integer
     # literal shared with the oracle's (3*total)//2
