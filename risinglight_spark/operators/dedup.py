@@ -1748,10 +1748,17 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The EDIT LIST (doc_id -> merged removal positions) is the mined
     # asset, memoized like semdedup_dropped: rows only for docs with
-    # >=1 flagged span, arrays bounded by doc length.  Steady state
-    # pays one tokenize pass + the doc-keyed join; the gram pass,
-    # keep-first aggregate, and span rollup amortize to once per
-    # (corpus, session).
+    # >=1 flagged span, arrays bounded by doc length (array_distinct
+    # caps per-doc positions at n_tokens).  Worst case — an entirely
+    # duplicated corpus — the list approaches 8 bytes x corpus token
+    # count; persist() spills to disk locally, and at cluster scale
+    # this is a materialized PARTITIONED table (the
+    # dedup_minhash_index_materialized pattern: the edit list IS the
+    # mining stage's product), never executor memory.  On real corpora
+    # the flagged fraction is a few percent and the asset is small.
+    # Steady state pays one tokenize pass + the doc-keyed join; the
+    # gram pass, keep-first aggregate, and span rollup amortize to
+    # once per (corpus, session).
     rem = _cached_persisted(
         spark, sf_dir, "span_removal_rem", mine_removal_sets
     )
