@@ -1490,3 +1490,65 @@ def test_window_dialect_differential(fuzz_env):
             + " FROM fz"
         )
         _run_both_vec(fuzz_env, eng, duck)
+
+
+# ---------------------------------------------------------------------------
+# shape 22: GROUPING SETS / ROLLUP / CUBE compositions (round 14).
+# agg_grouping_sets / agg_rollup / agg_cube / agg_grouping_id verify
+# one handwritten query each; this samples the composition space —
+# random grouping-set lattices over nullable keys (the classic
+# NULL-group-key vs rollup-NULL ambiguity, disambiguated by emitting
+# grouping(<col>) markers), mixed aggregate lists, HAVING over
+# aggregates.  Integer aggregates only (exact on both engines);
+# identical ANSI SQL runs on both sides via the dialect path.
+# ---------------------------------------------------------------------------
+
+
+def _gs_aggs(rng: random.Random) -> list[str]:
+    pool = [
+        lambda: f"CAST(sum({int_expr(rng)}) AS BIGINT)",
+        lambda: "CAST(count(*) AS BIGINT)",
+        lambda: f"CAST(min({int_expr(rng)}) AS BIGINT)",
+        lambda: f"CAST(max({int_expr(rng)}) AS BIGINT)",
+        lambda: "CAST(count(DISTINCT i2) AS BIGINT)",
+    ]
+    n = rng.randint(1, 3)
+    return [rng.sample(pool, 1)[0]() for _ in range(n)]
+
+
+def test_grouping_sets_differential(fuzz_env):
+    """Shape 22: grouping-set lattice compositions."""
+    rng = random.Random(SEED + 22)
+    for _ in range(N_PER_SHAPE):
+        cols = rng.sample(["g", "i2", "s1"], rng.randint(1, 2))
+        mode = rng.randrange(3)
+        if mode == 0:
+            # random subset lattice, always including the full set so
+            # every selected column is grouped somewhere
+            subsets = [tuple(cols)]
+            for _ in range(rng.randint(1, 2)):
+                k = rng.randint(0, len(cols))
+                subsets.append(tuple(rng.sample(cols, k)))
+            uniq = sorted(set(subsets), key=lambda s: (-len(s), s))
+            spec = "GROUPING SETS (" + ", ".join(
+                "(" + ", ".join(s) + ")" for s in uniq
+            ) + ")"
+        elif mode == 1:
+            spec = f"ROLLUP({', '.join(cols)})"
+        else:
+            spec = f"CUBE({', '.join(cols)})"
+        aggs = _gs_aggs(rng)
+        items = (
+            cols
+            + [f"CAST(grouping({c}) AS INT) AS gr_{c}" for c in cols]
+            + [f"({a}) AS a{i}" for i, a in enumerate(aggs)]
+        )
+        having = ""
+        if rng.random() < 0.3:
+            having = f" HAVING CAST(count(*) AS BIGINT) > {rng.randint(0, 8)}"
+        sql = (
+            "SELECT "
+            + ", ".join(items)
+            + f" FROM fz GROUP BY {spec}{having}"
+        )
+        _run_both(fuzz_env, sql)
