@@ -810,11 +810,16 @@ _R12_GATE: tuple[str, ...] = (
 # water-filling over decayed per-epoch value), the principled upgrade
 # of mix_source_weights' flat 4-epoch cap; oracle-green at sf0.001/
 # 0.01/0.1 (pure-integer ranking key, no cross-engine pow()).
+# ml_naive_bayes_langid: the collapsed feature bag became a memoized
+# asset (was a PER-CALL lazy local checkpoint — the scratch-write
+# class; steady state 1.47 -> 0.81 s, zero corpus scans on repeat
+# calls) — rewritten, so re-fronted.
 _R14_RECHECK: tuple[str, ...] = (
     "dedup_span_removal",
     "mix_epochs_schedule",
     "mix_doremi_weight_update",
     "text_unigram_logprob",
+    "ml_naive_bayes_langid",
 )
 
 # Round-14 staleness rotation (VERDICT r13 item 3): the 15 entries
@@ -822,9 +827,10 @@ _R14_RECHECK: tuple[str, ...] = (
 # NOW) followed by the 35 oldest round-7 rows (alphabetical within
 # round — the same total order every rotation has used; computed by
 # unioning CORRECTNESS_r1..r13, latest hash-green round per entry).
-# With the 4-entry recheck block above, the bounded 50-slot gate keeps
-# the first 46 of the 50 names below; the last 4 — setop_except_all,
-# setop_intersect, setop_intersect_all, setop_union_all — slip to the
+# With the 5-entry recheck block above, the bounded 50-slot gate keeps
+# the first 45 of the 50 names below; the last 5 — setop_except,
+# setop_except_all, setop_intersect, setop_intersect_all,
+# setop_union_all — slip to the
 # head of the round-15 rotation alongside the 13 remaining r7 rows
 # (setop_union_distinct, the subquery_* family, the window_* frame
 # family), the same explicitly-tracked displacement discipline as

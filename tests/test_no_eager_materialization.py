@@ -45,7 +45,7 @@ REVIEWED_SITES = {
     "operators/dedup.py": 2,
     "operators/events_ops.py": 3,
     "operators/joins.py": 1,
-    "operators/pipeline_ops.py": 19,
+    "operators/pipeline_ops.py": 18,
     "operators/text_analysis.py": 12,
     "operators/vector_search.py": 11,
     "streaming/ops.py": 1,
