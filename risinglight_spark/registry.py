@@ -796,6 +796,78 @@ _R12_GATE: tuple[str, ...] = (
 # collect() dedupes via dict first-occurrence).  dict.fromkeys makes a
 # duplicate structurally impossible, so the 50-slot gate boundary can
 # never silently shift again.
+# Round-15 recheck (standing provenance invariant: any rewrite or new
+# entry is fronted into the SAME round's gate).  Populated as round-15
+# rewrites land; empty means no operator code moved this round (the
+# dedup_minhash_lsh r14 bench drift was adjudicated with untouched-code
+# controls — see SCALE.md round-15 — so no rewrite was warranted).
+_R15_RECHECK: tuple[str, ...] = ()
+
+# Round-15 staleness rotation (VERDICT r14 item 3): the 5 setop rows
+# displaced from the bounded r14 gate (documented below at _R14_GATE)
+# first, then the 13 remaining round-7 rows (the subquery_* family, the
+# window_* frame family, setop_union_distinct — at the ≤8-round policy
+# edge NOW), then all 18 round-8 rows (DDL/copy/catalog/streaming
+# built-ins — the r8 cohort in full), then the 14 oldest round-9 rows
+# (alphabetical within round — the same total order every rotation has
+# used; computed by unioning CORRECTNESS_r1..r14, latest hash-green
+# round per entry).  5 + 13 + 18 + 14 = 50: with the recheck block
+# empty, the bounded 50-slot gate takes every name below and nothing
+# slips; after this gate runs, no registry entry's latest driver row is
+# older than round 9.
+_R15_GATE: tuple[str, ...] = (
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "subquery_correlated_scalar",
+    "subquery_cte",
+    "subquery_exists_correlated",
+    "subquery_in_select",
+    "subquery_not_exists",
+    "subquery_scalar",
+    "subquery_scalar_in_select",
+    "window_ntile",
+    "window_percent_rank_cume",
+    "window_range_frame",
+    "window_rows_sliding_frame",
+    "window_value_functions",
+    "agg_count_min_sketch",
+    "analyze_query_stats",
+    "catalog_pg_attribute",
+    "catalog_pg_tables",
+    "copy_parquet_codecs",
+    "copy_partitioned_parquet",
+    "copy_roundtrip_csv",
+    "copy_roundtrip_json",
+    "copy_roundtrip_orc",
+    "ddl_create_index",
+    "ddl_create_insert_delete",
+    "ddl_create_view",
+    "ddl_sql_udf",
+    "explain_plan_props",
+    "pragma_session_vars",
+    "source_tbl_roundtrip",
+    "streaming_dedup_keys",
+    "streaming_tumbling_counts",
+    "agg_weighted_median",
+    "dedup_containment",
+    "events_anomaly_zscore",
+    "events_asof_nearest",
+    "events_ewma_user",
+    "events_funnel",
+    "events_hourly_gapfill",
+    "events_json_props",
+    "events_ohlc_bars",
+    "events_retention_cohorts",
+    "events_sliding_window",
+    "events_time_rollup",
+    "events_user_daily",
+    "events_windowed_topk",
+)
+
 # Round-14 recheck (standing provenance invariant: any rewrite or new
 # entry is fronted into the SAME round's gate).  dedup_span_removal:
 # NEW (registry 313) — span REMOVAL on the corpus-repeated ngram
@@ -891,6 +963,8 @@ _R14_GATE: tuple[str, ...] = (
 _PRIORITY: tuple[str, ...] = tuple(
     dict.fromkeys(
         (
+            *_R15_RECHECK,
+            *_R15_GATE,
             *_R14_RECHECK,
             *_R14_GATE,
             *_R13_RECHECK,

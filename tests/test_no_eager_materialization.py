@@ -24,6 +24,14 @@ answer before bumping:
 Counts audited this round (r14): every existing site is one of the
 two allowed shapes (the r13 judge re-verified all 28 operator sites
 individually; r14 adds mix_epochs_schedule's 1-row corpus-total read).
+
+r15 (ADVICE r14): the pattern is anchored to CALL syntax —
+``\.(collect|toPandas|localCheckpoint)\s*\(`` — so prose mentions in
+comments/docstrings (e.g. "localCheckpointed per call" in a fix note)
+no longer count as sites and a comment-only edit can't flip the guard.
+The 7 count deltas vs the r14 inventory (pipeline_ops 18->16,
+text_analysis 12->7) are exactly the prose mentions the old pattern
+over-counted; the set of real call sites is unchanged.
 """
 
 from __future__ import annotations
@@ -36,7 +44,7 @@ OPERATORS = os.path.join(
     "risinglight_spark",
 )
 
-_PATTERN = re.compile(r"\.collect\(\)|\.toPandas\(\)|localCheckpoint")
+_PATTERN = re.compile(r"\.(collect|toPandas|localCheckpoint)\s*\(")
 
 # (path relative to risinglight_spark/, reviewed site count)
 REVIEWED_SITES = {
@@ -45,8 +53,8 @@ REVIEWED_SITES = {
     "operators/dedup.py": 2,
     "operators/events_ops.py": 3,
     "operators/joins.py": 1,
-    "operators/pipeline_ops.py": 18,
-    "operators/text_analysis.py": 12,
+    "operators/pipeline_ops.py": 16,
+    "operators/text_analysis.py": 7,
     "operators/vector_search.py": 11,
     "streaming/ops.py": 1,
 }

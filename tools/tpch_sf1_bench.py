@@ -141,9 +141,20 @@ def pin() -> None:
     q = run_sf1_queries(spark, samples=3, stat="median")
     ca = round(statistics.median(calib() for _ in range(3)), 3)
     sa = round(statistics.median(calib_sched() for _ in range(3)), 3)
+    # BOTH kernels gate the pin (ADVICE r14: the docstring said
+    # "kernels" plural but only the single-stream pair was checked,
+    # and the r14 adjudications saw mid-run sched swings the compute
+    # kernel never predicted).  Sub-second queries in the block live
+    # in the scheduling regime, so a sched-drifted pin would bake
+    # contaminated numbers into exactly the rows that track it.
     if max(cb, ca) / min(cb, ca) > 1.25:
         sys.exit(
-            f"refusing: kernels drifted mid-run ({cb} -> {ca}); "
+            f"refusing: compute kernel drifted mid-run ({cb} -> {ca}); "
+            "re-run on a quiet box"
+        )
+    if max(sb, sa) / min(sb, sa) > 1.25:
+        sys.exit(
+            f"refusing: scheduling kernel drifted mid-run ({sb} -> {sa}); "
             "re-run on a quiet box"
         )
     try:
