@@ -1552,3 +1552,158 @@ def test_grouping_sets_differential(fuzz_env):
             + f" FROM fz GROUP BY {spec}{having}"
         )
         _run_both(fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# shape 23: correlated subqueries + LATERAL through the DIALECT path
+# (round 15, VERDICT r14 item 6).  The subquery_* registry entries and
+# shape 7 cover the Spark-NATIVE subquery path; the dialect/shell route
+# (sql.dialect.rewrite_query -> spark.sql -> Catalyst decorrelation,
+# the analog of reference rules/plan.rs:205-280's apply-pushdown) was
+# exercised by only 6 static entries.  This shape samples correlated
+# compositions: scalar aggregates in SELECT and WHERE, EXISTS / NOT
+# EXISTS with non-equi correlation, IN / NOT IN (3VL over nullable
+# inner draws), and LATERAL derived tables (aggregate body — exactly
+# one row per outer row on both engines).
+#
+# Grammar guards, same discipline as every shape: integer aggregates
+# only (no FP association drift); sum/min/max — never count(*) — in
+# correlated SCALAR position (empty correlation group yields NULL on
+# both engines; count's 0-vs-NULL is the classic decorrelation trap
+# and Spark's rewrite handles it, but the 0 row would then hinge on
+# engine-specific outer-join fill semantics the handwritten oracles
+# already pin); unqualified inner references resolve inner-first on
+# both engines (ANSI scoping).
+# ---------------------------------------------------------------------------
+
+
+def _corr_agg(rng: random.Random) -> str:
+    fn = rng.choice(["sum", "min", "max"])
+    return f"CAST({fn}({int_expr(rng)}) AS BIGINT)"
+
+
+def _corr_pred(rng: random.Random) -> str:
+    """Correlated inner predicate: the b.g = a.g anchor (Spark requires
+    an equality for scalar-subquery decorrelation) plus optionally a
+    non-equi outer/inner comparison and an inner-only residual.
+
+    The outer operand of the non-equi comparison is NON-NULL (a.g /
+    a.rid) — the second pinned ORACLE divergence this shape found
+    (2k-soak, first at iteration ~45): with a NULLABLE outer operand,
+    DuckDB 1.0.0's correlated-EXISTS decorrelation treats the
+    NULL-valued comparison as a MATCH (repro:
+      o(g,x): (1,NULL); t(g,i): (1,5);
+      SELECT * FROM o a WHERE EXISTS (SELECT 1 FROM t b
+        WHERE b.g = a.g AND b.i <> a.x)
+    returns the (1,NULL) row; ANSI: b.i <> NULL is NULL for every b,
+    EXISTS is FALSE — Spark agrees with ANSI).  Inner-side NULLs
+    (b.i1) take the same comparison path correctly on both engines
+    and stay in the grammar."""
+    parts = ["b.g = a.g"]
+    if rng.random() < 0.5:
+        op = rng.choice(["<", "<=", ">", ">=", "<>"])
+        outer = rng.choice(["a.g", "(a.rid % 7)"])
+        parts.append(f"b.i1 {op} {outer}")
+    if rng.random() < 0.4:
+        parts.append(f"({bool_expr(rng, 1)})")
+    return " AND ".join(parts)
+
+
+def test_correlated_subquery_dialect_differential(fuzz_env):
+    """Shape 23: correlated subquery + LATERAL compositions through
+    the dialect executor."""
+    rng = random.Random(SEED + 23)
+    for _ in range(N_PER_SHAPE):
+        mode = rng.randrange(6)
+        if mode == 0:
+            # correlated scalar aggregate in SELECT
+            sql = (
+                f"SELECT a.rid, CAST(a.i1 AS BIGINT) AS c0, "
+                f"(SELECT {_corr_agg(rng)} FROM fz b "
+                f"WHERE {_corr_pred(rng)}) AS c1 "
+                f"FROM fz a WHERE {bool_expr(rng)}"
+            )
+        elif mode == 1:
+            # correlated scalar aggregate in WHERE comparison (NULL
+            # scalar fails the comparison on both engines)
+            op = rng.choice(["<", "<=", ">", ">="])
+            sql = (
+                f"SELECT a.rid, CAST(a.i2 AS BIGINT) AS c0 FROM fz a "
+                f"WHERE a.i1 {op} (SELECT {_corr_agg(rng)} FROM fz b "
+                f"WHERE {_corr_pred(rng)})"
+            )
+        elif mode == 2:
+            # EXISTS / NOT EXISTS with non-equi correlation
+            neg = rng.choice(["", "NOT "])
+            sql = (
+                f"SELECT a.rid, CAST(a.g AS BIGINT) AS c0 FROM fz a "
+                f"WHERE {neg}EXISTS (SELECT 1 FROM fz b "
+                f"WHERE {_corr_pred(rng)})"
+            )
+        elif mode == 3:
+            # correlated IN / NOT IN.  The inner projection is NULL-
+            # stripped — pinned ORACLE divergence, found by this
+            # shape's first run at N=40: DuckDB 1.0.0's correlated-IN
+            # decorrelation matches NULL = NULL (repro:
+            #   o(g,x): (1,NULL); t(g,i): (1,5),(1,NULL);
+            #   SELECT * FROM o a WHERE a.x IN
+            #     (SELECT i FROM t b WHERE b.g = a.g)
+            # returns the (1,NULL) row), while its own UNCORRELATED
+            # IN and Spark both yield ANSI NULL -> row filtered.  With
+            # a null-free inner set, both engines agree on the full
+            # 3VL: NULL probe -> NULL (filtered), empty group ->
+            # FALSE, and the NOT IN variants (verified including
+            # NULL-in-inner, where both engines filter everything).
+            neg = rng.choice(["", "NOT "])
+            inner = rng.choice(["b.i2", "b.i1", f"({int_expr(rng)})"])
+            sql = (
+                f"SELECT a.rid, CAST(a.i1 AS BIGINT) AS c0 FROM fz a "
+                f"WHERE a.i2 {neg}IN (SELECT {inner} FROM fz b "
+                f"WHERE b.g = a.g AND ({inner}) IS NOT NULL)"
+            )
+        elif mode == 4:
+            # LATERAL derived table, aggregate body (exactly one row
+            # per outer row), optionally consumed in the outer WHERE.
+            # Tandem-rendered (the shape-21 pattern) — third pinned
+            # ORACLE divergence this shape found: an ungrouped
+            # aggregate subquery is one row even over empty input
+            # (max -> NULL), so ANSI comma-LATERAL keeps every outer
+            # row; Spark does, DuckDB 1.0.0's comma-LATERAL drops
+            # outer rows whose correlated group is empty (repro:
+            #   o(g): (1),(2); t(g,i): (1,5);
+            #   SELECT a.g, l.m FROM o a, LATERAL (SELECT max(b.i)
+            #     AS m FROM t b WHERE b.g = a.g) l
+            # loses the g=2 row).  DuckDB's LEFT JOIN LATERAL .. ON
+            # TRUE restores the ANSI result, so the duck side renders
+            # that — identical output by construction.
+            m1, m2 = _corr_agg(rng), _corr_agg(rng)
+            body = (
+                f"LATERAL (SELECT {m1} AS m1, {m2} AS m2 FROM fz b "
+                f"WHERE {_corr_pred(rng)}) l"
+            )
+            tail = ""
+            if rng.random() < 0.4:
+                tail = f" WHERE l.m1 IS NOT NULL AND l.m1 > {rng.randint(-9, 9)}"
+            eng = f"SELECT a.rid, l.m1, l.m2 FROM fz a, {body}{tail}"
+            duck_sql = (
+                f"SELECT a.rid, l.m1, l.m2 FROM fz a "
+                f"LEFT JOIN {body} ON TRUE{tail}"
+            )
+            _run_both_vec(fuzz_env, eng, duck_sql)
+            continue
+        else:
+            # nested composition: EXISTS whose inner predicate holds a
+            # correlated scalar one level down.  The innermost
+            # correlates to the MIDDLE scope (c.g = b.g), not the
+            # outermost: Spark's analyzer rejects outer references
+            # that skip a nesting level (one-level correlation only —
+            # the same restriction the reference's apply-pushdown has,
+            # rules/plan.rs:205-280), and c.g = b.g = a.g makes the
+            # result identical anyway.
+            sql = (
+                f"SELECT a.rid FROM fz a "
+                f"WHERE EXISTS (SELECT 1 FROM fz b WHERE b.g = a.g "
+                f"AND b.i1 <= (SELECT CAST(max(c.i1) AS BIGINT) FROM fz c "
+                f"WHERE c.g = b.g))"
+            )
+        _run_both_vec(fuzz_env, sql, sql)

@@ -1,0 +1,275 @@
+"""Pinned compute-bound envelope for the heaviest PIPELINE entries
+(VERDICT r14 item 2 — the non-TPC-H analog of tools/tpch_sf1_bench.py).
+
+    PYTHONPATH=/root/repo python tools/pipeline_scale_bench.py          # timed table
+    PYTHONPATH=/root/repo python tools/pipeline_scale_bench.py --pin    # write envelope
+
+The sf0.1 pins for the heavy pipeline entries (dedup_minhash_lsh,
+dedup_semdedup, span removal, the events flagships, the fuzzy join)
+all sit in the 1-2 s band, where BASELINE.md documents +/-70% pure
+dispatch noise — every past "regression" on them adjudicated to box
+drift.  This tool times the same entries at a corpus scale where each
+runs ~5-30 s (compute-bound: wall tracks shuffled bytes and Arrow
+batch throughput, not job-dispatch latency), bracketed by the same
+dual calibration kernels as the SF1 pinner, and --pin writes the
+result as the `pipeline_scale` block of BASELINE_BENCH.json.  bench.py
+emits `vs_pinned_pipeline_scale` against it each round (opt out with
+SPARK_GRAFT_PIPELINE_SCALE=0).
+
+Corpus (deterministic, reused across rounds at /tmp/pipeline_bench_scale;
+every value an xxhash64 expression of ids — a wiped /tmp rebuilds the
+byte-identical corpus on the next run):
+
+* documents + embeddings: tools/pipeline_scale_probe.build_corpus at
+  480k docs / 129.6k vecs — the probe's known-duplicate-structure
+  generator (1/3 originals, 1/3 exact copies, 1/3 near-dups; embedding
+  classes split tight/scattered around cell centers) at ~1/4 of the
+  probe's 1x, putting semdedup near the top of the 5-30 s band.
+  Duplicate counts grow LINEARLY in corpus size by construction (the
+  scale_probe replicas were rejected for this role: identical-text
+  replication grows candidate pairs O(R^2), a property of the synthetic
+  corpus rather than the operator).
+* events, customer: 16x the sf0.1 fixtures with BOTH the primary key
+  and the grouping key shifted per replica (event_id + user_id,
+  c_custkey) — more users with the same per-user trace length, so
+  sessionization/islands work grows linearly and no synthetic hot key
+  appears; nation keys untouched (true dimension).
+* all other tables: symlinks to /root/testdata/sf0.1 (only the entries
+  above read them, and only as small dimensions).
+
+Pin discipline (identical to tpch_sf1_bench.pin): one untimed priming
+pass per entry (memoized assets and codegen are steady-state, the
+regime bench.py's numbers reflect), median-of-3 per entry, single-
+stream + scheduling kernels before AND after, refuse the pin when
+EITHER kernel drifts >1.25x mid-run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/pipeline_bench_scale"
+
+N_DOCS = 480_000
+N_VECS = 129_600
+EVENTS_FACTOR = 16
+CUSTOMER_FACTOR = 16
+
+# The heavy band of the headline suite (>=0.9 s pinned at sf0.1, i.e.
+# the entries whose sf0.1 ratios carry the least signal), plus the
+# e2e flagship.  Each runs seconds-to-tens-of-seconds on this corpus.
+ENTRIES = (
+    "dedup_minhash_lsh",
+    "dedup_semdedup",
+    "dedup_span_removal",
+    "dedup_substring_contained",
+    "text_decontaminate",
+    "sample_dsir_resample",
+    "ml_knn_eval_ivf",
+    "pipeline_pretraining_e2e",
+    "events_sessionization",
+    "events_type_islands",
+    "events_cooccurrence_lift",
+    "join_fuzzy_levenshtein",
+)
+
+# Per-replica key strides, mirroring tools/scale_probe.py — wide enough
+# that replica key ranges can never collide.
+_EVENT_STRIDE = 1_000_000_000
+_USER_STRIDE = 10_000_000
+_CUST_STRIDE = 10_000_000
+
+
+def build_corpus(spark) -> str:
+    from pyspark.sql import functions as F
+
+    from pipeline_scale_probe import build_corpus as build_docs
+    from risinglight_spark.tables import load
+
+    os.makedirs(OUT, exist_ok=True)
+
+    def replicate(table: str, shifts: list[tuple[str, int]], factor: int):
+        dest = f"{OUT}/{table}.parquet"
+        if os.path.exists(dest):
+            return
+        df = load(spark, BASE, table)
+        parts = []
+        for k in range(factor):
+            p = df
+            for key, stride in shifts:
+                p = p.withColumn(key, F.col(key) + F.lit(k * stride))
+            parts.append(p)
+        rep = parts[0]
+        for p in parts[1:]:
+            rep = rep.unionAll(p)
+        rep.repartition(64).write.mode("overwrite").parquet(dest)
+
+    # Scaled tables FIRST: build_docs symlinks every table it did not
+    # generate, skipping ones that already exist.
+    replicate(
+        "events",
+        [("event_id", _EVENT_STRIDE), ("user_id", _USER_STRIDE)],
+        EVENTS_FACTOR,
+    )
+    replicate("customer", [("c_custkey", _CUST_STRIDE)], CUSTOMER_FACTOR)
+    build_docs(spark, N_DOCS, N_VECS, OUT)
+    return OUT
+
+
+def run_entries(spark, samples: int = 3, stat: str = "median"):
+    from risinglight_spark.registry import collect
+
+    entries = collect()
+    out: dict[str, float] = {}
+    for name in ENTRIES:
+        obs = []
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            entries[name].fn(spark, OUT).collect()
+            obs.append(time.perf_counter() - t0)
+        out[name] = round(
+            min(obs) if stat == "best" else statistics.median(obs), 3
+        )
+    return out
+
+
+def prime(spark) -> float:
+    """One untimed pass per entry: codegen compile, Arrow worker spawn,
+    memoized asset builds (signature tables, gram indexes, centroid
+    assets) — the one-time costs bench.py's steady-state numbers
+    exclude.  Returns total priming seconds (telemetry)."""
+    from risinglight_spark.registry import collect
+
+    entries = collect()
+    t0 = time.perf_counter()
+    for name in ENTRIES:
+        entries[name].fn(spark, OUT).collect()
+    return round(time.perf_counter() - t0, 1)
+
+
+def _kernels(spark):
+    from pyspark.sql import functions as F
+
+    def calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.sum("h")).collect()
+        return time.perf_counter() - t0
+
+    def calib_sched() -> float:
+        t0 = time.perf_counter()
+        for _ in range(32):
+            spark.range(1_000).agg(F.sum("id")).collect()
+        return time.perf_counter() - t0
+
+    return calib, calib_sched
+
+
+def pin() -> None:
+    from risinglight_spark.session import get_spark
+
+    spark = get_spark(app_name="pipeline_scale_pin", shuffle_partitions=64)
+    build_corpus(spark)
+    warm_s = prime(spark)
+    print(f"# corpus ready; priming pass {warm_s}s", file=sys.stderr)
+
+    calib, calib_sched = _kernels(spark)
+    calib()
+    cb = round(statistics.median(calib() for _ in range(3)), 3)
+    calib_sched()
+    sb = round(statistics.median(calib_sched() for _ in range(3)), 3)
+    q = run_entries(spark, samples=3, stat="median")
+    ca = round(statistics.median(calib() for _ in range(3)), 3)
+    sa = round(statistics.median(calib_sched() for _ in range(3)), 3)
+    if max(cb, ca) / min(cb, ca) > 1.25:
+        sys.exit(
+            f"refusing: compute kernel drifted mid-run ({cb} -> {ca}); "
+            "re-run on a quiet box"
+        )
+    if max(sb, sa) / min(sb, sa) > 1.25:
+        sys.exit(
+            f"refusing: scheduling kernel drifted mid-run ({sb} -> {sa}); "
+            "re-run on a quiet box"
+        )
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
+    path = os.path.join(REPO, "BASELINE_BENCH.json")
+    with open(path) as f:
+        base = json.load(f)
+    base["pipeline_scale"] = {
+        "description": (
+            "Compute-bound envelope for the heaviest pipeline entries "
+            "at ~100x sf0.1 (480k known-dup-structure docs / 129.6k "
+            "vecs / 16x events+customer replicas), median-of-3 after "
+            "an untimed priming pass, in pin-box seconds.  bench.py "
+            "emits vs_pinned_pipeline_scale every round; corpus "
+            "rebuilds deterministically at /tmp/pipeline_bench_scale."
+        ),
+        "git_sha": sha,
+        "corpus": {
+            "dir": OUT,
+            "n_docs": N_DOCS,
+            "n_vecs": N_VECS,
+            "events_factor": EVENTS_FACTOR,
+            "customer_factor": CUSTOMER_FACTOR,
+        },
+        "calib_ref": round((cb + ca) / 2, 3),
+        "calib_before": cb,
+        "calib_after": ca,
+        "calib_sched_ref": round((sb + sa) / 2, 3),
+        "queries": q,
+        "total": round(sum(q.values()), 3),
+    }
+    with open(path, "w") as f:
+        json.dump(base, f, indent=1)
+        f.write("\n")
+    spark.stop()
+    print(
+        f"pinned pipeline_scale block: total {base['pipeline_scale']['total']}s, "
+        f"calib {cb}/{ca}, sched {sb}/{sa}"
+    )
+
+
+def main() -> None:
+    if "--pin" in sys.argv:
+        pin()
+        return
+    from risinglight_spark.session import get_spark
+
+    spark = get_spark(app_name="pipeline_scale_bench", shuffle_partitions=64)
+    build_corpus(spark)
+    warm_s = prime(spark)
+    print(f"# priming pass: {warm_s}s", file=sys.stderr)
+    calib, calib_sched = _kernels(spark)
+    calib()
+    cb = round(statistics.median(calib() for _ in range(3)), 3)
+    q = run_entries(spark, samples=3, stat="median")
+    ca = round(statistics.median(calib() for _ in range(3)), 3)
+    print("| entry | median-of-3 s |")
+    print("|---|---|")
+    for n, v in q.items():
+        print(f"| {n} | {v} |")
+    print(f"| total | {round(sum(q.values()), 3)} |")
+    print(f"# kernels: calib {cb}/{ca}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
