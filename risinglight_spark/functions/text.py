@@ -316,6 +316,115 @@ def shingle_hashes_pandas(n: int = 3):
     return _udf
 
 
+# ---------------------------------------------------------------------------
+# WIDE shingle key for exact span-level dedup (round 15).
+#
+# The single polynomial hash lives in a ~2^30 space (HASH_P) — fine for
+# SKETCHES (minhash/simhash/containment estimate similarity and absorb
+# rare collisions by construction), but the span-removal pair treats a
+# gram-hash equality as EXACT duplication and EDITS text on it.  The
+# round-15 fully-duplicated-corpus probe measured the saturation curve
+# directly: at 92M grams ~19% of known-unique docs had at least one
+# false-positive flagged span, 34% at 185M, 53% at 370M — pure
+# birthday-collision density in a 1e9 space, and at cluster scale
+# (1e12 grams) the space saturates entirely.  The wide key combines
+# two INDEPENDENT polynomial chains (different char/token multipliers,
+# different prime moduli) into the injective 60-bit value
+# gh1 * HASH_P2 + gh2: pair-collision probability ~1e-18 (the same
+# probe re-run measures 0 affected docs), still exact int64 arithmetic
+# on both engines so every oracle replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+HASH_P2 = 998_244_353  # second prime modulus (keeps acc*mult in int64)
+CHAR_MULT2 = 131
+TOK_MULT2 = 2_654_435_761  # max acc*TOK_MULT2 + b ~ 2.7e18 < 2^63-1
+
+
+def _token_hash_pair_list(t: str | None) -> tuple[list, list]:
+    """Both per-token chains in ONE pass over the characters (the
+    second chain adds ~30% to the tokenize-hash cost, not 2x)."""
+    if t is None:
+        return [], []
+    th1: list = []
+    th2: list = []
+    for tok in _WS.split(t.lower().strip()):
+        if not tok:
+            continue
+        h1 = 0
+        h2 = 0
+        for ch in tok:
+            oc = ord(ch)
+            h1 = (h1 * CHAR_MULT + oc) % HASH_P
+            h2 = (h2 * CHAR_MULT2 + oc) % HASH_P2
+        th1.append(h1)
+        th2.append(h2)
+    return th1, th2
+
+
+def shingle_hashes_wide_pandas(n: int = 3):
+    """Arrow-batched wide shingle keys: per gram,
+    ``gh1 * HASH_P2 + gh2`` where gh1/gh2 are the two independent
+    polynomial chains.  ``wide // HASH_P2`` equals the narrow
+    ``shingle_hashes`` value exactly (tests/test_properties.py pins
+    this), so the wide key strictly refines the narrow one."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            th1, th2 = _token_hash_pair_list(t)
+            m = len(th1) - (n - 1)
+            if m > 0:
+                g1 = th1[:m]
+                g2 = th2[:m]
+                for k in range(1, n):
+                    g1 = [
+                        (a * TOK_MULT + b) % HASH_P
+                        for a, b in zip(g1, th1[k : k + m])
+                    ]
+                    g2 = [
+                        (a * TOK_MULT2 + b) % HASH_P2
+                        for a, b in zip(g2, th2[k : k + m])
+                    ]
+                sh = [a * HASH_P2 + b for a, b in zip(g1, g2)]
+            else:
+                sh = []
+            out.append(sh)
+        return pd.Series(out)
+
+    return _udf
+
+
+def char_hash2_sql(t: str) -> str:
+    chars = f"list_transform(generate_series(1, length({t})), i -> ascii(substr({t}, i, 1))::BIGINT)"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {chars}),"
+        f" (acc, c) -> (acc * {CHAR_MULT2} + c) % {HASH_P2})"
+    )
+
+
+def token_hashes2_sql(text: str) -> str:
+    toks = tokens_sql(normalized_text_sql(text))
+    return f"list_transform({toks}, t -> {char_hash2_sql('t')})"
+
+
+def shingle_hashes_wide_sql(th1: str, th2: str, n: int = 3) -> str:
+    """DuckDB replay of ``shingle_hashes_wide_pandas`` given the two
+    token-hash lists (same length by construction)."""
+    h1 = f"{th1}[i]"
+    h2 = f"{th2}[i]"
+    for k in range(1, n):
+        h1 = f"(({h1}) * {TOK_MULT} + {th1}[i+{k}]) % {HASH_P}"
+        h2 = f"(({h2}) * {TOK_MULT2} + {th2}[i+{k}]) % {HASH_P2}"
+    return (
+        f"(CASE WHEN len({th1}) >= {n} THEN"
+        f" list_transform(generate_series(1, len({th1}) - {n - 1}),"
+        f" i -> ({h1}) * {HASH_P2} + ({h2}))"
+        f" ELSE [] END)"
+    )
+
+
 def minhash_sig_pandas(perm_a, perm_b, n: int = 3):
     """Arrow-batched minhash signature: per doc, ``sig[j] = min over
     shingle hashes h of (perm_a[j]*h + perm_b[j]) % HASH_P``; NULL when

@@ -1548,15 +1548,25 @@ SPAN_N = 8  # words per span (the paper dedupes 50-token spans; same shape)
 
 
 def _gram_stream(t: Tables) -> DataFrame:
-    """(doc_id, p, gh): every word SPAN_N-gram hash with its 1-based
+    """(doc_id, p, gh): every word SPAN_N-gram key with its 1-based
     gram position — gram p covers tokens p..p+SPAN_N-1 of the
     normalized text.  Stateless Arrow map over the corpus scan; shared
     by the span SIGNAL entry (which drops p) and the span REMOVAL
-    entry (which needs it)."""
+    entry (which needs it).
+
+    gh is the WIDE 60-bit key (functions/text.py
+    shingle_hashes_wide_pandas: two independent polynomial chains,
+    injectively combined) — round 15: these two entries EDIT text on
+    gram-key equality, and the single ~2^30-space hash measurably
+    false-flags known-unique docs once the corpus passes ~1e8 grams
+    (19% -> 53% of docs across the 92M -> 370M-gram probe series,
+    SCALE.md round-15).  The sketch family (minhash/simhash/
+    containment) keeps the narrow hash: sketches estimate similarity
+    and tolerate rare collisions by construction."""
     return t.documents.select(
         "doc_id",
         F.posexplode(
-            T.shingle_hashes_pandas(SPAN_N)(F.col("text"))
+            T.shingle_hashes_wide_pandas(SPAN_N)(F.col("text"))
         ).alias("p0", "gh"),
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "gh")
 
@@ -1586,11 +1596,13 @@ def _ngram_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_duplicate_ngram_spans",
     oracle=f"""
     WITH hashed AS MATERIALIZED (
-      SELECT doc_id, ({T.token_hashes_sql("text")}) AS th
+      SELECT doc_id, ({T.token_hashes_sql("text")}) AS th,
+             ({T.token_hashes2_sql("text")}) AS th2
       FROM documents
     ),
     grams AS MATERIALIZED (
-      SELECT doc_id, unnest({T.shingle_hashes_sql("th", SPAN_N)}) AS gh
+      SELECT doc_id,
+             unnest({T.shingle_hashes_wide_sql("th", "th2", SPAN_N)}) AS gh
       FROM hashed
     ),
     freq AS (
@@ -1607,7 +1619,9 @@ def _ngram_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=f"Corpus-repeated {SPAN_N}-gram spans per document "
     "(substring-level dedup signal, Lee et al. 2022): hash every word "
-    f"{SPAN_N}-gram (8-byte portable shingle hash — the hash shuffles, "
+    f"{SPAN_N}-gram (8-byte portable WIDE shingle key, two independent "
+    "polynomial chains injectively combined — r15: the single ~2^30 "
+    "hash false-flags at >1e8 grams; the hash shuffles, "
     "never the text), count occurrences corpus-wide, and roll up the "
     "repeated-span fraction per doc.  Hashing is the shared Arrow "
     "shingle path (functions/text.py — Catalyst evaluates the "
@@ -1650,13 +1664,15 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              {T.normalized_text_sql('text')} AS nt,
              {T.tokens_sql(T.normalized_text_sql('text'))} AS toks,
-             ({T.token_hashes_sql('text')}) AS th
+             ({T.token_hashes_sql('text')}) AS th,
+             ({T.token_hashes2_sql('text')}) AS th2
       FROM documents
     ),
     grams AS MATERIALIZED (
       SELECT doc_id, g.p AS p, g.gh AS gh
       FROM (SELECT doc_id,
-                   unnest(list_transform({T.shingle_hashes_sql('th', SPAN_N)},
+                   unnest(list_transform(
+                          {T.shingle_hashes_wide_sql('th', 'th2', SPAN_N)},
                           (g, i) -> {{'p': i, 'gh': g}})) AS g
             FROM tk)
     ),

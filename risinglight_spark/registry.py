@@ -797,11 +797,22 @@ _R12_GATE: tuple[str, ...] = (
 # duplicate structurally impossible, so the 50-slot gate boundary can
 # never silently shift again.
 # Round-15 recheck (standing provenance invariant: any rewrite or new
-# entry is fronted into the SAME round's gate).  Populated as round-15
-# rewrites land; empty means no operator code moved this round (the
-# dedup_minhash_lsh r14 bench drift was adjudicated with untouched-code
-# controls — see SCALE.md round-15 — so no rewrite was warranted).
-_R15_RECHECK: tuple[str, ...] = ()
+# entry is fronted into the SAME round's gate).  The span-dedup pair
+# moved to the WIDE 60-bit gram key (two independent polynomial
+# chains, injectively combined — dedup.py _gram_stream): the round-15
+# fully-duplicated-corpus probe measured the single ~2^30 hash
+# false-flagging 19% -> 72% of known-unique docs across the 92M ->
+# 742M-gram series (SCALE.md round-15), and these two entries EDIT
+# text on gram-key equality, so the collision rate is a correctness
+# defect, not sketch noise.  Both oracles replay the wide arithmetic;
+# both re-verified locally at sf0.001 + sf0.01 (2 pass, 0 fail)
+# before fronting.  (The other candidate, dedup_minhash_lsh's r14
+# bench drift, was adjudicated to box noise with untouched-code
+# controls — no rewrite, not fronted.)
+_R15_RECHECK: tuple[str, ...] = (
+    "dedup_duplicate_ngram_spans",
+    "dedup_span_removal",
+)
 
 # Round-15 staleness rotation (VERDICT r14 item 3): the 5 setop rows
 # displaced from the bounded r14 gate (documented below at _R14_GATE)
@@ -811,10 +822,13 @@ _R15_RECHECK: tuple[str, ...] = ()
 # built-ins — the r8 cohort in full), then the 14 oldest round-9 rows
 # (alphabetical within round — the same total order every rotation has
 # used; computed by unioning CORRECTNESS_r1..r14, latest hash-green
-# round per entry).  5 + 13 + 18 + 14 = 50: with the recheck block
-# empty, the bounded 50-slot gate takes every name below and nothing
-# slips; after this gate runs, no registry entry's latest driver row is
-# older than round 9.
+# round per entry).  5 + 13 + 18 + 14 = 50; with the 2-entry recheck
+# block above, the bounded 50-slot gate keeps the first 48 of the 50
+# names below — the last 2 (events_user_daily, events_windowed_topk)
+# slip to the head of the round-16 rotation, the same explicitly-
+# tracked displacement discipline as r11-r14.  After this gate runs,
+# no registry entry's latest driver row is older than round 9 except
+# those two displaced r9 rows.
 _R15_GATE: tuple[str, ...] = (
     "setop_except",
     "setop_except_all",

@@ -126,6 +126,42 @@ def test_arrow_shingles_match_catalyst_expression(spark, texts):
     assert udf_out == expr_out
 
 
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_wide_shingles_refine_narrow(spark, texts):
+    """The r15 wide span-dedup key (two independent polynomial chains,
+    injectively combined as gh1 * HASH_P2 + gh2) must strictly REFINE
+    the narrow shingle hash: wide // HASH_P2 == narrow elementwise, so
+    every wide-key equality implies the narrow-key equality the
+    pre-r15 oracles asserted (the reverse is where the 2^30-space
+    false positives lived — SCALE.md round-15)."""
+    from risinglight_spark.functions.text import HASH_P2
+
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    wide = [
+        list(r[0])
+        for r in df.select(
+            T.shingle_hashes_wide_pandas()(F.col("text"))
+        ).collect()
+    ]
+    narrow = [
+        list(r[0])
+        for r in df.select(
+            T.shingle_hashes_pandas()(F.col("text"))
+        ).collect()
+    ]
+    assert [[g // HASH_P2 for g in doc] for doc in wide] == narrow
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     from risinglight_spark.operators.pipeline_ops import CHUNK_TOKENS
     from risinglight_spark.registry import collect
