@@ -330,6 +330,17 @@ def main() -> None:
                     os.path.dirname(os.path.abspath(__file__)), "tools"
                 ),
             )
+            # Free the headline/annex passes' memoized assets first
+            # (r15): the pinned envelope was recorded in a fresh
+            # session, and carrying ~60 dead persisted assets into
+            # this pass squeezed execution memory enough to read
+            # sample_dsir_resample at 4.4x its pin (pure storage
+            # pressure, not code).  Cleared assets rebuild during the
+            # priming pass below, so the timed samples stay
+            # steady-state.
+            from risinglight_spark.operators import clear_cached_assets
+
+            clear_cached_assets()
             from pipeline_scale_bench import (
                 build_corpus as _ps_build,
                 prime as _ps_prime,
@@ -402,6 +413,16 @@ def main() -> None:
             )
             from tpch_sf1_bench import register_sf1_views, run_sf1_queries
 
+            # Same hygiene as the pipeline_scale pass (r15): drop the
+            # pipeline corpus's memoized assets (span edit lists and
+            # gram indexes over 480k docs are hundreds of MB of
+            # storage) before the SF1 broadcasts build — the r15
+            # baseline run's SF1 pass died in BroadcastExchange with
+            # "Not enough memory to build and broadcast" purely from
+            # the accumulated residency.
+            from risinglight_spark.operators import clear_cached_assets
+
+            clear_cached_assets()
             with open(
                 os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),

@@ -465,6 +465,45 @@ def minhash_sig_pandas(perm_a, perm_b, n: int = 3):
     return _udf
 
 
+def dsir_score_pandas(lr_q, n_buckets: int):
+    """Arrow-batched one-pass DSIR scorer (r15): per document, the
+    token count and the EXACT int64 sum of quantized per-bucket
+    log-ratios.  Replaces explode(tokens) + broadcast join + corpus-
+    sized groupBy with a stateless scan: the trained model is only
+    ``n_buckets`` rows, so it rides into the workers as a numpy lookup
+    table (the PQ-codebook pattern).  Bit-exactness: token buckets are
+    ``_token_hash_list % n_buckets`` (the pinned replay of
+    ``char_hash(tok)``), ``lr_q`` is quantized ONCE driver-side with
+    the same Spark ``round(lr*1e6)`` (HALF_UP) that ``fpsum`` applied
+    per row, and the int64 sum is order-free — so
+    ``s_q/1e6/n_tokens`` reproduces the old aggregate to the last
+    bit."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    table = np.ascontiguousarray(lr_q, dtype=np.int64)
+
+    @pandas_udf("struct<n_tokens:bigint, s_q:bigint>")
+    def _udf(text: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for t in text:
+            th = _token_hash_list(t)
+            if th:
+                b = np.asarray(th, dtype=np.int64) % n_buckets
+                rows.append((len(th), int(table[b].sum())))
+            else:
+                rows.append((0, 0))
+        return pd.DataFrame(rows, columns=["n_tokens", "s_q"])
+
+    # the n_tokens>0 filter on the UDF's output would otherwise be
+    # pushed below it AND re-projected above — two ArrowEvalPython
+    # nodes scoring every row twice (guide §4.4); the marker forbids
+    # the optimizer from duplicating the (pure) expression
+    return _udf.asNondeterministic()
+
+
 def simhash_pandas(bits: int = 32, n: int = 3):
     """Arrow-batched simhash: bit ``b`` of the signature is set iff
     ``sum over shingle hashes of (bit b of h ? +1 : -1) > 0``; NULL when

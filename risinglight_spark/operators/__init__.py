@@ -470,6 +470,30 @@ def _persist_bounded(rp: DataFrame) -> DataFrame:
     return rp
 
 
+def clear_cached_assets() -> None:
+    """Unpersist and forget every memoized asset and ranked-relation
+    LRU entry.  bench.py calls this BETWEEN measurement sections
+    (r15): once the sf0.1 headline+annex pass ends, its ~60 persisted
+    assets are dead weight, and leaving them resident in the shared
+    local-mode heap squeezed the compute-bound passes that follow —
+    measured sample_dsir_resample at 4.4x its pipeline_scale pin from
+    storage pressure alone, and the SF1 pass's broadcast build died
+    with "Not enough memory to build and broadcast".  Safe at any
+    section boundary: no caller holds an unevaluated ranked frame
+    across sections (see _persist_bounded's eviction contract), and a
+    cleared asset simply rebuilds on next use."""
+    with _ASSET_LOCK:
+        dfs = [df for (_, _, df) in _ASSET_CACHE.values()]
+        dfs += list(_RP_LRU.values())
+        _ASSET_CACHE.clear()
+        _RP_LRU.clear()
+    for df in dfs:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def ranked_by_range_sort(
     df: DataFrame,
     group_col: str,

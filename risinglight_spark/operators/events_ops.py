@@ -1360,20 +1360,41 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("session_id"),
     )
-    baskets = sess.select("user_id", "session_id", "event_type").distinct().localCheckpoint()
-    n_sessions = baskets.select("user_id", "session_id").distinct().count()
-    singles = baskets.groupBy("event_type").agg(F.count("*").alias("n_t"))
-    a, b = baskets.alias("a"), baskets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.session_id") == F.col("b.session_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+    # One-exchange basket rollup (r15, guide §2.4): the window above
+    # leaves the data hash-partitioned by user_id, which satisfies the
+    # (user_id, session_id) grouping — so collecting each session's
+    # distinct type set is exchange-FREE, where the former
+    # distinct + self-join re-shuffled the basket rows three more
+    # times.  Pairs are generated in-plan from the sorted type array
+    # (bounded by the distinct-type count per session, exactly the
+    # rows the a<b self-join produced), so only K² pair rows ever
+    # shuffle.  localCheckpoint materializes the rollup once for its
+    # three consumers (count, singles, pairs).
+    baskets = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .localCheckpoint()
+    )
+    n_sessions = baskets.count()
+    singles = baskets.select(
+        F.explode("types").alias("event_type")
+    ).groupBy("event_type").agg(F.count("*").alias("n_t"))
+    pair_structs = F.flatten(
+        F.transform(
+            "types",
+            lambda x, i: F.transform(
+                F.slice("types", i + 2, F.size("types")),
+                lambda y: F.struct(
+                    x.alias("type_a"), y.alias("type_b")
+                ),
+            ),
         )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
         )
         .agg(F.count("*").alias("n_ab"))
     )

@@ -611,13 +611,23 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nat_b"),
         F.col("rn").alias("rn_b"),
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # Banded DP (r15, guide §1.2 per-task work): the 3-arg levenshtein
+    # early-exits once the running minimum exceeds the threshold —
+    # O(len * d) instead of O(len²) per pair, measured 8.5 -> 5.8 s on
+    # the 2.4M-candidate pipeline_scale verify stage.  It returns -1
+    # for pairs beyond the threshold and the TRUE distance otherwise,
+    # so kept rows carry exactly the old dist value; computing it once
+    # in a projection also stops the filter+select pair evaluating the
+    # DP twice.  The DuckDB oracle keeps the plain 2-arg form — same
+    # kept pairs, same distances.
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), FUZZY_MAX_DIST)
     return (
         cand.join(
             b,
             (F.col("nat") == F.col("nat_b"))
             & (F.col("rn_match") == F.col("rn_b")),
         )
-        .filter(dist <= FUZZY_MAX_DIST)
-        .select("key_a", "key_b", dist.alias("dist"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("key_a", "key_b", "dist")
     )

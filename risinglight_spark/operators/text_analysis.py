@@ -1555,8 +1555,6 @@ def _dsir_oracle() -> str:
     "fixed-point summed: partition-order independent.",
 )
 def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from risinglight_spark.operators import fpsum
-
     t = Tables(spark, sf_dir)
     # Stateless token->bucket stream, recomputed by the model pass and
     # the scoring pass (two scans) rather than localCheckpointed — the
@@ -1609,12 +1607,37 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from risinglight_spark.operators import _cached_persisted
 
     lrs = _cached_persisted(spark, sf_dir, "dsir_bucket_model", build_model)
+    # One-pass scoring (r15, guide §2.3 "aggregate before you shuffle"
+    # taken to its limit): the trained model is DSIR_BUCKETS rows of
+    # quantized log-ratios — a bounded k-row model read like the PQ
+    # codebooks — so steady-state scoring needs NO token explode, NO
+    # broadcast join and NO corpus-token-sized groupBy: one Arrow pass
+    # tokenizes each doc, looks its buckets up in the numpy table and
+    # emits the exact int64 fixed-point sum fpsum produced before.
+    # The per-bucket quantization runs driver-side through the SAME
+    # Spark round(lr*1e6) (HALF_UP) expression fpsum applied per
+    # token row, so avg_log_ratio is bit-identical (docs with zero
+    # tokens drop out exactly as the explode dropped them).
+    import numpy as np
+
+    lr_rows = lrs.select(
+        "bucket", F.round(F.col("lr") * 1e6, 0).cast("long").alias("q")
+    ).collect()
+    lr_q = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    for r in lr_rows:
+        lr_q[r["bucket"]] = r["q"]
+    sc = T.dsir_score_pandas(lr_q, DSIR_BUCKETS)(F.col("text")).alias("sc")
     scored = (
-        toks.join(F.broadcast(lrs), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            (fpsum(F.col("lr"), 1e6) / F.count("*")).alias("avg_log_ratio"),
+        t.documents.select("doc_id", sc)
+        .filter(F.col("sc.n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("sc.n_tokens").alias("n_tokens"),
+            (
+                F.col("sc.s_q").cast("double")
+                / F.lit(1e6)
+                / F.col("sc.n_tokens")
+            ).alias("avg_log_ratio"),
         )
     )
     return scored.select(

@@ -25,6 +25,12 @@ Counts audited this round (r14): every existing site is one of the
 two allowed shapes (the r13 judge re-verified all 28 operator sites
 individually; r14 adds mix_epochs_schedule's 1-row corpus-total read).
 
+r15 optimization round: text_analysis 7->8 — text_dsir_importance now
+collects the memoized DSIR_BUCKETS-row bucket model (a k-row model
+asset, second allowed shape) to ship it into the one-pass Arrow
+scorer as a numpy lookup table, replacing the per-call explode +
+broadcast join + corpus-token-sized groupBy.
+
 r15 (ADVICE r14): the pattern is anchored to CALL syntax —
 ``\.(collect|toPandas|localCheckpoint)\s*\(`` — so prose mentions in
 comments/docstrings (e.g. "localCheckpointed per call" in a fix note)
@@ -54,7 +60,7 @@ REVIEWED_SITES = {
     "operators/events_ops.py": 3,
     "operators/joins.py": 1,
     "operators/pipeline_ops.py": 16,
-    "operators/text_analysis.py": 7,
+    "operators/text_analysis.py": 8,
     "operators/vector_search.py": 11,
     "streaming/ops.py": 1,
 }

@@ -297,10 +297,16 @@ def test_repetition_filter_single_arrow_pass_no_shuffle(spark, sf_dir):
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     # the benchmark shingle set broadcasts (corpus never shuffles for
-    # the join) and each branch shingles its own subset exactly once.
+    # the join); the corpus branch shingles its subset exactly once,
+    # and the bench-side blocklist is the memoized asset (r15) — an
+    # InMemoryTableScan, not a second Arrow pass per call.
     plan = _plan(spark, sf_dir, "text_decontaminate")
     assert plan.count("BroadcastHashJoin") == 1
-    assert plan.count("ArrowEvalPython") == 2
+    assert "InMemoryTableScan" in plan
+    # exactly one LIVE Arrow pass (the corpus branch); the bench-side
+    # occurrences sit inside the memoized InMemoryRelation's stored
+    # build plan, which does not re-execute per call
+    assert plan.split("InMemoryRelation")[0].count("ArrowEvalPython") == 1
 
 
 def test_training_order_has_no_global_sort(spark, sf_dir):

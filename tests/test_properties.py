@@ -1030,3 +1030,106 @@ def test_rank_primitive_persist_cache_is_bounded(spark):
     rows = out.collect()
     assert len(rows) == 40 - ((ops._RP_LRU_MAX + 4) % 13)
     assert sorted(r["rn"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_knn_local_topk_matches_bruteforce(spark):
+    """r15: _knn_local_topk's GEMM-prefilter + exact-fold recompute
+    must emit exactly the per-partition top-k the one-phase form
+    produced — same rows, same exact-left-fold distances — including
+    under duplicate embeddings (tie storms) and both code paths
+    (exact and probe_cells/IVF)."""
+    import numpy as np
+    import pandas as pd
+
+    from risinglight_spark.operators.pipeline_ops import _knn_local_topk
+
+    rng = np.random.default_rng(1234)
+    dim, k = 8, 5
+    # duplicate-heavy pool: quantized values force exact distance ties
+    pool = np.round(rng.random((12, dim)) * 4, 1)
+    m, nt = 90, 25
+    cemb = pool[rng.integers(0, len(pool), m)].astype(np.float32)
+    temb = pool[rng.integers(0, len(pool), nt)].astype(np.float64)
+    tids = np.arange(100, 100 + nt, dtype=np.int64)
+    tlab = rng.integers(0, 4, nt).astype(np.int64)
+    tid = rng.permutation(10_000)[:m].astype(np.int64)
+    lab = rng.integers(0, 4, m).astype(np.int64)
+    cells = rng.integers(0, 3, m)
+
+    def brute(rows_iter, tsel):
+        """one-phase reference: exact fold over every (test, row)."""
+        out = []
+        rows = list(rows_iter)
+        for j in tsel:
+            cand = []
+            for (rid, emb, rlab) in rows:
+                acc = 0.0
+                e64 = np.asarray(emb, dtype=np.float64)
+                for i in range(dim):
+                    d = e64[i] - temb[j][i]
+                    acc += d * d
+                cand.append((np.sqrt(acc), rid, rlab))
+            cand.sort()
+            for dist, rid, rlab in cand[: min(k, len(cand))]:
+                out.append(
+                    (int(tids[j]), int(tlab[j]), int(rid), float(dist), int(rlab))
+                )
+        return sorted(out)
+
+    pdf = pd.DataFrame(
+        {
+            "train_id": tid,
+            "c_emb": [cemb[i] for i in range(m)],
+            "nn_label": lab,
+            "cell": cells,
+        }
+    )
+    # hash-partition by value (round-robin repartition(4) assigns rows
+    # plan-dependently, so two executions need not agree on partition
+    # contents); the pid map makes the reference partition-faithful
+    train = spark.createDataFrame(pdf).repartition(4, "train_id")
+    pid_of = {
+        r.train_id: r.pid
+        for r in train.withColumn("pid", F.spark_partition_id())
+        .select("train_id", "pid")
+        .collect()
+    }
+    by_pid: dict = {}
+    for i in range(m):
+        by_pid.setdefault(pid_of[int(tid[i])], []).append(
+            (int(tid[i]), cemb[i], int(lab[i]), int(cells[i]))
+        )
+
+    # exact path
+    got = sorted(
+        (r.test_id, r.true_label, r.train_id, r.dist, r.nn_label)
+        for r in _knn_local_topk(
+            train, tids, temb, tlab, dim, k
+        ).collect()
+    )
+    want = []
+    for rows in by_pid.values():
+        want += brute([(r[0], r[1], r[2]) for r in rows], range(nt))
+    assert got == sorted(want)
+
+    # IVF path: each cell scores only its probing tests
+    probe_cells = {
+        c: np.flatnonzero(rng.random(nt) < 0.6).astype(np.int64)
+        for c in range(3)
+    }
+    got = sorted(
+        (r.test_id, r.true_label, r.train_id, r.dist, r.nn_label)
+        for r in _knn_local_topk(
+            train, tids, temb, tlab, dim, k, probe_cells=probe_cells
+        ).collect()
+    )
+    want = []
+    for rows in by_pid.values():
+        by_cell: dict = {}
+        for rid, emb, rlab, c in rows:
+            by_cell.setdefault(c, []).append((rid, emb, rlab))
+        for c, crows in by_cell.items():
+            tsel = probe_cells.get(int(c))
+            if tsel is not None and len(tsel):
+                want += brute(crows, tsel)
+    assert got == sorted(want)
