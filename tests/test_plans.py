@@ -610,11 +610,17 @@ def test_variant_parse_stays_jvm_side(spark, sf_dir):
 
 
 def test_dsir_model_join_broadcasts(spark, sf_dir):
-    # The 512-row bucket model must broadcast back onto the token
-    # stream: a shuffle of the exploded tokens for a fixed-size model
-    # would be the 100 TB killer.
+    # The 512-row bucket model must never force a shuffle of the token
+    # stream — that would be the 100 TB killer.  r15: the model rides
+    # into the one-pass Arrow scorer as a lookup table (a k-row
+    # metadata read), so steady-state scoring is a single stateless
+    # scan: exactly one live Python stage, NO exchange, NO join, NO
+    # token explode in the plan at all.
     plan = _plan(spark, sf_dir, "text_dsir_importance")
-    assert "BroadcastHashJoin" in plan
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("ArrowEvalPython") == 1
+    assert "Exchange" not in live
+    assert "Generate" not in live  # no token explode
 
 
 def test_knn_scoring_is_local_topk(spark, sf_dir):
