@@ -244,9 +244,25 @@ def main() -> None:
     import statistics
 
     samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+    # In-headline asset-residency cap (VERDICT r15 item 2): the 96-entry
+    # pass accumulates ~60 persisted assets; by its tail the storage
+    # pressure read four UNTOUCHED entries at 3-7x their pins in the
+    # r15 driver run (ann_filtered_topk, events_ab_ratio_delta,
+    # agg_weighted_median, ml_kfold_split — all at/under pin in a fresh
+    # session).  Dropping dead assets every N entries bounds residency;
+    # an affected entry's FIRST sample rebuilds what it needs and the
+    # median-of-3 discards that sample, so the per-entry steady-state
+    # methodology (and comparability with every pinned envelope) is
+    # unchanged.  Parameterized: on a real cluster the _ASSET_CACHE LRU
+    # bound plays this role against executor storage; 0 disables.
+    clear_every = int(os.environ.get("SPARK_GRAFT_ASSET_CLEAR_EVERY", "24"))
+    from risinglight_spark.operators import clear_cached_assets as _clear_assets
+
     per_query: dict[str, float] = {}
     total = 0.0
-    for name in names:
+    for qi, name in enumerate(names):
+        if clear_every and qi and qi % clear_every == 0:
+            _clear_assets()
         obs = []
         for _ in range(samples):
             t0 = time.perf_counter()
@@ -345,6 +361,7 @@ def main() -> None:
                 build_corpus as _ps_build,
                 prime as _ps_prime,
                 run_entries as _ps_run,
+                run_entries_cold as _ps_run_cold,
             )
 
             with open(
@@ -359,6 +376,14 @@ def main() -> None:
             _ps_cb = round(_stats.median(_calib() for _ in range(3)), 3)
             ps_q = _ps_run(spark, samples=3, stat="median")
             _ps_ca = round(_stats.median(_calib() for _ in range(3)), 3)
+            # Cold-call pass AFTER the bracketed hot window (VERDICT
+            # r15 item 6): per entry, one sample with assets force-
+            # dropped first, so memoized-asset wins are attributed
+            # honestly (hot = steady state, cold = first call after a
+            # cache wipe, asset builds included).
+            ps_cold = None
+            if os.environ.get("SPARK_GRAFT_PIPELINE_COLD", "1") == "1":
+                ps_cold = _ps_run_cold(spark)
             _ps_scale = float(_ps_pin["calib_ref"]) / ((_ps_cb + _ps_ca) / 2)
             _ps_pq = _ps_pin["queries"]
             _ps_r = {
@@ -368,6 +393,12 @@ def main() -> None:
             }
             vs_pinned_pipeline_scale = {
                 "queries": ps_q,
+                # raw (uncalibrated) this-box total: the compute-bound
+                # number a low-core run can be compared against for
+                # scaling signal (VERDICT r15 item 4 — the sf0.1
+                # headline is dispatch-bound and cannot show scaling).
+                "raw_total": round(sum(ps_q.values()), 3),
+                "cold_queries": ps_cold,
                 "samples": 3,
                 "calib_before": _ps_cb,
                 "calib_after": _ps_ca,
@@ -462,6 +493,9 @@ def main() -> None:
             }
             vs_pinned_sf1 = {
                 "queries": sf1_q,
+                # raw this-box total for cross-core-count scaling
+                # comparisons (VERDICT r15 item 4).
+                "raw_total": round(sum(sf1_q.values()), 3),
                 "samples": _sf1_n,
                 "calib_before": _sf1_cb,
                 "calib_after": _sf1_ca,
@@ -605,7 +639,29 @@ def main() -> None:
     # result to BENCH_RESULT.json.
     tpch_q = {n: v for n, v in per_query.items() if n.startswith("tpch_q")}
     extras = {n: v for n, v in per_query.items() if not n.startswith("tpch_q")}
-    slow = dict(sorted(extras.items(), key=lambda kv: -kv[1])[:12])
+    # FIXED print window (VERDICT r15 item 6): the old "slowest 12"
+    # selection swapped entries between rounds, and the driver's
+    # per-query prev/now comparison read each swap as queries
+    # dropped/newly-passing (r15: a false "6 dropped" signal for the
+    # six entries that got FASTER).  The printed extras are now the
+    # exact 12 the r15 line carried, so consecutive rounds compare the
+    # same set; the full per-query dict for all entries is in
+    # BENCH_RESULT.json (committed as BENCH_FULL_r{N}.json each round).
+    PRINTED_EXTRAS = (
+        "agg_weighted_median",
+        "events_ab_ratio_delta",
+        "ann_filtered_topk",
+        "dedup_duplicate_ngram_spans",
+        "dedup_semdedup",
+        "events_sessionization",
+        "dedup_minhash_lsh",
+        "events_type_islands",
+        "ann_nsw_graph_search",
+        "events_scd2_history",
+        "events_cooccurrence_lift",
+        "ml_kfold_split",
+    )
+    slow = {n: extras[n] for n in PRINTED_EXTRAS if n in extras}
     compact = dict(full)
     compact.pop("annex")  # 50 entries; summarized by annex_total/annex_n
     if vs_pinned_sf1:
@@ -614,10 +670,12 @@ def main() -> None:
             k: v for k, v in vs_pinned_sf1.items() if k != "queries"
         }
     if vs_pinned_pipeline_scale:
+        # per-query dicts (hot + cold) live in the full file; the line
+        # keeps the ratios and raw_total only (2000-char tail budget)
         compact["vs_pinned_pipeline_scale"] = {
             k: v
             for k, v in vs_pinned_pipeline_scale.items()
-            if k != "queries"
+            if k not in ("queries", "cold_queries")
         }
     compact["queries"] = {**tpch_q, **slow}
     compact["queries_elided"] = len(per_query) - len(compact["queries"])

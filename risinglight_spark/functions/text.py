@@ -279,6 +279,175 @@ def _doc_shingles(text: "pd.Series", n: int) -> list:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Vectorized batch tokenizer (r16, VERDICT r15 item 7).
+#
+# _token_hash_list's per-character Python fold dominated every Arrow
+# tokenize pass (DSIR scoring, shingle/minhash/simhash/wide-gram
+# priming).  The flat core below computes the IDENTICAL hashes with
+# numpy over a whole batch: one utf-32 decode of the batch's lowered
+# text, a vectorized whitespace-run split, and a Horner fold across
+# tokens (one vector op per character POSITION over the prefix of
+# tokens still that long, so total work is O(total chars) in numpy
+# rather than O(total chars) in interpreted Python).  Bit-exactness is
+# property-tested against the scalar replay (which stays as the
+# reference implementation): same unicode \s split, same str.lower,
+# same (h*MULT + ord) % P fold per character in order.
+# ---------------------------------------------------------------------------
+
+_WS_LUT = None  # bool[0x110000]: Python re \s membership (lazy, per process)
+_WS_ASCII_OK = None  # formula check for the ASCII fast path
+
+
+def _ws_lut():
+    global _WS_LUT, _WS_ASCII_OK
+    if _WS_LUT is None:
+        import numpy as np
+
+        # Every codepoint \s matches is in the BMP; scan it once per
+        # worker process (~40 ms, amortized by worker reuse) so the
+        # set is DERIVED from the same regex the scalar replay uses
+        # and can never silently drift from it.  Full-plane bool LUT
+        # (1.1 MB) so membership is one fancy index per batch.
+        lut = np.zeros(0x110000, dtype=bool)
+        for c in range(0x10000):
+            if _WS.match(chr(c)):
+                lut[c] = True
+        # The ASCII fast path tests 9<=c<=32 and not 14<=c<=27 with
+        # three vector compares instead of a gather; verify that
+        # formula against the regex-derived set so it can never drift.
+        _WS_ASCII_OK = all(
+            bool(lut[c]) == (9 <= c <= 32 and not 14 <= c <= 27)
+            for c in range(128)
+        )
+        _WS_LUT = lut
+    return _WS_LUT
+
+
+def _token_hash_flat(texts, wide: bool = False):
+    """Vectorized twin of ``_token_hash_list`` over a whole batch.
+    Returns ``(counts, h1, h2)``: ``counts`` int64[n_docs] tokens per
+    doc; ``h1`` the flat per-token chain-1 hashes in document order;
+    ``h2`` the chain-2 hashes (``_token_hash_pair_list``'s second
+    chain) when ``wide`` else None."""
+    import numpy as np
+
+    lowered = [(t.lower() if t is not None else "") for t in texts]
+    n_docs = len(lowered)
+    empty = np.zeros(0, dtype=np.int64)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    joined = "\n".join(lowered)
+    if not joined:
+        return counts, empty, (empty if wide else None)
+    # ASCII fast path: one memcpy-speed encode and 1-byte codepoints
+    # (the common case for this corpus); the utf-32 path is the exact
+    # general form.  Hash arithmetic below is on int64 accumulators
+    # either way, so the fold is bit-identical.
+    lut = _ws_lut()
+    try:
+        cp = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        if _WS_ASCII_OK:
+            ws = (cp >= 9) & (cp <= 32) & ~((cp >= 14) & (cp <= 27))
+        else:  # pragma: no cover — formula verified at LUT build
+            ws = lut[cp]
+    except UnicodeEncodeError:
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        ws = lut[cp]
+    nonws = ~ws
+    # token boundaries from the +1/-1 edges of the nonws run signal
+    d = np.diff(nonws.view(np.int8))
+    tok_starts = np.flatnonzero(d == 1) + 1
+    tok_ends = np.flatnonzero(d == -1)
+    if nonws[0]:
+        tok_starts = np.concatenate(([0], tok_starts))
+    if nonws[-1]:
+        tok_ends = np.concatenate((tok_ends, [len(cp) - 1]))
+    if tok_starts.size == 0:
+        return counts, empty, (empty if wide else None)
+    tok_lens = tok_ends - tok_starts + 1
+    # assign tokens to docs via the joined-string offsets ("\n" is
+    # whitespace, so no token ever crosses a doc boundary)
+    doc_lens = np.fromiter(
+        (len(s) for s in lowered), dtype=np.int64, count=n_docs
+    )
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(doc_lens + 1, out=doc_off[1:])
+    tok_doc = np.searchsorted(doc_off, tok_starts, side="right") - 1
+    counts = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+    # Horner fold by character position over tokens sorted by length
+    # descending (the active set is then always a prefix); int32 keys
+    # keep the radix sort to half the passes
+    order = np.argsort(-tok_lens.astype(np.int32), kind="stable")
+    s_starts = tok_starts[order]
+    neg_lens = -tok_lens[order]  # ascending
+    n_tok = s_starts.size
+    h1 = np.zeros(n_tok, dtype=np.int64)
+    h2 = np.zeros(n_tok, dtype=np.int64) if wide else None
+    # Deferred modulo: mod is a ring homomorphism, so folding G
+    # characters between reductions gives bit-identical hashes as long
+    # as the accumulator stays inside int64 — h < P (~2^30) grows by
+    # CHAR_MULT (2^5) / CHAR_MULT2 (2^7.03) per char plus a <2^21
+    # codepoint term, so 6 narrow / 4 wide steps stay under 2^63.
+    group = 4 if wide else 6
+    maxlen = int(tok_lens.max())
+    i = 0
+    while i < maxlen:
+        k0 = int(np.searchsorted(neg_lens, -i, side="left"))
+        if k0 == 0:
+            break
+        for j in range(min(group, maxlen - i)):
+            k = int(np.searchsorted(neg_lens, -(i + j), side="left"))
+            if k == 0:
+                break
+            c = cp[s_starts[:k] + (i + j)]
+            v1 = h1[:k]
+            v1 *= CHAR_MULT
+            v1 += c
+            if wide:
+                v2 = h2[:k]
+                v2 *= CHAR_MULT2
+                v2 += c
+        h1[:k0] %= HASH_P
+        if wide:
+            h2[:k0] %= HASH_P2
+        i += group
+    inv = np.empty(n_tok, dtype=np.int64)
+    inv[order] = np.arange(n_tok)
+    h1_out = h1[inv]
+    h2_out = h2[inv] if wide else None
+    return counts, h1_out, h2_out
+
+
+def _shingle_flat(counts, h1, h2=None, n: int = 3):
+    """Flat word-n-gram shingle hashes from flat token hashes: returns
+    ``(m_doc, sh)`` where ``m_doc[d] = max(counts[d] - (n-1), 0)`` is
+    the shingles per doc and ``sh`` the flat shingle values in doc
+    order — the narrow ``(...*TOK_MULT + h)%HASH_P`` chain, or the
+    injective wide ``g1*HASH_P2 + g2`` key when ``h2`` is given.  The
+    arithmetic per shingle is identical to ``_doc_shingles`` /
+    ``shingle_hashes_wide_pandas``'s list folds."""
+    import numpy as np
+
+    m_doc = np.maximum(counts - (n - 1), 0)
+    total = int(counts.sum())
+    if total == 0 or int(m_doc.sum()) == 0:
+        return m_doc, np.zeros(0, dtype=np.int64)
+    tok_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_off[1:])
+    pos_doc = np.repeat(np.arange(len(counts)), counts)
+    local = np.arange(total) - tok_off[pos_doc]
+    starts = np.flatnonzero(local < m_doc[pos_doc])
+    g1 = h1[starts]
+    for k in range(1, n):
+        g1 = (g1 * TOK_MULT + h1[starts + k]) % HASH_P
+    if h2 is None:
+        return m_doc, g1
+    g2 = h2[starts]
+    for k in range(1, n):
+        g2 = (g2 * TOK_MULT2 + h2[starts + k]) % HASH_P2
+    return m_doc, g1 * HASH_P2 + g2
+
+
 def token_hashes_pandas():
     """Arrow-batched per-token polynomial hashes — the vectorized twin
     of ``token_hashes`` (char_hash over tokens of the normalized
@@ -287,11 +456,15 @@ def token_hashes_pandas():
     higher-order lambda in Catalyst (~10x slower — see
     shingle_hashes_pandas), so the Python replay wins on any
     token-stream scan."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<bigint>")
     def _udf(text: pd.Series) -> pd.Series:
-        return pd.Series([_token_hash_list(t) for t in text])
+        counts, h1, _ = _token_hash_flat(text)
+        return pd.Series(
+            [a.tolist() for a in np.split(h1, np.cumsum(counts)[:-1])]
+        )
 
     return _udf
 
@@ -306,12 +479,19 @@ def shingle_hashes_pandas(n: int = 3):
     ~1.1 ms/doc at sf0.1, i.e. the dominant cost of every dedup
     signature.  The Arrow-vectorized Python loop is ~10x faster and
     stays embarrassingly parallel (one batch per partition, no
-    shuffle)."""
+    shuffle).  r16: runs on the flat numpy core (_token_hash_flat /
+    _shingle_flat — another ~5-10x on the same pass); _doc_shingles
+    stays as the scalar reference the property tests pin against."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<bigint>")
     def _udf(text: pd.Series) -> pd.Series:
-        return pd.Series(_doc_shingles(text, n))
+        counts, h1, _ = _token_hash_flat(text)
+        m_doc, sh = _shingle_flat(counts, h1, None, n)
+        return pd.Series(
+            [a.tolist() for a in np.split(sh, np.cumsum(m_doc)[:-1])]
+        )
 
     return _udf
 
@@ -366,32 +546,20 @@ def shingle_hashes_wide_pandas(n: int = 3):
     ``gh1 * HASH_P2 + gh2`` where gh1/gh2 are the two independent
     polynomial chains.  ``wide // HASH_P2`` equals the narrow
     ``shingle_hashes`` value exactly (tests/test_properties.py pins
-    this), so the wide key strictly refines the narrow one."""
+    this), so the wide key strictly refines the narrow one.  r16: runs
+    on the flat numpy core with both chains folded in one pass
+    (wide=True); _token_hash_pair_list stays as the scalar reference
+    the property tests pin against."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<bigint>")
     def _udf(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            th1, th2 = _token_hash_pair_list(t)
-            m = len(th1) - (n - 1)
-            if m > 0:
-                g1 = th1[:m]
-                g2 = th2[:m]
-                for k in range(1, n):
-                    g1 = [
-                        (a * TOK_MULT + b) % HASH_P
-                        for a, b in zip(g1, th1[k : k + m])
-                    ]
-                    g2 = [
-                        (a * TOK_MULT2 + b) % HASH_P2
-                        for a, b in zip(g2, th2[k : k + m])
-                    ]
-                sh = [a * HASH_P2 + b for a, b in zip(g1, g2)]
-            else:
-                sh = []
-            out.append(sh)
-        return pd.Series(out)
+        counts, h1, h2 = _token_hash_flat(text, wide=True)
+        m_doc, sh = _shingle_flat(counts, h1, h2, n)
+        return pd.Series(
+            [a.tolist() for a in np.split(sh, np.cumsum(m_doc)[:-1])]
+        )
 
     return _udf
 
@@ -445,14 +613,11 @@ def minhash_sig_pandas(perm_a, perm_b, n: int = 3):
 
     @pandas_udf("array<bigint>")
     def _udf(text: pd.Series) -> pd.Series:
-        docs = _doc_shingles(text, n)
-        out = [None] * len(docs)
-        lens = np.array([len(d) for d in docs], dtype=np.int64)
+        counts, h1, _ = _token_hash_flat(text)
+        lens, flat = _shingle_flat(counts, h1, None, n)
+        out = [None] * len(lens)
         nz = np.flatnonzero(lens)
         if nz.size:
-            flat = np.concatenate(
-                [np.asarray(docs[i], dtype=np.int64) for i in nz]
-            )
             offs = np.zeros(nz.size, dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=offs[1:])
             sigs = np.empty((len(a), nz.size), dtype=np.int64)
@@ -472,8 +637,9 @@ def dsir_score_pandas(lr_q, n_buckets: int):
     sized groupBy with a stateless scan: the trained model is only
     ``n_buckets`` rows, so it rides into the workers as a numpy lookup
     table (the PQ-codebook pattern).  Bit-exactness: token buckets are
-    ``_token_hash_list % n_buckets`` (the pinned replay of
-    ``char_hash(tok)``), ``lr_q`` is quantized ONCE driver-side with
+    ``_token_hash_flat % n_buckets`` (the vectorized twin of
+    ``_token_hash_list``, property-tested bit-identical — the pinned
+    replay of ``char_hash(tok)``), ``lr_q`` is quantized ONCE driver-side with
     the same Spark ``round(lr*1e6)`` (HALF_UP) that ``fpsum`` applied
     per row, and the int64 sum is order-free — so
     ``s_q/1e6/n_tokens`` reproduces the old aggregate to the last
@@ -487,15 +653,14 @@ def dsir_score_pandas(lr_q, n_buckets: int):
     def _udf(text: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        rows = []
-        for t in text:
-            th = _token_hash_list(t)
-            if th:
-                b = np.asarray(th, dtype=np.int64) % n_buckets
-                rows.append((len(th), int(table[b].sum())))
-            else:
-                rows.append((0, 0))
-        return pd.DataFrame(rows, columns=["n_tokens", "s_q"])
+        counts, h1, _ = _token_hash_flat(text)
+        s_q = np.zeros(len(counts), dtype=np.int64)
+        nz = np.flatnonzero(counts)
+        if nz.size:
+            offs = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(counts[nz][:-1], out=offs[1:])
+            s_q[nz] = np.add.reduceat(table[h1 % n_buckets], offs)
+        return pd.DataFrame({"n_tokens": counts, "s_q": s_q})
 
     # the n_tokens>0 filter on the UDF's output would otherwise be
     # pushed below it AND re-projected above — two ArrowEvalPython
@@ -515,14 +680,11 @@ def simhash_pandas(bits: int = 32, n: int = 3):
 
     @pandas_udf("long")
     def _udf(text: pd.Series) -> pd.Series:
-        docs = _doc_shingles(text, n)
-        out = [None] * len(docs)
-        lens = np.array([len(d) for d in docs], dtype=np.int64)
+        counts, h1, _ = _token_hash_flat(text)
+        lens, flat = _shingle_flat(counts, h1, None, n)
+        out = [None] * len(lens)
         nz = np.flatnonzero(lens)
         if nz.size:
-            flat = np.concatenate(
-                [np.asarray(docs[i], dtype=np.int64) for i in nz]
-            )
             offs = np.zeros(nz.size, dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=offs[1:])
             sig = np.zeros(nz.size, dtype=np.int64)

@@ -2143,12 +2143,26 @@ def _knn_local_topk(
                 colm = np.tile(np.arange(m), t_n)
             # exact left-fold on candidates only — same IEEE sequence
             # as before; ranking and emitted dists use ONLY these.
-            diffs = tsub[rows] - cemb[colm]
-            acc = np.zeros(len(rows), dtype=np.float64)
-            for i in range(dim):
-                d = diffs[:, i]
-                acc += d * d
-            dist = np.sqrt(acc)
+            # r16 (ADVICE r15): the (candidates, dim) diffs matrix is
+            # computed in sub-chunks of <= _CHUNK_ELEMS elements so
+            # peak scratch stays ~128 MB even when tie-dense data
+            # (duplicate embeddings) makes nonzero() return up to
+            # t_n*m candidate rows — previously diffs alone could
+            # reach _CHUNK_ELEMS*dim*8 bytes (~8 GB at dim=64).  Each
+            # row's per-dimension fold is unchanged (rows are
+            # independent), so distances stay bit-identical.
+            n_cand = len(rows)
+            dist = np.empty(n_cand, dtype=np.float64)
+            sub = max(1, _CHUNK_ELEMS // max(dim, 1))
+            for clo in range(0, n_cand, sub):
+                r_s = rows[clo : clo + sub]
+                c_s = colm[clo : clo + sub]
+                diffs = tsub[r_s] - cemb[c_s]
+                acc = np.zeros(len(r_s), dtype=np.float64)
+                for i in range(dim):
+                    d = diffs[:, i]
+                    acc += d * d
+                dist[clo : clo + sub] = np.sqrt(acc)
             order = np.lexsort((tid[colm], dist, rows))
             rows_s = rows[order]
             starts = np.searchsorted(rows_s, np.arange(t_n))

@@ -1556,24 +1556,6 @@ def _dsir_oracle() -> str:
 )
 def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # Stateless token->bucket stream, recomputed by the model pass and
-    # the scoring pass (two scans) rather than localCheckpointed — the
-    # stream is corpus-sized, and materializing it is the
-    # text_oov_rate flaw class; the bucket model the first pass
-    # produces is the only thing worth keeping and it is a fixed
-    # DSIR_BUCKETS-row table.
-    toks = (
-        t.documents.select(
-            "doc_id",
-            "lang",
-            F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("tok"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            (T.char_hash(F.col("tok")) % DSIR_BUCKETS).alias("bucket"),
-        )
-    )
     from pyspark.sql import Window
 
     # The bucket model (DSIR_BUCKETS rows of log-likelihood ratios) is
@@ -1581,12 +1563,53 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asset like the IVF centroids, so steady-state scoring (and the
     # resampling entry built on top) re-runs ONE stateless token scan,
     # not the model-training pass too.
+    #
+    # r16 (ADVICE r15): the model pass tokenizes through the SAME
+    # Python replay (_token_hash_list) the one-pass scorer uses, so
+    # model buckets and scoring buckets can never diverge on
+    # whitespace/case edge cases (the r15 build used the JVM
+    # tokenizer: Java ASCII \s + JVM lower, vs the replay's unicode
+    # \s + str.lower — identical on this corpus, but self-INconsistent
+    # by construction).  The pass is also the cheaper shape (guide
+    # §2.3 "aggregate before you shuffle"): each task folds its
+    # partition's tokens into a DSIR_BUCKETS-long histogram pair and
+    # emits <= DSIR_BUCKETS rows, so the shuffle carries partial
+    # histograms instead of the former corpus-token explode (~60M
+    # rows through an interpreted char_hash fold + bucket groupBy).
     def build_model() -> DataFrame:
-        b = toks.groupBy("bucket").agg(
-            F.count("*").alias("nr"),
-            F.count(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
-            ).alias("nt"),
+        nb = DSIR_BUCKETS
+        tgt = DSIR_TARGET_LANG
+
+        def hist(batches):
+            import numpy as np
+            import pandas as pd
+
+            from risinglight_spark.functions.text import _token_hash_flat
+
+            nr = np.zeros(nb, dtype=np.int64)
+            nt = np.zeros(nb, dtype=np.int64)
+            for pdf in batches:
+                counts, h1, _ = _token_hash_flat(pdf["text"])
+                if not len(h1):
+                    continue
+                b = h1 % nb
+                nr += np.bincount(b, minlength=nb)
+                is_tgt = np.repeat(
+                    (pdf["lang"] == tgt).to_numpy(), counts
+                )
+                if is_tgt.any():
+                    nt += np.bincount(b[is_tgt], minlength=nb)
+            nz = np.flatnonzero(nr)
+            if nz.size:
+                yield pd.DataFrame(
+                    {"bucket": nz, "nr": nr[nz], "nt": nt[nz]}
+                )
+
+        part = t.documents.select("lang", "text").mapInPandas(
+            hist, "bucket long, nr long, nt long"
+        )
+        b = part.groupBy("bucket").agg(
+            F.sum("nr").alias("nr"), F.sum("nt").alias("nt")
         )
         w = Window.partitionBy()
         lr = F.round(

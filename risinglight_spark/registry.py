@@ -796,6 +796,106 @@ _R12_GATE: tuple[str, ...] = (
 # collect() dedupes via dict first-occurrence).  dict.fromkeys makes a
 # duplicate structurally impossible, so the 50-slot gate boundary can
 # never silently shift again.
+# Round-16 recheck (standing provenance invariant: any rewrite or new
+# entry is fronted into the SAME round's gate — VERDICT r15 item 1).
+# These are the eight entries whose operator code the round-15
+# optimizer rewrote but which never entered _R15_RECHECK (the registry
+# was populated before the rewrites landed): the GEMM two-phase kNN
+# kernel (ml_knn_eval, ml_knn_eval_ivf — pipeline_ops._knn_local_topk),
+# the one-pass Arrow DSIR scorer (text_dsir_importance,
+# sample_dsir_resample — dsir_score_pandas), the banded 3-arg
+# levenshtein + memoized fuzzy_rank blocking index
+# (join_fuzzy_levenshtein), the in-plan sorted-array pair generation
+# (events_cooccurrence_lift), and the two memoized-asset dedup paths
+# (dedup_substring_contained — substring_reps + SHJ hint;
+# text_decontaminate — decontam_bench_shingles blocklist).  All eight
+# passed tools/oracle_check.py at sf0.01 during round 15; this block
+# makes the driver's DuckDB oracle the ground truth for the rewritten
+# code, as the invariant requires.
+#
+# The nine entries after text_decontaminate are the round-16 rewrites:
+# the vectorized batch tokenizer (VERDICT r15 item 7 —
+# functions/text.py _token_hash_flat/_shingle_flat, a flat numpy core
+# with deferred modulo; property-tested bit-identical to the scalar
+# replay) rebuilt the internals of minhash_sig_pandas, simhash_pandas,
+# shingle_hashes_pandas, shingle_hashes_wide_pandas,
+# token_hashes_pandas and dsir_score_pandas, so every entry whose
+# signature/gram/token pass runs through them is re-fronted: the
+# minhash family (lsh, verified, index_materialized, incremental),
+# dedup_simhash, dedup_multi_signal, the span-dedup pair (wide chain),
+# and ml_naive_bayes_langid (token-hash features).  All verified
+# locally at sf0.01 before fronting (oracle_check.py).
+_R16_RECHECK: tuple[str, ...] = (
+    "ml_knn_eval",
+    "ml_knn_eval_ivf",
+    "text_dsir_importance",
+    "sample_dsir_resample",
+    "join_fuzzy_levenshtein",
+    "events_cooccurrence_lift",
+    "dedup_substring_contained",
+    "text_decontaminate",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_minhash_verified",
+    "dedup_minhash_index_materialized",
+    "dedup_incremental_minhash",
+    "dedup_multi_signal",
+    "dedup_duplicate_ngram_spans",
+    "dedup_span_removal",
+    "ml_naive_bayes_langid",
+)
+
+# Round-16 staleness rotation: the 2 round-9 rows displaced from the
+# bounded r15 gate (events_user_daily, events_windowed_topk —
+# documented at _R15_GATE) first, then the remaining 23 round-9 rows
+# (the ≤8-round policy edge NOW), then the 8 oldest round-10 rows
+# (alphabetical within round — the same total order every rotation has
+# used; computed by unioning CORRECTNESS_r1..r15, latest hash-green
+# round per entry).  2 + 23 + 8 = 33; with the 17-entry recheck block
+# above the bounded 50-slot gate is exactly filled.  The 9 next
+# staleness candidates (agg_pivot, agg_rollup, agg_salted_skew,
+# agg_simple, agg_sorted_key, agg_stats_library, agg_string_listagg,
+# avg_rewrite, count_distinct — all round 10, displaced by the
+# tokenizer-rewrite recheck entries) head the round-17 rotation, the
+# same explicitly-tracked displacement discipline as r11-r15.  After
+# this gate runs, no registry entry's latest driver row is older than
+# round 10.
+_R16_GATE: tuple[str, ...] = (
+    "events_user_daily",
+    "events_windowed_topk",
+    "mix_source_weights",
+    "mm_audio_wav_features",
+    "mm_binary_payload",
+    "mm_decode_pixels",
+    "mm_frame_sample",
+    "mm_image_dhash_dedup",
+    "mm_metadata_struct",
+    "mm_resize_pixels",
+    "mm_resize_stub",
+    "pack_sequences",
+    "sample_reservoir_weighted",
+    "sample_token_budget",
+    "streaming_dropdup_within_watermark",
+    "streaming_interval_join",
+    "streaming_session_window",
+    "streaming_sliding_counts",
+    "streaming_stateful_max",
+    "streaming_static_enrich",
+    "text_ccnet_buckets",
+    "text_gopher_rules",
+    "text_kl_source_divergence",
+    "text_repetition_filter",
+    "vector_dim_variance_rank",
+    "agg_bool_logical",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_hash_group",
+    "agg_having",
+    "agg_min_max_types",
+    "agg_percentiles",
+)
+
 # Round-15 recheck (standing provenance invariant: any rewrite or new
 # entry is fronted into the SAME round's gate).  The span-dedup pair
 # moved to the WIDE 60-bit gram key (two independent polynomial
@@ -977,6 +1077,8 @@ _R14_GATE: tuple[str, ...] = (
 _PRIORITY: tuple[str, ...] = tuple(
     dict.fromkeys(
         (
+            *_R16_RECHECK,
+            *_R16_GATE,
             *_R15_RECHECK,
             *_R15_GATE,
             *_R14_RECHECK,

@@ -38,6 +38,13 @@ no longer count as sites and a comment-only edit can't flip the guard.
 The 7 count deltas vs the r14 inventory (pipeline_ops 18->16,
 text_analysis 12->7) are exactly the prose mentions the old pattern
 over-counted; the set of real call sites is unchanged.
+
+r16 (ADVICE r15): joins.py 1->0 — the fuzzy_rank memoized build no
+longer ends in localCheckpoint.  _cached_persisted's persist()+count()
+already materializes the build once, and persisted blocks (unlike
+localCheckpoint RDD blocks, which linger until GC) are fully released
+by clear_cached_assets(), so the asset-residency fix actually frees
+the memory it claims to.
 """
 
 from __future__ import annotations
@@ -58,7 +65,6 @@ REVIEWED_SITES = {
     "operators/catalog_ops.py": 1,
     "operators/dedup.py": 2,
     "operators/events_ops.py": 3,
-    "operators/joins.py": 1,
     "operators/pipeline_ops.py": 16,
     "operators/text_analysis.py": 8,
     "operators/vector_search.py": 11,

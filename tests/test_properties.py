@@ -162,6 +162,87 @@ def test_wide_shingles_refine_narrow(spark, texts):
     assert [[g // HASH_P2 for g in doc] for doc in wide] == narrow
 
 
+_uni_text_st = st.one_of(
+    st.none(),
+    st.text(max_size=80),  # full unicode incl. astral + exotic whitespace
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Zs", "Cc", "Ll", "Lu", "Nd", "So")
+        ),
+        max_size=80,
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_uni_text_st, min_size=0, max_size=24))
+def test_flat_tokenizer_matches_scalar_replay(texts):
+    """The r16 vectorized batch tokenizer (_token_hash_flat /
+    _shingle_flat — VERDICT r15 item 7) must be BIT-identical to the
+    scalar replay (_token_hash_list / _token_hash_pair_list /
+    _doc_shingles) on arbitrary unicode, including the edge cases the
+    two implementations could plausibly diverge on: exotic whitespace
+    (unicode \\s beyond ASCII), astral codepoints (the utf-32 path),
+    empty/None docs, and whitespace-only docs.  Every dedup signature,
+    span gram, and DSIR bucket derives from these hashes, so this is
+    the oracle-equivalence property for the whole rewritten family."""
+    from risinglight_spark.functions.text import (
+        HASH_P,
+        HASH_P2,
+        TOK_MULT,
+        TOK_MULT2,
+        _doc_shingles,
+        _shingle_flat,
+        _token_hash_flat,
+        _token_hash_list,
+        _token_hash_pair_list,
+    )
+
+    counts, h1, h2 = _token_hash_flat(texts, wide=True)
+    cn, hn, _ = _token_hash_flat(texts)  # narrow fold (group-6 path)
+    assert counts.tolist() == cn.tolist()
+    off = 0
+    for i, t in enumerate(texts):
+        ref1 = _token_hash_list(t)
+        r1, r2 = _token_hash_pair_list(t)
+        assert ref1 == r1
+        assert counts[i] == len(ref1)
+        assert h1[off : off + counts[i]].tolist() == ref1
+        assert hn[off : off + counts[i]].tolist() == ref1
+        assert h2[off : off + counts[i]].tolist() == r2
+        off += counts[i]
+    for n in (2, 3, 5):
+        m_doc, sh = _shingle_flat(counts, h1, None, n)
+        ref = _doc_shingles(texts, n)
+        off = 0
+        for i in range(len(texts)):
+            assert sh[off : off + m_doc[i]].tolist() == ref[i]
+            off += m_doc[i]
+    # wide shingles vs the scalar fold
+    n = 3
+    m_doc, shw = _shingle_flat(counts, h1, h2, n)
+    off = 0
+    for i, t in enumerate(texts):
+        th1, th2 = _token_hash_pair_list(t)
+        m = len(th1) - (n - 1)
+        if m > 0:
+            g1, g2 = th1[:m], th2[:m]
+            for k in range(1, n):
+                g1 = [
+                    (a * TOK_MULT + b) % HASH_P
+                    for a, b in zip(g1, th1[k : k + m])
+                ]
+                g2 = [
+                    (a * TOK_MULT2 + b) % HASH_P2
+                    for a, b in zip(g2, th2[k : k + m])
+                ]
+            refw = [a * HASH_P2 + b for a, b in zip(g1, g2)]
+        else:
+            refw = []
+        assert shw[off : off + m_doc[i]].tolist() == refw
+        off += m_doc[i]
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     from risinglight_spark.operators.pipeline_ops import CHUNK_TOKENS
     from risinglight_spark.registry import collect

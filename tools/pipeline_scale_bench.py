@@ -142,6 +142,30 @@ def run_entries(spark, samples: int = 3, stat: str = "median"):
     return out
 
 
+def run_entries_cold(spark):
+    """Cold-call pass (VERDICT r15 item 6): one timed sample per entry
+    with ALL memoized assets force-dropped first, so the number
+    includes every asset build the entry depends on (blocking index,
+    signature tables, bucket models, IVF pieces).  Reported alongside
+    the steady-state hot median so memoization wins are attributed
+    honestly: the hot median shows the per-call cost, the cold sample
+    shows what the first call after a cache wipe pays.  Leaves the
+    cache cleared afterwards (each entry's sample rebuilds only its
+    own assets; the next bench section re-primes anyway)."""
+    from risinglight_spark.operators import clear_cached_assets
+    from risinglight_spark.registry import collect
+
+    entries = collect()
+    out: dict[str, float] = {}
+    for name in ENTRIES:
+        clear_cached_assets()
+        t0 = time.perf_counter()
+        entries[name].fn(spark, OUT).collect()
+        out[name] = round(time.perf_counter() - t0, 3)
+    clear_cached_assets()
+    return out
+
+
 def prime(spark) -> float:
     """One untimed pass per entry: codegen compile, Arrow worker spawn,
     memoized asset builds (signature tables, gram indexes, centroid
