@@ -1,0 +1,93 @@
+"""Refresh the dedup_span_removal pin inside BASELINE_BENCH.json's
+pipeline_scale block (VERDICT r15 item 5 / item 3): the pinned seconds
+predate the round-15 wide-gram-key correctness fix (e376d07), which
+deliberately costs ~+30% on the gram UDF, so the entry reads ~1.2x a
+pin that no current-code run can meet for methodology-archaeology
+reasons, not regressions.
+
+Method (same discipline as pipeline_scale_bench.pin, applied to one
+entry): build/reuse the deterministic corpus, one untimed priming pass,
+median-of-3 timed samples bracketed by the single-stream calibration
+kernel, refuse on >1.25x mid-run drift, then convert this-box seconds
+to pin-box seconds via the block's calib_ref:
+
+    new_pin = median_sec * (pin.calib_ref / mean(calib_before, calib_after))
+
+The conversion inverts exactly the ratio bench.py computes, so a
+same-speed run reads 1.0 against the refreshed pin.  The old pin is
+kept in the block under `repinned` for the audit trail.
+
+    PYTHONPATH=/root/repo python tools/refresh_span_pin.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENTRY = "dedup_span_removal"
+
+
+def main() -> None:
+    from pipeline_scale_bench import OUT, _kernels, build_corpus
+
+    from risinglight_spark.registry import collect
+    from risinglight_spark.session import get_spark
+
+    spark = get_spark(app_name="refresh_span_pin", shuffle_partitions=64)
+    build_corpus(spark)
+    entries = collect()
+    fn = entries[ENTRY].fn
+
+    fn(spark, OUT).collect()  # untimed priming pass (assets + codegen)
+    calib, _ = _kernels(spark)
+    calib()
+    cb = round(statistics.median(calib() for _ in range(3)), 3)
+    obs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, OUT).collect()
+        obs.append(time.perf_counter() - t0)
+    ca = round(statistics.median(calib() for _ in range(3)), 3)
+    if max(cb, ca) / min(cb, ca) > 1.25:
+        sys.exit(f"refusing: kernel drifted mid-run ({cb} -> {ca})")
+    med = statistics.median(obs)
+
+    path = os.path.join(REPO, "BASELINE_BENCH.json")
+    with open(path) as f:
+        base = json.load(f)
+    block = base["pipeline_scale"]
+    old = block["queries"][ENTRY]
+    new = round(med * float(block["calib_ref"]) / ((cb + ca) / 2), 3)
+    block["queries"][ENTRY] = new
+    block["total"] = round(sum(block["queries"].values()), 3)
+    block.setdefault("repinned", {})[ENTRY] = {
+        "old": old,
+        "new": new,
+        "round": 16,
+        "why": (
+            "pin predated the r15 wide-gram-key correctness fix "
+            "(e376d07, ~+30% gram-UDF cost by design); refreshed so the "
+            "envelope and the methodology agree at one SHA (VERDICT r15 "
+            "items 3/5).  Raw this-box median {:.3f}s, calib {}/{} vs "
+            "calib_ref {}.".format(med, cb, ca, block["calib_ref"])
+        ),
+    }
+    with open(path, "w") as f:
+        json.dump(base, f, indent=1)
+        f.write("\n")
+    print(
+        f"{ENTRY}: raw median {med:.3f}s (samples {[round(o, 3) for o in obs]}), "
+        f"calib {cb}/{ca}, pin {old} -> {new}"
+    )
+
+
+if __name__ == "__main__":
+    main()
