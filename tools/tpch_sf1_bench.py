@@ -105,6 +105,42 @@ def register_sf1_views(spark, sf: float = 1.0) -> dict:
     return paths
 
 
+def register_sf1_tables(spark, sf: float = 1.0) -> dict:
+    """Catalog tables + ANALYZE column stats + CBO join reorder
+    (VERDICT r15 item 5, guide §3.1/§6).  Temp views carry no stats, so
+    spark.sql.cbo.enabled was a no-op on this pass: every multi-join
+    query kept the syntactic join order (q5's region->nation->customer
+    chain builds a 6M-row intermediate before lineitem prunes it).
+    External parquet tables + `ANALYZE ... FOR ALL COLUMNS` give the
+    CBO real ndv/rowcount, and joinReorder picks the selective order
+    (measured at SF1: q5 5.7 -> 1.0 s raw on the same box, suite total
+    ~0.62x).  Metadata lives in the session's in-memory catalog — no
+    files, rebuilt every run, nothing persisted across bench
+    invocations.  Temp views of the same names are dropped first: temp
+    views SHADOW catalog tables, and the headline pass registers sf0.1
+    views under exactly these names (a shadowed table would silently
+    time sf0.1 data)."""
+    from risinglight_spark.sources.dbgen import generate
+
+    paths = generate(spark, f"/tmp/dbgen_sf{sf:g}", sf, reuse=True)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    for t in TABLES:
+        spark.catalog.dropTempView(t)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"CREATE TABLE {t} USING parquet LOCATION '{paths[t]}'")
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return paths
+
+
+def drop_sf1_tables(spark) -> None:
+    """Leave no catalog tables behind (they outlive the SF1 pass in
+    the shared session; a later direct spark.sql() against a TPC-H
+    name should fail loudly, not read SF1 data)."""
+    for t in TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def pin() -> None:
     """Write the sf1 block of BASELINE_BENCH.json from a clean run
     (VERDICT r13 item 1: the compute-bound envelope the sub-second
@@ -201,13 +237,15 @@ def main() -> None:
         pin()
         return
     sf = float(args[0]) if args else 1.0
+    stats = "--stats" in sys.argv
     from risinglight_spark.session import get_spark
-    from risinglight_spark.sources.dbgen import generate
 
     spark = get_spark(app_name=f"tpch_sf{sf}_bench")
-    paths = generate(spark, f"/tmp/dbgen_sf{sf:g}", sf, reuse=True)
-    for t in TABLES:
-        spark.read.parquet(paths[t]).createOrReplaceTempView(t)
+    paths = (
+        register_sf1_tables(spark, sf)
+        if stats
+        else register_sf1_views(spark, sf)
+    )
     n = spark.sql("select count(*) from lineitem").collect()[0][0]
     print(f"# dbgen SF{sf:g}: lineitem rows = {n:,}", file=sys.stderr)
 
