@@ -18,6 +18,30 @@ same-speed run reads 1.0 against the refreshed pin.  The old pin is
 kept in the block under `repinned` for the audit trail.
 
     PYTHONPATH=/root/repo python tools/refresh_span_pin.py
+
+OUTCOME (r16, recorded so nobody re-runs this expecting a different
+answer): the refresh was run, committed, and REVERTED after
+cross-checking against block-context runs.  Two findings:
+
+1. The premise was wrong.  dedup_span_removal's pinned quantity is the
+   HOT median after priming, and its hot path is JVM-only (normalized
+   tokenize + doc-keyed join + in-plan array surgery); the gram UDF
+   pass — where both the r15 wide-key cost and the r16 vectorized-
+   tokenizer win live — runs inside the memoized ngram_dup_index /
+   span_removal_rem asset builds, which the pin methodology excludes.
+   Neither change can move the pinned number; the old pin was never
+   methodology-stale, and the ~1.2x readings that motivated the
+   refresh were box noise on a JVM-only path (the same round measured
+   the same entry at 0.85x pin in the driver's own run).  The asset-
+   build costs are now visible separately in the cold-call pass.
+
+2. This tool's solo-session measurement is biased LOW vs the pin's
+   block context (a fresh session with one entry has none of the
+   storage/GC pressure of the 12-entry pinned sequence; measured
+   2.41 solo vs 4.77 in the same night's clean-kernel full-bench
+   pipeline_scale pass).  Any future single-entry re-pin must run
+   inside the full block sequence (pipeline_scale_bench.py without
+   --pin) and take the entry's calibrated median from there.
 """
 
 from __future__ import annotations
