@@ -1362,6 +1362,74 @@ SEM_TAU = 0.4  # same synthetic-corpus scale as COS_THRESHOLD above
 # quadratic stage at O(m * SEM_MAX_CELL) per cell.
 SEM_MAX_CELL = 1024
 
+# fp-safety band for the GEMM pair miner below: a pair whose
+# BLAS-computed cosine lands within this distance of SEM_TAU is
+# re-decided by the exact left-fold dot.  Worst-case |GEMM - fold|
+# error for dim=64 is ~dim*eps = 1.4e-14 on the cosine scale (both
+# sums are bounded by nrm_a*nrm_b via Cauchy-Schwarz, and the division
+# by the identical denominator cancels the scale); 1e-9 leaves >4
+# orders of margin, same tolerance discipline as the kNN GEMM
+# prefilter (pipeline_ops._knn_local_topk).
+_SEM_COS_BAND = 1e-9
+# row-block cap for the per-group GEMM: block_rows * m <= this many
+# float64 elements (~128 MB scratch), so a skew-inflated sub-cell can
+# never balloon one task's cosine matrix.
+_SEM_GEMM_CHUNK = 16_000_000
+
+
+def _sem_mine_group_pdf(pdf):
+    """Grouped-map kernel for one (cell, subcell) group of distinct
+    representatives: return the reps dropped by SemDeDup's rule — b is
+    dropped iff some a in the group with a.rep < b.rep has
+    cos(a, b) >= SEM_TAU under the engine's exact arithmetic
+    (left-fold dot / (nrm_a * nrm_b), one IEEE rounding per op).
+
+    Two-phase exactness (see mine_dropped's comment): a row-blocked
+    GEMM bounds every pair decision; pairs inside the fp-safety band
+    of the threshold (or with non-finite GEMM cosine — NaN embeddings,
+    zero norms) are recomputed with the canonical per-dimension fold,
+    so the returned set is bit-identical to the former pair join's."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame({"rep": np.empty(0, dtype=np.int64)})
+    order = np.argsort(pdf["rep"].to_numpy(), kind="stable")
+    reps = pdf["rep"].to_numpy()[order].astype(np.int64, copy=False)
+    emb = np.asarray(
+        [
+            np.asarray(v, dtype=np.float64)
+            for v in pdf["embedding"].to_numpy()[order]
+        ]
+    )
+    nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
+    dim = emb.shape[1]
+    dropped = np.zeros(m, dtype=bool)
+    cols = np.arange(m)
+    block = max(1, _SEM_GEMM_CHUNK // m)
+    for lo in range(0, m - 1, block):
+        hi = min(lo + block, m)
+        g = emb[lo:hi] @ emb.T  # (hi-lo, m) GEMM dot products
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cosg = g / (nrm[lo:hi, None] * nrm[None, :])
+        upper = cols[None, :] > np.arange(lo, hi)[:, None]  # a.rep < b.rep
+        sure = (cosg >= SEM_TAU + _SEM_COS_BAND) & upper
+        unc = (
+            (cosg >= SEM_TAU - _SEM_COS_BAND) | ~np.isfinite(cosg)
+        ) & ~sure & upper
+        ri, ci = np.nonzero(unc)
+        if len(ri):
+            prod = emb[lo + ri] * emb[ci]
+            acc = np.zeros(len(ri), dtype=np.float64)
+            for d in range(dim):  # exact left fold: ((0.0 + p0) + p1)...
+                acc = acc + prod[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosf = acc / (nrm[lo + ri] * nrm[ci])
+            dropped[ci[cosf >= SEM_TAU]] = True
+        dropped |= sure.any(axis=0)
+    return pd.DataFrame({"rep": reps[dropped]})
+
 
 def _sem_centroid_sql() -> str:
     cols = ", ".join(
@@ -1532,22 +1600,37 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_m")
     )
-    a, b = capped.alias("a"), capped.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-
     def mine_dropped() -> DataFrame:
+        # GEMM-banded pair mining (r16, guide §4.2 — the same two-phase
+        # exact/approximate discipline as pipeline_ops._knn_local_topk,
+        # the r15 kNN kernel): the former self-join shuffled `capped`
+        # TWICE (sort-merge on (cell, subcell)), materialized every
+        # a.rep < b.rep pair row (~17M at the pipeline_scale corpus),
+        # and evaluated the interpreted 64-term zip_with/aggregate dot
+        # per pair — measured 40-72 s of the entry's cold call, the
+        # dominant component.  One grouped Arrow pass replaces it: each
+        # (cell, subcell) group (bounded by the SEM_MAX_CELL cap above)
+        # computes its full cosine matrix as one BLAS GEMM and emits
+        # only the dropped rep ids, so the exchange carries each rep
+        # row ONCE and no pair row ever exists outside a task-local
+        # numpy block (guide §2.3: shuffle keys/vectors, not pairs).
+        # Decisions stay bit-identical to the old join's
+        # `dot(a,b)/(a.nrm*b.nrm) >= SEM_TAU` filter: GEMM cosines only
+        # BOUND the decision — pairs within the fp-safety band of the
+        # threshold (1e-9 vs ~1e-13 worst-case GEMM-vs-fold error for
+        # dim=64, plus every non-finite value) are recomputed with the
+        # canonical per-dimension left fold (0.0 + a1*b1 + ... — the
+        # exact IEEE sequence of functions/vector.dot and both
+        # oracles), and only those exact values decide in-band pairs;
+        # out-of-band pairs provably fall on the same side of the
+        # threshold either way.  Zero-norm rows divide 0.0/0.0 -> NaN
+        # -> never dropped, exactly the SQL comparison semantics
+        # (property-tested against a scalar replay of the join in
+        # tests/test_properties.py).
         return (
-            a.hint("shuffle_merge")
-            .join(
-                b.hint("shuffle_merge"),
-                (F.col("a.cell") == F.col("b.cell"))
-                & (F.col("a.subcell") == F.col("b.subcell"))
-                & (F.col("a.rep") < F.col("b.rep")),
-            )
-            .filter(cos >= SEM_TAU)
-            .select(F.col("b.rep").alias("rep"))
+            capped.select("cell", "subcell", "rep", "embedding", "nrm")
+            .groupBy("cell", "subcell")
+            .applyInPandas(_sem_mine_group_pdf, "rep bigint")
             .distinct()
             .withColumn("hit", F.lit(True))
         )

@@ -825,6 +825,15 @@ _R12_GATE: tuple[str, ...] = (
 # dedup_simhash, dedup_multi_signal, the span-dedup pair (wide chain),
 # and ml_naive_bayes_langid (token-hash features).  All verified
 # locally at sf0.01 before fronting (oracle_check.py).
+#
+# dedup_semdedup (18th) is the second round-16 rewrite: the
+# semdedup_dropped pair miner moved from the shuffle_merge self-join
+# (interpreted 64-term fold per pair row) to a grouped-map GEMM
+# kernel with exact-fold band recompute (dedup._sem_mine_group_pdf;
+# decisions bit-identical by construction — property-tested in
+# tests/test_properties.py, exact 41,415-rep set equality vs the old
+# join verified at the pipeline_scale corpus, oracle-verified at
+# sf0.001 + sf0.01 before fronting).
 _R16_RECHECK: tuple[str, ...] = (
     "ml_knn_eval",
     "ml_knn_eval_ivf",
@@ -843,22 +852,24 @@ _R16_RECHECK: tuple[str, ...] = (
     "dedup_duplicate_ngram_spans",
     "dedup_span_removal",
     "ml_naive_bayes_langid",
+    "dedup_semdedup",
 )
 
 # Round-16 staleness rotation: the 2 round-9 rows displaced from the
 # bounded r15 gate (events_user_daily, events_windowed_topk —
 # documented at _R15_GATE) first, then the remaining 23 round-9 rows
-# (the ≤8-round policy edge NOW), then the 8 oldest round-10 rows
+# (the ≤8-round policy edge NOW), then the 7 oldest round-10 rows
 # (alphabetical within round — the same total order every rotation has
 # used; computed by unioning CORRECTNESS_r1..r15, latest hash-green
-# round per entry).  2 + 23 + 8 = 33; with the 17-entry recheck block
-# above the bounded 50-slot gate is exactly filled.  The 9 next
-# staleness candidates (agg_pivot, agg_rollup, agg_salted_skew,
-# agg_simple, agg_sorted_key, agg_stats_library, agg_string_listagg,
-# avg_rewrite, count_distinct — all round 10, displaced by the
-# tokenizer-rewrite recheck entries) head the round-17 rotation, the
-# same explicitly-tracked displacement discipline as r11-r15.  After
-# this gate runs, no registry entry's latest driver row is older than
+# round per entry).  2 + 23 + 7 = 32; with the 18-entry recheck block
+# above the bounded 50-slot gate is exactly filled.  The 10 next
+# staleness candidates (agg_percentiles — displaced late-r16 when the
+# semdedup rewrite entered the recheck block — then agg_pivot,
+# agg_rollup, agg_salted_skew, agg_simple, agg_sorted_key,
+# agg_stats_library, agg_string_listagg, avg_rewrite, count_distinct,
+# all round 10) head the round-17 rotation, the same
+# explicitly-tracked displacement discipline as r11-r15.  After this
+# gate runs, no registry entry's latest driver row is older than
 # round 10.
 _R16_GATE: tuple[str, ...] = (
     "events_user_daily",
@@ -893,7 +904,6 @@ _R16_GATE: tuple[str, ...] = (
     "agg_hash_group",
     "agg_having",
     "agg_min_max_types",
-    "agg_percentiles",
 )
 
 # Round-15 recheck (standing provenance invariant: any rewrite or new

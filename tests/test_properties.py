@@ -1214,3 +1214,123 @@ def test_knn_local_topk_matches_bruteforce(spark):
             if tsel is not None and len(tsel):
                 want += brute(crows, tsel)
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# r16: the semdedup GEMM pair miner (dedup._sem_mine_group_pdf) must
+# reproduce the former shuffle_merge pair join's decisions EXACTLY:
+# b dropped iff exists a.rep < b.rep in the group with
+# left-fold-dot(a,b) / (nrm_a * nrm_b) >= SEM_TAU, under IEEE-754
+# double semantics (0.0/0.0 -> NaN -> never dropped).
+# ---------------------------------------------------------------------------
+
+
+def _sem_reference_dropped(rows, tau):
+    """Scalar replay of the old pair join: rows = [(rep, emb, nrm)],
+    strict left-fold dot (0.0 + p0 + p1 + ...), IEEE division."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    dropped = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            acc = np.float64(0.0)
+            for x, y in zip(rows[i][1], rows[j][1]):
+                acc = acc + np.float64(x) * np.float64(y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = acc / (np.float64(rows[i][2]) * np.float64(rows[j][2]))
+            if c >= tau:
+                dropped.add(rows[j][0])
+    return dropped
+
+
+def _sem_kernel_dropped(rows):
+    import pandas as pd
+
+    from risinglight_spark.operators.dedup import _sem_mine_group_pdf
+
+    pdf = pd.DataFrame(
+        {
+            "rep": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "nrm": [r[2] for r in rows],
+        }
+    )
+    return set(_sem_mine_group_pdf(pdf)["rep"].tolist())
+
+
+def _fold_nrm(emb):
+    import numpy as np
+
+    acc = np.float64(0.0)
+    for x in emb:
+        acc = acc + np.float64(x) * np.float64(x)
+    return float(np.sqrt(acc))
+
+
+_sem_vec_st = st.lists(
+    st.floats(
+        min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=6,
+    max_size=6,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_sem_vec_st, min_size=0, max_size=14), st.randoms())
+def test_sem_gemm_miner_matches_pair_join_replay(vecs, rnd):
+    """Arbitrary groups, with deliberate exact duplicates (cos = 1) and
+    zero vectors (NaN cosine) mixed in."""
+    import numpy as np
+
+    from risinglight_spark.operators.dedup import SEM_TAU
+
+    rows = []
+    for i, v in enumerate(vecs):
+        rows.append((i * 7 + 3, list(v), _fold_nrm(v)))
+        if rnd.random() < 0.3:  # exact duplicate under a later rep id
+            rows.append((i * 7 + 4, list(v), _fold_nrm(v)))
+    if rnd.random() < 0.5:
+        rows.append((1, [0.0] * 6, 0.0))  # zero vector: never dropped
+    assert _sem_kernel_dropped(rows) == _sem_reference_dropped(
+        rows, SEM_TAU
+    ) if rows else True
+
+
+def test_sem_gemm_miner_band_and_chunking():
+    """Near-threshold pairs (cos within fp distance of SEM_TAU) must be
+    decided by the exact fold, and the row-blocked GEMM must agree with
+    the unblocked one (force multi-block via a tiny chunk cap)."""
+    import math
+
+    import numpy as np
+
+    from risinglight_spark.operators import dedup as D
+
+    tau = D.SEM_TAU
+    rng = np.random.default_rng(7)
+    rows = []
+    rid = 100
+    base = [1.0, 0.0, 0.0, 0.0]
+    for k in range(12):
+        # engineered cos ~= tau (within ~1e-16): tau*e1 + sqrt(1-tau^2)*e2
+        eps = (k - 6) * 5e-16
+        v = [tau + eps, math.sqrt(max(0.0, 1.0 - tau * tau)), 0.0, 0.0]
+        rows.append((rid, list(v), _fold_nrm(v)))
+        rid += 1
+    rows.append((1, list(base), _fold_nrm(base)))  # the low-id anchor
+    for _ in range(20):  # bulk rows to make blocking meaningful
+        v = rng.uniform(-1, 1, 4).tolist()
+        rows.append((rid, v, _fold_nrm(v)))
+        rid += 1
+    want = _sem_reference_dropped(rows, tau)
+    assert _sem_kernel_dropped(rows) == want
+    old_chunk = D._SEM_GEMM_CHUNK
+    try:
+        D._SEM_GEMM_CHUNK = 8  # block of <=1 row per GEMM
+        assert _sem_kernel_dropped(rows) == want
+        D._SEM_GEMM_CHUNK = 64
+        assert _sem_kernel_dropped(rows) == want
+    finally:
+        D._SEM_GEMM_CHUNK = old_chunk
